@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The relational query surface: every SurrealQL-surface operator from
+  * SURVEY.md §2.B re-expressed over the synthetic star schema, plus the
+  * free extensions Spark gives us (§2.C — aggregation, windows, sorts,
+  * set ops, scalar function families).
+  *
+  * Conventions shared with the DuckDB oracles (driver correctness gate):
+  *   - every computed column is aliased identically on both sides;
+  *   - floating-point aggregates are round()ed so partial-aggregation
+  *     order (Spark) vs single-node order (DuckDB) can't flip the hash;
+  *   - arrays are array_sort()ed before compare (collect_list order is
+  *     nondeterministic under parallelism by design).
+  *
+  * Scale notes are inline per query — each one states the shuffle story
+  * at 100 TB, since that is the design constraint, not sf0.1.
+  */
+object Relational {
+
+  /** Round to n decimals with EXACT DuckDB parity. Shadows
+    * functions.round(Column, Int): scale-0 rounding of x*10^n is
+    * half-away-from-zero on the same IEEE double in both engines
+    * (Spark round(y) = BigDecimal-exact HALF_UP; DuckDB round(y) =
+    * std::round), and the *10^n, /10^n steps are identical IEEE ops.
+    * Plain round(x, n) diverges on near-half doubles because Spark
+    * rounds the exact decimal expansion of the double while DuckDB
+    * rounds the scaled double. Oracles write round(x*1eN)/1eN
+    * literally.
+    */
+  private def round(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    org.apache.spark.sql.functions.round(c * p) / p
+  }
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- //
+  // B-surface (SURVEY §2.B)                                          //
+  // ---------------------------------------------------------------- //
+
+  /** B1 table scan. Column pruning reaches the parquet footer (only 2
+    * of region's columns are read — check ReadSchema in explain). */
+  def b1Scan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("region").select(col("r_regionkey"), col("r_name"))
+
+  /** B2 projection + computed columns (TPC-H "charge" expression).
+    * Pure map-side: no shuffle at any scale; whole-stage codegen. */
+  def b2Project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("charge"))
+
+  /** B3 filter: both predicates push into the parquet scan
+    * (PushedFilters: [EqualTo(o_orderstatus,F), GreaterThan(...)]). */
+  def b3Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** B4 record-link traversal = equi-join. customer is the dimension
+    * side: at 100 TB orders >> customer, so broadcast customer when it
+    * fits, else AQE picks shuffled hash join on the equi-key. */
+  def b4LinkJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+    val c = t(s, dir)("customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** B5 array lambda filter (SurrealQL `claims[WHERE ...]`): build the
+    * per-order array once, then filter with a higher-order function —
+    * the lambda runs inside codegen, no UDF, no extra shuffle beyond
+    * the single groupBy. */
+  def b5ArrayFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+      .select(col("l_orderkey"),
+        filter(col("parts"), p => p % 2 === 0).as("even_parts"))
+
+  /** B6 array index / first element (SurrealQL `[0]`, null-safe). */
+  def b6ElementAt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
+      .select(col("l_orderkey"), element_at(col("parts"), 1).as("first_part"))
+
+  /** B7 nested field extraction through a dynamic payload (the events
+    * table's JSON props stands in for the claim-value union). */
+  def b7JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** B9 scalar subquery: rows above the global average. The scalar is
+    * a 1-row broadcast, not a driver collect — stays distributed. */
+  def b9ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** B10 count aggregation. Partial counts map-side, single exchange
+    * of one long per partition. */
+  def b10Count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").agg(count(lit(1)).as("n"))
+
+  /** B11 empty-check ≡ anti-join (SurrealQL `== []` filter): customers
+    * with no orders. Broadcast the DISTINCT keys of the probe side at
+    * scale; here plain left_anti, AQE converts to broadcast. */
+  def b11AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir)("customer")
+    val o = t(s, dir)("orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Semi-join (EXISTS) — the dual of B11/B14. */
+  def b11SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir)("customer")
+    val o = t(s, dir)("orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+  }
+
+  /** B14 DELETE-by-id-set as filtered rewrite: lineitems surviving the
+    * deletion of all 'F' orders. Parquet is immutable — delete = anti
+    * join + rewrite, exactly the reference's delete-linked-rows shape
+    * (`test_filter.surql`). */
+  def b14Delete(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+    val doomed = t(s, dir)("orders")
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    li.join(doomed, li("l_orderkey") === doomed("o_orderkey"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
+  /** B15 UPDATE ... SET ... WHERE as conditional projection + rewrite:
+    * clamp negative balances to 0. */
+  def b15Update(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer").select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, lit(0.0))
+        .otherwise(round(col("c_acctbal"), 2)).as("acctbal_updated"))
+
+  /** B16 materialized view (the reference's Media CTAS): denormalized
+    * per-order doc with parent link, child array, and a count — the
+    * exact shape of episodes/parent/children over Entity. One shuffle
+    * (the groupBy); at 100 TB this is the canonical pre-join
+    * materialization you'd write incrementally via streaming. */
+  def b16ViewMedia(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+    val li = t(s, dir)("lineitem")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        array_sort(collect_list(col("l_partkey"))).as("children"))
+      .select(col("o_orderkey"), col("o_custkey").as("parent"),
+        col("n_items"), col("children"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // §2.C free extensions: aggregation / window / sort / set ops      //
+  // ---------------------------------------------------------------- //
+
+  /** TPC-H Q1 pricing summary — the flagship aggregate. Partial aggs
+    * map-side; the exchange carries only (flag,status) groups. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+      round(sum(col("l_quantity")), 2).as("sum_qty"),
+      round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+      round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+      round(avg(col("l_quantity")), 4).as("avg_qty"),
+      count(lit(1)).as("count_order"))
+
+  /** Join + aggregate (TPC-H Q3 shape): revenue per open order. */
+  def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders").filter(col("o_orderstatus") === "O")
+    val li = t(s, dir)("lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Window functions: per-customer order sequence + running total.
+    * One shuffle on the partition key; ORDER BY has the orderkey
+    * tie-break so results are deterministic under any parallelism. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir)("orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running"))
+  }
+
+  /** Top-k: global order-by + limit. Spark's TakeOrderedAndProject
+    * keeps k rows per partition then merges — no full sort at scale. */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  /** Set ops: customers with open orders but no finished orders. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+  }
+
+  /** ROLLUP super-aggregates (grouping sets family). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** Distinct aggregation. Spark plans a two-phase partial-distinct. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** String scalar function family (B17-adjacent). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).as("name_len"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Date/time scalar function family. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("o_year"),
+      month(col("o_orderdate")).cast("int").as("o_month"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+
+  /** Math scalar function family. */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(abs(col("l_discount") - 0.05), 4).as("d_abs"),
+      ceil(col("l_quantity")).cast("long").as("q_ceil"),
+      round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+      round(log(col("l_extendedprice") + 1), 6).as("price_ln"))
+
+  /** CASE bucketing + aggregate. */
+  def qCaseBucket(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .select(when(col("o_totalprice") < 50000, "low")
+        .when(col("o_totalprice") < 150000, "mid")
+        .otherwise("high").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  // ---------------------------------------------------------------- //
+  // registry                                                          //
+  // ---------------------------------------------------------------- //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_scan" -> (b1Scan _),
+    "b2_project" -> (b2Project _),
+    "b3_filter" -> (b3Filter _),
+    "b4_link_join" -> (b4LinkJoin _),
+    "b5_array_filter" -> (b5ArrayFilter _),
+    "b6_element_at" -> (b6ElementAt _),
+    "b7_json_extract" -> (b7JsonExtract _),
+    "b9_scalar_subquery" -> (b9ScalarSubquery _),
+    "b10_count" -> (b10Count _),
+    "b11_anti_join" -> (b11AntiJoin _),
+    "b11_semi_join" -> (b11SemiJoin _),
+    "b14_delete" -> (b14Delete _),
+    "b15_update" -> (b15Update _),
+    "b16_view_media" -> (b16ViewMedia _),
+    "q1_agg" -> (q1Agg _),
+    "q_join_agg" -> (qJoinAgg _),
+    "q_window" -> (qWindow _),
+    "q_topk" -> (qTopK _),
+    "q_setops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_case_bucket" -> (qCaseBucket _))
+
+  val oracle: Map[String, String] = Map(
+    "b1_scan" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "b2_project" ->
+      "SELECT l_orderkey, l_linenumber, round((l_extendedprice*(1-l_discount)*(1+l_tax))*1e2)/1e2 AS charge FROM lineitem",
+    "b3_filter" ->
+      "SELECT o_orderkey, round((o_totalprice)*1e2)/1e2 AS price FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0",
+    "b4_link_join" ->
+      "SELECT o_orderkey, c_name, round((o_totalprice)*1e2)/1e2 AS price FROM orders JOIN customer ON o_custkey = c_custkey",
+    "b5_array_filter" ->
+      "SELECT l_orderkey, list_filter(list_sort(list(l_partkey)), p -> p % 2 = 0) AS even_parts FROM lineitem GROUP BY l_orderkey",
+    "b6_element_at" ->
+      "SELECT l_orderkey, list_sort(list(l_partkey))[1] AS first_part FROM lineitem GROUP BY l_orderkey",
+    "b7_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "b9_scalar_subquery" ->
+      "SELECT o_orderkey, round((o_totalprice)*1e2)/1e2 AS price FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
+    "b10_count" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "b11_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "b11_semi_join" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "b14_delete" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')",
+    "b15_update" ->
+      "SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 0.0 ELSE round((c_acctbal)*1e2)/1e2 END AS acctbal_updated FROM customer",
+    "b16_view_media" ->
+      "SELECT o_orderkey, o_custkey AS parent, count(*) AS n_items, list_sort(list(l_partkey)) AS children FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_custkey",
+    "q1_agg" ->
+      "SELECT l_returnflag, l_linestatus, round((sum(l_quantity))*1e2)/1e2 AS sum_qty, round((sum(l_extendedprice))*1e2)/1e2 AS sum_base_price, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS sum_disc_price, round((avg(l_quantity))*1e4)/1e4 AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q_join_agg" ->
+      "SELECT l_orderkey, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O' GROUP BY l_orderkey",
+    "q_window" ->
+      "SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, round((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2)/1e2 AS running FROM orders",
+    "q_topk" ->
+      "SELECT o_orderkey, round((o_totalprice)*1e2)/1e2 AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_setops" ->
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, round((sum(l_quantity))*1e2)/1e2 AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "q_distinct_agg" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY l_returnflag",
+    "q_string_funcs" ->
+      "SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name_prefix, CAST(length(p_name) AS INTEGER) AS name_len, p_brand || '#' || p_type AS brand_type FROM part",
+    "q_date_funcs" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year, CAST(month(o_orderdate) AS INTEGER) AS o_month, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start FROM orders",
+    "q_math_funcs" ->
+      "SELECT l_orderkey, l_linenumber, round((abs(l_discount - 0.05))*1e4)/1e4 AS d_abs, CAST(ceil(l_quantity) AS BIGINT) AS q_ceil, round((sqrt(l_extendedprice))*1e4)/1e4 AS price_sqrt, round((ln(l_extendedprice + 1))*1e6)/1e6 AS price_ln FROM lineitem",
+    "q_case_bucket" ->
+      "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n FROM orders GROUP BY 1")
+}

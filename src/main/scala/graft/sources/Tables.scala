@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * Each scale-factor directory holds one parquet file per table. At
+  * cluster scale these would be partitioned/bucketed datasets; the
+  * loader is the single seam where that changes (swap the path for a
+  * partitioned root + bucketing metadata, nothing downstream moves).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast at ANY scale factor: TPC-H's
+    * region (5 rows) and nation (25 rows) are constant-size by spec.
+    */
+  val alwaysBroadcast: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read it as raw nanos (legacy long mode) and
+      // convert with exact integer division (`DIV`, not `/` — the
+      // double path loses sub-µs precision at 2^60 magnitudes).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view (for the SQL surface). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB against the
+same scale-factor tables, and compares: schema (column names), row
+count, and a hash over the value matrix with columns sorted by name and
+rows sorted canonically — the same normalization the driver describes.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return tuple(norm(x) for x in v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return v
+
+    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False)]
+    rows.sort(key=lambda r: tuple(str(x) for x in r))
+    return pd.DataFrame(rows, columns=df.columns) if rows else df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+
+    results = {}
+    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        spark_df = pd.read_parquet(Path(out_dir, name))
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(spark_df)}"
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif len(a) != len(b):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
+        else:
+            mism = None
+            av, bv = a.values.tolist(), b.values.tolist()
+            for i, (ra, rb) in enumerate(zip(av, bv)):
+                if ra != rb:
+                    mism = f"VALUE-MISMATCH row {i}: spark={ra} duck={rb}"
+                    break
+            results[name] = mism or f"OK rows={len(a)}"
+
+    missing = set(oracle) - set(results)
+    for name in sorted(missing):
+        results[name] = "MISSING-SPARK-OUTPUT"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in sorted(results.items()):
+        flag = "  " if v.startswith(("OK", "NO-ORACLE")) else "!!"
+        print(f"{flag} {k}: {v}")
+    print(f"\n{n_ok}/{len([k for k in results if not results[k].startswith('NO-ORACLE')])} oracle-checked queries OK")
+    sys.exit(0 if all(v.startswith(("OK", "NO-ORACLE")) for v in results.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
