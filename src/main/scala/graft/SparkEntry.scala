@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.{Relational, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +19,10 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Temporal.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Temporal.oracle ++ TextAnalysis.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
 }

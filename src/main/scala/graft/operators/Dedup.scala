@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * normalized-exact, n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the point of each variant):
+  *   - exact/normalized: one hash-groupBy — the shuffle carries only
+  *     (16-byte hash, doc_id); at 100 TB this is the cheapest possible
+  *     dedup and the first pass of any pipeline;
+  *   - n-gram Jaccard: EXACT pairwise similarity via the relational
+  *     formulation (explode shingles → self-join on shingle →
+  *     inclusion-exclusion). Quadratic in co-bucketed docs, so it's
+  *     the verification/rerank kernel, not the discovery path;
+  *   - MinHash+LSH: the discovery path — 64-perm signatures, banded
+  *     into (band, hash) buckets; only same-bucket docs pair up.
+  *     Buckets above `maxBucket` are dropped (standard LSH skew guard:
+  *     a hot bucket means the band is non-discriminative, and at scale
+  *     it would quadratically explode the pair stage);
+  *   - SimHash: 64-bit signature whose Hamming distance tracks cosine
+  *     similarity of the token multiset; banded by 4×16-bit chunks
+  *     (any pair within Hamming ≤ 3 shares at least one exact chunk —
+  *     pigeonhole), verified with bit_count(xor).
+  *
+  * All hashing is xxhash64 (deterministic, codegen'd). MinHash/SimHash
+  * have no SQL oracle (the driver records rows-only checks); their
+  * correctness is pinned by `DedupSpec` against brute-force Jaccard /
+  * Hamming on sf0.001.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Canonical text normalization for near-exact dedup. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  def exact(df: DataFrame, text: Column): DataFrame =
+    df.groupBy(md5(text.cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles: contiguous token windows joined by a
+    * space. Documents shorter than n tokens yield no shingles. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Exact pairwise n-gram Jaccard over a bounded candidate set —
+    * the relational formulation that also serves as the LSH rerank. */
+  def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = df
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("jac") * 1e4) / 1e4).as("jaccard"))
+  }
+
+  /** 64-perm MinHash signature of a shingle array (one xxhash64 per
+    * (permutation, shingle); min over shingles per permutation). */
+  def minhashSignature(shingleArr: Column, perms: Int = 64): Column =
+    transform(sequence(lit(0), lit(perms - 1)), i =>
+      array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** MinHash+LSH near-dup candidate pairs with signature-estimated
+    * Jaccard. bands×rows must equal the signature length. */
+  def minhashPairs(df: DataFrame, bands: Int = 16, rows: Int = 4,
+                   minEst: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val sigd = df
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+
+    // band key: hash of each rows-sized signature slice (unrolled
+    // Scala-side: band count is a compile-time constant)
+    val banded = sigd.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)),
+            lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    // same-bucket candidate pairs (skew guard: drop hot buckets)
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets.select(explode(flatten(
+        transform(col("members"), a =>
+          filter(transform(col("members"), b =>
+            when(a.getField("doc_id") < b.getField("doc_id"),
+              struct(a.getField("doc_id").as("doc_a"),
+                b.getField("doc_id").as("doc_b"),
+                a.getField("sig").as("sig_a"),
+                b.getField("sig").as("sig_b")))),
+            x => x.isNotNull)))).as("p"))
+      .select(col("p.*")).distinct()
+
+    pairs.select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") /
+          size(col("sig_a")).cast("double")).as("est"))
+      .filter(col("est") >= minEst)
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("est") * 1e4) / 1e4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset: per-bit ±1 votes from
+    * each token's xxhash64, sign of the vote sum sets the bit. Bit
+    * positions are compile-time constants → unrolled expressions. */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val counts = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)): _*),
+        (a, d) => a + d))
+    (0 until 64).map(b =>
+      when(element_at(counts, b + 1) > 0, shiftleft(lit(1L), b))
+        .otherwise(0L))
+      .reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, via 4×16-bit chunk
+    * banding (pigeonhole-complete for maxHamming ≤ 3). */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val banded = sh.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- queries //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact" -> ((s, dir) => exact(docs(s, dir), col("text"))),
+    "d_exact_norm" -> ((s, dir) =>
+      exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(docs(s, dir), 0.2)),
+    "d_minhash_lsh" -> ((s, dir) => minhashPairs(docs(s, dir))),
+    "d_simhash" -> ((s, dir) => simhashPairs(docs(s, dir))))
+
+  val oracle: Map[String, String] = Map(
+    "d_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "d_exact_norm" ->
+      "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    "d_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""")
+  // d_minhash_lsh / d_simhash: not SQL-expressible in the oracle —
+  // rows-only driver check; pinned by DedupSpec against brute force.
+}

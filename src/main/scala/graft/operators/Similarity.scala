@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (`embedding: array<float>`).
+  *
+  *   - [[cosineTopK]] — brute-force exact top-k: broadcast the query
+  *     set, score every (query, vector) pair map-side, keep k per
+  *     query with a window rank. No shuffle of the big side at all:
+  *     the only exchange is the per-query top-k reduction. This is
+  *     the baseline and the rerank kernel.
+  *   - [[lshCosineTopK]] — the scale path: sign-random-projection LSH.
+  *     Each vector hashes to an H-bit bucket (sign of dot with H
+  *     pseudo-random hyperplanes derived from xxhash64 — fully
+  *     deterministic, no stored model); candidates = same-bucket
+  *     vectors, then exact cosine rerank. At 100 TB the bucket join
+  *     replaces the full cross product with |bucket|-sized probes;
+  *     recall tuned by H (fewer bits → bigger buckets → higher
+  *     recall, more compute). An IVF variant swaps the hash for
+  *     learned centroids; the plumbing is identical.
+  *
+  * All arithmetic is double-precision sequential folds so the DuckDB
+  * oracle (same fold written in SQL lambdas) is bit-identical.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Sequential left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for the query set `vec_id < nQueries`
+    * (self excluded). */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"),
+        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+  }
+
+  /** `bits`-bit sign-random-projection bucket id for hash table
+    * `table`. Hyperplane (table*bits + h)'s component j is ±1 from
+    * xxhash64 — deterministic, model-free. Hyperplane indices are
+    * compile-time constants → unrolled. */
+  def srpBucket(v: Column, bits: Int, table: Int): Column =
+    (0 until bits).map { h =>
+      val plane = table * bits + h
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          x.cast("double") *
+            when(xxhash64(lit(plane), j) > 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), h)).otherwise(0L)
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Multi-table LSH ANN: standard (L tables × b bits) sign-random-
+    * projection. A vector lands in one bucket per table; candidates =
+    * union over tables of the query's buckets; exact cosine rerank.
+    * Recall ≈ 1-(1-p^b)^L for per-bit agreement p = 1 - θ/π — L
+    * tables buy recall at linear cost, b bits shrink buckets
+    * (candidate count). At 100 TB: vectors are written bucketed by
+    * (table, bucket), so a query probes L buckets instead of the full
+    * corpus — the join below is that probe. */
+  def lshCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                    bits: Int = 4, tables: Int = 16): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), bits, t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tbl").as("qt"), col("bucket").as("qb"))
+    val cand = bucketed.join(broadcast(q),
+        col("tbl") === col("qt") && col("bucket") === col("qb") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("qe"), col("embedding"))
+      .distinct() // union of per-table candidates
+      .select(col("qid"), col("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"),
+        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+  }
+
+  // ------------------------------------------------------- queries //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
+    "s_lsh_ann" -> ((s, dir) => lshCosineTopK(emb(s, dir), 10, 5)))
+
+  // DuckDB-side double fold, bit-identical to the Spark expressions.
+  private val dotSql =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+
+  val oracle: Map[String, String] = Map(
+    "s_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored) SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5""")
+  // s_lsh_ann: not SQL-expressible (xxhash64 hyperplanes) — rows-only
+  // driver check; recall pinned by SimilaritySpec against cosineTopK.
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID heuristic, quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * Everything is built from codegen'd column expressions (no UDFs):
+  * per-row map work that scales linearly with zero shuffles — at
+  * 100 TB these run at scan speed and the only cost is the regex/
+  * array kernels.
+  *
+  * DuckDB-oracle parity notes: token arrays come from a single-space
+  * split (the corpus is single-spaced); fractional scores divide
+  * doubles cast from exact ints, then round with the shared
+  * round(x*1eN)/1eN formula; the rolling fingerprint is a left fold
+  * with mod-prime steps so both engines stay in exact BIGINT range.
+  */
+object TextAnalysis {
+
+  /** Small English function-word profile for the langid heuristic.
+    * (A real pipeline ships per-language profiles; the heuristic —
+    * score = stopword hit-rate over tokens — is the standard cheap
+    * n-gram/function-word language signal.) */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Fraction of tokens that are English function words, rounded. */
+  def enScore(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(enStopwords)))
+    round(hits.cast("double") / size(toks).cast("double") * 1e4) / 1e4
+  }
+
+  /** Language-ID: thresholded function-word score. */
+  def predictedLang(text: Column): Column =
+    when(enScore(text) >= 0.05, "en").otherwise("und")
+
+  /** Quality metrics: length, token count, mean token length,
+    * stopword ratio, and a composite keep/drop flag — the standard
+    * Gopher-style heuristic shape. */
+  def quality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    // single-spaced corpus: total token chars = chars - (n-1) spaces
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens.cast("double")
+    val stopRatio = size(filter(toks, t => t.isInCollection(enStopwords)))
+      .cast("double") / nTokens.cast("double")
+    df.select(
+      col("doc_id"),
+      nChars.as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      (round(meanTokLen * 1e4) / 1e4).as("mean_token_len"),
+      (round(stopRatio * 1e4) / 1e4).as("stop_ratio"),
+      (nTokens >= 10 && meanTokLen >= 2.0 && meanTokLen <= 12.0)
+        .as("quality_keep"))
+  }
+
+  /** Token counting three ways: whitespace, BPE-ish regex pieces
+    * (letter runs / digit runs / single punctuation), and the
+    * chars/4 estimate LLM pipelines use. */
+  def tokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      size(tokens(text)).as("ws_tokens"),
+      size(regexp_extract_all(text,
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("re_tokens"),
+      ceil(length(text).cast("double") / 4.0).cast("long").as("est_tokens"))
+
+  /** Rolling-hash document fingerprint: left fold of
+    * acc*31 + ascii(token) (mod 1e9+7) over the token stream —
+    * order-sensitive, so content moves change the print while the
+    * mod keeps both engines in exact integer range. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => ascii(t).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  // ------------------------------------------------------- queries //
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_langid" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), enScore(col("text")).as("en_score"),
+      predictedLang(col("text")).as("pred_lang"))),
+    "t_quality" -> ((s, dir) => quality(docs(s, dir), col("text"))),
+    "t_token_count" -> ((s, dir) => tokenCounts(docs(s, dir), col("text"))),
+    "t_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))))
+
+  private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "t_langid" ->
+      s"""SELECT doc_id, round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 AS en_score, CASE WHEN round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM documents""",
+    "t_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, round((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 AS mean_token_len, round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 AS stop_ratio, (len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0) AS quality_keep FROM documents""",
+    "t_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS re_tokens, CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens FROM documents",
+    "t_fingerprint" ->
+      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), t -> CAST(ascii(t) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents")
+}

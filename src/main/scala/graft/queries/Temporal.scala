@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Temporal operators over the `events` table: as-of join, range
+  * (interval) self-join, and the tumbling-window aggregation that is
+  * the batch twin of the streaming pipeline
+  * (`graft.streaming.EventsStream` applies the same transform to a
+  * stream — Structured Streaming's batch/stream unification means the
+  * logic is written once).
+  */
+object Temporal {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** As-of join: each purchase matched to the user's most recent
+    * signup at-or-before it (DuckDB oracle: native ASOF LEFT JOIN). */
+  def asofPurchaseSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asOf(purchases, signups,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id" -> "signup_id"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
+  /** Range self-join: ordered same-user event pairs ≤ 5 minutes
+    * apart. The equi-key (user_id) carries the shuffle; the range
+    * predicate filters inside the join — at scale, skew on hot users
+    * is the hazard, handled by AQE skew splitting (the per-user
+    * time-bucket bucketing variant trades a 2× bucket explosion for
+    * a hard cap on pair fan-out; not needed at current skew). */
+  def rangePairs(s: SparkSession, dir: String): DataFrame = {
+    val a = events(s, dir).select(col("user_id"),
+      col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = events(s, dir).select(col("user_id"),
+      col("event_id").as("b_id"), col("ts").as("b_ts"))
+    a.join(b, Seq("user_id"))
+      .filter(col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Tumbling 1-hour window aggregation (the streaming twin groups by
+    * the same window with a watermark). */
+  def hourlyRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("value")) * 1e2) / 1e2).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofPurchaseSignup _),
+    "q_range_join" -> (rangePairs _),
+    "q_stream_window" -> (hourlyRollup _))
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts >= l.ts",
+    "q_range_join" ->
+      "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
+    "q_stream_window" ->
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, count(*) AS n, round((sum(value))*1e2)/1e2 AS total_value FROM events GROUP BY 1, 2")
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §2.C: absent in the reference,
+  * first-class here): the `events` table as a stream.
+  *
+  * Batch/stream unification: [[windowedRollup]] is the same logical
+  * transform as `Temporal.hourlyRollup` — written against an unbounded
+  * DataFrame with a watermark bounding state. [[sessionize]] shows
+  * custom state: per-user sessions split on 30-minute gaps via
+  * `flatMapGroupsWithState` (the mapGroupsWithState family is the
+  * Spark-native form of arbitrary keyed streaming state).
+  *
+  * At scale: state lives in the state store keyed by (window,
+  * event_type) / user_id; the watermark caps it — without one, a
+  * 100 TB replay would accumulate state forever. Late rows beyond
+  * 10 minutes are dropped, matching the declared correctness contract.
+  */
+object EventsStream {
+
+  /** Watermarked tumbling-window counts (append mode capable). */
+  def windowedRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp,
+                      user_id: Long, event_type: String, value: Double)
+  final case class Session(user_id: Long, n_events: Int,
+                           start: java.sql.Timestamp, end: java.sql.Timestamp)
+  private final case class SessState(n: Int, start: Long, last: Long)
+
+  /** Gap-based sessionization with explicit keyed state + processing-
+    * time timeout: a session closes when 30 min pass without events. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.n, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(n = s.n + 1, last = t))
+                case Some(s) =>
+                  closed += Session(uid, s.n, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last))
+                  cur = Some(SessState(1, t, t))
+                case None =>
+                  cur = Some(SessState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
+  /** Drive a streaming query synchronously from a batch parquet dir
+    * (memory sink) — the local smoke path; swap `readStream` source +
+    * `writeStream` sink for kafka/delta in deployment. */
+  def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) — same legacy-long read +
+    // exact ns→µs conversion as the batch loader (Tables.load)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streaming wants a directory; glob-filter to events
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = windowedRollup(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** Pins the operators that have no SQL oracle (minhash, simhash,
+  * LSH-ANN, multimodal decode, streaming) against brute-force truth
+  * or golden invariants on sf0.001, plus targeted edge cases. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, sf, "documents")
+  lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash est tracks true jaccard on every discovered pair (±0.15)") {
+    val est = Dedup.minhashPairs(docs, minEst = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty, "generator plants near-dups; none found")
+    val truth = Dedup.ngramJaccardPairs(docs, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est.foreach { case (pair, e) =>
+      val t = truth.getOrElse(pair, 0.0)
+      assert(math.abs(e - t) < 0.15, s"pair $pair est=$e true=$t")
+    }
+  }
+
+  test("minhash recall: every true near-dup (J >= 0.8) is discovered") {
+    val found = Dedup.minhashPairs(docs, minEst = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    assert(strong.subsetOf(found),
+      s"missed: ${strong -- found}")
+  }
+
+  test("simhash: hamming distance computed by banding equals brute force") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    val banded = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(banded === brute) // pigeonhole: banding is complete for <=3
+  }
+
+  test("simhash near-dup pairs have high token-frequency cosine (the metric simhash approximates)") {
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val tf = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").groupBy(identity).view
+          .mapValues(_.length.toDouble).toMap).toMap
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val d = a.keysIterator.map(k => a(k) * b.getOrElse(k, 0.0)).sum
+      d / math.sqrt(a.values.map(x => x * x).sum * b.values.map(x => x * x).sum)
+    }
+    pairs.foreach { case (x, y) =>
+      val c = cos(tf(x), tf(y))
+      // 0.7 floor: the 31-word synthetic vocab keeps ALL tf vectors
+      // correlated, so hamming<=3 pairs sit lower than on real text
+      assert(c > 0.7, s"simhash pair ($x,$y) tf-cosine=$c")
+    }
+  }
+
+  test("LSH-ANN: multi-table recall beats the single-table baseline and clears 50%") {
+    val exact = Similarity.cosineTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshCosineTopK(emb, 10, 5, bits = 4, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshCosineTopK(emb, 10, 5, bits = 4, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty)
+    val recall = (ann & exact).size.toDouble / exact.size
+    val recallSingle = (single & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(recall >= recallSingle, s"multi=$recall single=$recallSingle")
+  }
+
+  test("cosineTopK is exact: matches driver-side brute force") {
+    val got = Similarity.cosineTopK(emb, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L until 3L) {
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      val gotQ = (1 to 3).map(rk => got((q, rk)))
+      assert(gotQ === expected, s"query $q")
+    }
+  }
+
+  test("as-of join: hand-computed case incl. equal-ts inclusivity") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 6L, 102L))
+      .toDF("k", "ts", "rid")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+        Seq("rid" -> "matched"))
+      .select("name", "matched").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // p1@10 matches rid100@10 (inclusive >=); p2@20 matches rid101@15;
+    // p3@5 has no signup at-or-before → null
+    assert(out === Map("p1" -> 100L, "p2" -> 101L, "p3" -> -1L))
+  }
+
+  test("multimodal decode: deterministic, schema-true, payload-derived") {
+    val a = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
+    val b = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
+    assert(a.map(_.doc_id).sorted === b.map(_.doc_id).sorted)
+    val byId = a.map(f => f.doc_id -> f).toMap
+    assert(a.forall(f => f.features.length == 8))
+    assert(a.forall(f => f.width >= 64 && f.width < 128))
+    // frame sampling only for video kind
+    assert(a.forall(f => (f.kind == "video") == f.frame_offsets.nonEmpty))
+    assert(byId === b.map(f => f.doc_id -> f).toMap.keys.map(k => k -> byId(k)).toMap)
+  }
+
+  test("streaming windowed rollup matches the batch twin on closed windows") {
+    val streamed = EventsStream.runOnce(spark, sf, "ops_spec_stream")
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // append mode only emits windows whose end passed the watermark
+    // (maxTs - 10 min); the final open window(s) stay in state
+    val maxTs = Tables.load(spark, sf, "events")
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermark = maxTs - 10 * 60 * 1000L
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val batchClosed = graft.queries.Temporal.hourlyRollup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .filter { case ((h, _), _) => fmt.parse(h).getTime + 3600 * 1000L <= watermark }
+      .toMap
+    assert(batchClosed.nonEmpty)
+    assert(streamed === batchClosed)
+  }
+
+  test("streaming sessionization: sessions split on 30-min gaps") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf, "events")
+    val sessions = EventsStream.sessionize(events)
+    // batch run: flatMapGroupsWithState processes each user once; only
+    // gap-closed sessions emit (the final open session stays in state)
+    val got = sessions.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent truth: count gap-closed sessions per user
+    val truth = events.select(col("user_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime)
+      .groupBy(_._1).map { case (u, rows) =>
+        val ts = rows.map(_._2).sorted
+        val bounds = ts.zip(ts.tail).filter { case (a, b) => b - a > 30 * 60 * 1000L }
+        // events in all closed sessions = total - events after last gap
+        val lastGapEnd = bounds.lastOption.map(_._2)
+        val closedCount = lastGapEnd match {
+          case None => 0L
+          case Some(g) => ts.count(_ < g).toLong
+        }
+        u -> closedCount
+      }.filter(_._2 > 0)
+    assert(got === truth)
+  }
+}
