@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Relational, Temporal}
 
@@ -20,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Temporal.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      TextFunctions.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Temporal.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      TextFunctions.oracle
 }
