@@ -1,0 +1,247 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled kernels for the sketch/similarity hot paths.
+  *
+  * Spark's higher-order array functions (transform/aggregate/zip_with)
+  * evaluate their lambdas INTERPRETED, per element — a 64-permutation
+  * MinHash written as nested transforms costs ~2 µs per (perm,
+  * shingle) pair, which at sf0.1 was 200+ s of the whole bench. These
+  * expressions do one eval per ROW with a primitive loop inside:
+  * same semantics, 100-1000× less overhead, and they compose with the
+  * rest of the (codegen'd) plan. This is preference order (b) of the
+  * custom-operator ladder: an Expression, not a UDF — no SerDe, null
+  * handling from UnaryExpression, registry-resolvable for SQL.
+  */
+object HashExpressions {
+
+  /** 64-bit xxHash of one UTF8String with seed. */
+  @inline private def hashStr(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** MinHash signature: array<string> shingles → array<long> of
+    * `perms` minima. Permutation i applies the affine multiply-add
+    * (a_i * h + b_i mod 2^64) to the base xxHash of each shingle —
+    * one string hash per shingle total, then cheap long ops. */
+  case class MinHashSignature(child: Expression, perms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // deterministic odd multipliers / offsets (splitmix-style)
+    private lazy val (as, bs) = {
+      val a = new Array[Long](perms); val b = new Array[Long](perms)
+      var x = 0x9E3779B97F4A7C15L
+      def next(): Long = {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      var i = 0
+      while (i < perms) { a(i) = next() | 1L; b(i) = next(); i += 1 }
+      (a, b)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(perms)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val h = hashStr(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < perms) {
+          val p = as(i) * h + bs(i)
+          if (p < sig(i)) sig(i) = p
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  /** SimHash: array<string> tokens → 64-bit signature long. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var j = 0
+      while (j < n) {
+        val h = hashStr(arr.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Cosine similarity of two float vectors, computed EXACTLY like
+    * the DuckDB-oracle formulation: per-index float→double casts, one
+    * sequential left-fold per accumulator — bit-identical results. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_similarity"
+  }
+
+  /** Sign-random-projection LSH bucket: float vector → `bits`-bit
+    * bucket for hash table `table` (hyperplane components ±1 from a
+    * splitmix of (plane, dim) — matches Similarity.srpBucket's
+    * xxhash64-sign contract in spirit; compiled loop in practice). */
+  case class SrpBucket(child: Expression, bits: Int, table: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var bucket = 0L
+      var h = 0
+      while (h < bits) {
+        val plane = table * bits + h
+        var proj = 0.0
+        var j = 0
+        while (j < n) {
+          // deterministic ±1 from a mix of (plane, j)
+          var z = plane.toLong * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+          z ^= (z >>> 31)
+          proj += a.getFloat(j).toDouble * (if (z > 0) 1.0 else -1.0)
+          j += 1
+        }
+        if (proj > 0) bucket |= (1L << h)
+        h += 1
+      }
+      java.lang.Long.valueOf(bucket)
+    }
+    override protected def withNewChildInternal(c: Expression): SrpBucket = copy(c)
+    override def prettyName: String = "srp_bucket"
+  }
+
+  /** Fraction of equal positions in two long signatures (MinHash
+    * Jaccard estimate). */
+  case class SigAgreement(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var eq = 0
+      var i = 0
+      while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+      java.lang.Double.valueOf(eq.toDouble / n)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "sig_agreement"
+  }
+
+  /** Word n-gram shingles: array<string> tokens → array<string> of
+    * space-joined n-token windows, built in one compiled pass (the
+    * transform+element_at+concat_ws formulation evaluates interpreted
+    * per window — the dominant cost of the shingling stage). */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      if (len < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](len - n + 1)
+        var i = 0
+        while (i <= len - n) {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var j = 0
+          while (j < n) {
+            if (j > 0) parts(2 * j - 1) = UTF8String.fromString(" ")
+            parts(2 * j) = arr.getUTF8String(i + j)
+            j += 1
+          }
+          out(i) = UTF8String.concat(parts: _*)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+    override def prettyName: String = "word_ngrams"
+  }
+
+  /** Register all kernels; Column helpers resolve through the
+    * registry (the Column↔Expression bridge is private in Spark 4). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, 64), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("sig_agreement",
+      exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams_3",
+      exprs => WordNgrams(exprs.head, 3), "built-in")
+  }
+
+  def minhash_signature(c: Column): Column = call_function("minhash_signature", c)
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def cosine_similarity(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+  def sig_agreement(a: Column, b: Column): Column =
+    call_function("sig_agreement", a, b)
+  def word_ngrams3(c: Column): Column = call_function("word_ngrams_3", c)
+
+  /** srp_bucket carries per-call (bits, table) statics — register a
+    * closure per configuration. */
+  def registerSrp(spark: SparkSession, bits: Int, tables: Int): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    (0 until tables).foreach { t =>
+      reg.createOrReplaceTempFunction(s"srp_bucket_${bits}_$t",
+        exprs => SrpBucket(exprs.head, bits, t), "built-in")
+    }
+  }
+  def srp_bucket(c: Column, bits: Int, table: Int): Column =
+    call_function(s"srp_bucket_${bits}_$table", c)
+}

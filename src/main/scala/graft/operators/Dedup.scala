@@ -44,18 +44,16 @@ object Dedup {
     df.groupBy(md5(text.cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles: contiguous token windows joined by a
-    * space. Documents shorter than n tokens yield no shingles. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+  /** Word 3-gram shingles: contiguous token windows joined by a
+    * space — compiled kernel (WordNgrams); < 3 tokens → empty.
+    * Requires HashExpressions.register (callers below do). */
+  def shingles(text: Column): Column =
+    graft.functions.HashExpressions.word_ngrams3(split(text, " "))
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set —
     * the relational formulation that also serves as the LSH rerank. */
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
     val sh = df
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -74,16 +72,25 @@ object Dedup {
         (round(col("jac") * 1e4) / 1e4).as("jaccard"))
   }
 
-  /** 64-perm MinHash signature of a shingle array (one xxhash64 per
-    * (permutation, shingle); min over shingles per permutation). */
-  def minhashSignature(shingleArr: Column, perms: Int = 64): Column =
-    transform(sequence(lit(0), lit(perms - 1)), i =>
-      array_min(transform(shingleArr, s => xxhash64(s, i))))
+  /** 64-perm MinHash signature — compiled kernel
+    * ([[graft.functions.HashExpressions.MinHashSignature]]): one
+    * xxHash per shingle, 64 affine permutations in a primitive loop.
+    * (The nested-transform formulation evaluates its lambdas
+    * interpreted per (perm, shingle) — 100× slower; see
+    * HashExpressions.) */
+  def minhashSignature(shingleArr: Column): Column =
+    graft.functions.HashExpressions.minhash_signature(shingleArr)
 
   /** MinHash+LSH near-dup candidate pairs with signature-estimated
-    * Jaccard. bands×rows must equal the signature length. */
+    * Jaccard. bands×rows must equal the signature length.
+    *
+    * Shuffle layout: the band exchange carries only (doc_id, band,
+    * bucket) — 24 bytes/row — NOT the 512-byte signature (16 band
+    * copies of it would dominate the shuffle at scale); signatures
+    * join back onto the (few) surviving candidate pairs. */
   def minhashPairs(df: DataFrame, bands: Int = 16, rows: Int = 4,
                    minEst: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
     val sigd = df
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -91,7 +98,7 @@ object Dedup {
 
     // band key: hash of each rows-sized signature slice (unrolled
     // Scala-side: band count is a compile-time constant)
-    val banded = sigd.select(col("doc_id"), col("sig"),
+    val banded = sigd.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)),
             lit(b))): _*)))
@@ -99,49 +106,38 @@ object Dedup {
 
     // same-bucket candidate pairs (skew guard: drop hot buckets)
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
     val pairs = buckets.select(explode(flatten(
-        transform(col("members"), a =>
-          filter(transform(col("members"), b =>
-            when(a.getField("doc_id") < b.getField("doc_id"),
-              struct(a.getField("doc_id").as("doc_a"),
-                b.getField("doc_id").as("doc_b"),
-                a.getField("sig").as("sig_a"),
-                b.getField("sig").as("sig_b")))),
+        transform(col("ids"), a =>
+          filter(transform(col("ids"), b =>
+            when(a < b, struct(a.as("doc_a"), b.as("doc_b")))),
             x => x.isNotNull)))).as("p"))
       .select(col("p.*")).distinct()
 
-    pairs.select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") /
-          size(col("sig_a")).cast("double")).as("est"))
+    pairs
+      .join(sigd.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigd.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.HashExpressions
+          .sig_agreement(col("sig_a"), col("sig_b")).as("est"))
       .filter(col("est") >= minEst)
       .select(col("doc_a"), col("doc_b"),
         (round(col("est") * 1e4) / 1e4).as("est_jaccard"))
   }
 
   /** 64-bit SimHash over the token multiset: per-bit ±1 votes from
-    * each token's xxhash64, sign of the vote sum sets the bit. Bit
-    * positions are compile-time constants → unrolled expressions. */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    val counts = aggregate(toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)): _*),
-        (a, d) => a + d))
-    (0 until 64).map(b =>
-      when(element_at(counts, b + 1) > 0, shiftleft(lit(1L), b))
-        .otherwise(0L))
-      .reduce((x, y) => x.bitwiseOR(y))
-  }
+    * each token's xxHash64(seed 42 — identical values to Spark's
+    * xxhash64 function), sign of the vote sum sets the bit. Compiled
+    * kernel ([[graft.functions.HashExpressions.SimHash64]]); requires
+    * HashExpressions.register on the session (simhashPairs does). */
+  def simhash(text: Column): Column =
+    graft.functions.HashExpressions.simhash64(split(text, " "))
 
   /** SimHash near-dup pairs within `maxHamming`, via 4×16-bit chunk
     * banding (pigeonhole-complete for maxHamming ≤ 3). */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
     val sh = df.select(col("doc_id"), simhash(col("text")).as("sig"))
     val banded = sh.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>

@@ -31,21 +31,19 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Sequential left-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-
+  /** Cosine via the compiled kernel
+    * ([[graft.functions.HashExpressions.CosineSimilarity]]): one
+    * primitive loop per pair, with the SAME per-index float→double
+    * casts and sequential accumulation as the DuckDB-oracle SQL — the
+    * results stay bit-identical while avoiding interpreted
+    * higher-order-lambda evaluation (≈10× on the bench). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    graft.functions.HashExpressions.cosine_similarity(a, b)
 
   /** Exact top-k cosine neighbors for the query set `vec_id < nQueries`
     * (self excluded). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val scored = embeddings.crossJoin(broadcast(q))
@@ -61,19 +59,11 @@ object Similarity {
   }
 
   /** `bits`-bit sign-random-projection bucket id for hash table
-    * `table`. Hyperplane (table*bits + h)'s component j is ±1 from
-    * xxhash64 — deterministic, model-free. Hyperplane indices are
-    * compile-time constants → unrolled. */
+    * `table` — compiled kernel, hyperplane components ±1 from a
+    * deterministic (plane, dim) mix; model-free. Requires
+    * HashExpressions.registerSrp on the session. */
   def srpBucket(v: Column, bits: Int, table: Int): Column =
-    (0 until bits).map { h =>
-      val plane = table * bits + h
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-          x.cast("double") *
-            when(xxhash64(lit(plane), j) > 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), h)).otherwise(0L)
-    }.reduce((x, y) => x.bitwiseOR(y))
+    graft.functions.HashExpressions.srp_bucket(v, bits, table)
 
   /** Multi-table LSH ANN: standard (L tables × b bits) sign-random-
     * projection. A vector lands in one bucket per table; candidates =
@@ -85,6 +75,8 @@ object Similarity {
     * corpus — the join below is that probe. */
   def lshCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                     bits: Int = 4, tables: Int = 16): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    graft.functions.HashExpressions.registerSrp(embeddings.sparkSession, bits, tables)
     val bucketed = embeddings.select(col("vec_id"), col("embedding"),
       posexplode(array((0 until tables).map(t =>
         srpBucket(col("embedding"), bits, t)): _*)))

@@ -12,12 +12,16 @@ import graft.streaming.EventsStream
   * or golden invariants on sf0.001, plus targeted edge cases. */
 class OperatorsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.HashExpressions.register(s)
+    s
+  }
 
   val sf = "/root/testdata/sf0.001"
   lazy val docs = Tables.load(spark, sf, "documents")
