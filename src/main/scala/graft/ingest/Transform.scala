@@ -40,26 +40,26 @@ object Transform {
   private def thingCol(tb: Column, id: Column): Column =
     struct(tb.as("tb"), id.as("id"))
 
-  // per-datatype payload schemas for the from_json re-parse
-  private val entityRefSchema = StructType(Seq(
+  /** Merged payload schema: the union of every object-shaped
+    * `datavalue.value` layout, parsed in ONE from_json per snak (the
+    * per-datatype-schema formulation parses the same JSON up to six
+    * times — it dominated ETL cost). Absent fields are null; the only
+    * field-name collision is `precision` (int for time, double for
+    * coordinates) — carried as double, cast per branch. */
+  private val mergedValueSchema = StructType(Seq(
     StructField("entity-type", StringType),
     StructField("numeric-id", LongType),
-    StructField("id", StringType)))
-  private val quantitySchema = StructType(Seq(
-    StructField("amount", StringType), // "+51" — signed string in the dump
+    StructField("id", StringType),
+    StructField("amount", StringType), // "+51" — signed string in dump
     StructField("lowerBound", StringType),
     StructField("upperBound", StringType),
-    StructField("unit", StringType)))
-  private val monoTextSchema = StructType(Seq(
+    StructField("unit", StringType),
     StructField("text", StringType),
-    StructField("language", StringType)))
-  private val timeSchema = StructType(Seq(
+    StructField("language", StringType),
     StructField("time", StringType),
-    StructField("precision", IntegerType)))
-  private val coordSchema = StructType(Seq(
+    StructField("precision", DoubleType),
     StructField("latitude", DoubleType),
     StructField("longitude", DoubleType),
-    StructField("precision", DoubleType),
     StructField("globe", StringType)))
 
   /** The A9 FK normalization + value-union fill for one snak column.
@@ -71,20 +71,15 @@ object Transform {
     val raw = sn.getField("datavalue").getField("value")
     val isVal = st === "value"
 
-    val entityRef = from_json(raw, entityRefSchema)
-    val refNum = coalesce(entityRef.getField("numeric-id"),
-      idNum(entityRef.getField("id")))
+    val pv = from_json(raw, mergedValueSchema)
+    val refNum = coalesce(pv.getField("numeric-id"),
+      idNum(pv.getField("id")))
 
     // Thing branch: item/property/lexeme-valued claims → record links
     val thing = when(isVal && dt === "wikibase-item",
       thingCol(lit("Entity"), refNum))
       .when(isVal && dt === "wikibase-property", thingCol(lit("Property"), refNum))
       .when(isVal && dt === "wikibase-lexeme", thingCol(lit("Lexeme"), refNum))
-
-    val qt = from_json(raw, quantitySchema)
-    val mono = from_json(raw, monoTextSchema)
-    val tm = from_json(raw, timeSchema)
-    val co = from_json(raw, coordSchema)
 
     def strBranch(datatype: String): Column =
       when(isVal && dt === datatype, raw)
@@ -99,25 +94,25 @@ object Transform {
       strBranch("musical-notation").as("MusicNotation"),
       strBranch("tabular-data").as("TabularData"),
       when(isVal && dt === "monolingualtext",
-        struct(mono.getField("text").as("text"),
-          mono.getField("language").as("lang"))).as("MonolingualText"),
+        struct(pv.getField("text").as("text"),
+          pv.getField("language").as("lang"))).as("MonolingualText"),
       when(isVal && dt === "quantity", struct(
-        qt.getField("amount").cast(DoubleType).as("amount"),
-        qt.getField("lowerBound").cast(DoubleType).as("lower_bound"),
-        qt.getField("upperBound").cast(DoubleType).as("upper_bound"),
-        qt.getField("unit").as("unit"))).as("Quantity"),
+        pv.getField("amount").cast(DoubleType).as("amount"),
+        pv.getField("lowerBound").cast(DoubleType).as("lower_bound"),
+        pv.getField("upperBound").cast(DoubleType).as("upper_bound"),
+        pv.getField("unit").as("unit"))).as("Quantity"),
       when(isVal && dt === "time", struct(
-        tm.getField("time").as("date_time"),
-        tm.getField("precision").as("precision"))).as("DateTime"),
+        pv.getField("time").as("date_time"),
+        pv.getField("precision").cast(IntegerType).as("precision"))).as("DateTime"),
       when(isVal && dt === "globe-coordinate", struct(
-        co.getField("latitude").as("lat"),
-        co.getField("longitude").as("lon"),
-        co.getField("precision").as("precision"),
-        co.getField("globe").as("globe"))).as("GlobeCoordinate"),
+        pv.getField("latitude").as("lat"),
+        pv.getField("longitude").as("lon"),
+        pv.getField("precision").as("precision"),
+        pv.getField("globe").as("globe"))).as("GlobeCoordinate"),
       when(isVal && dt === "wikibase-form",
-        entityRef.getField("id")).as("Form"),
+        pv.getField("id")).as("Form"),
       when(isVal && dt === "wikibase-sense",
-        entityRef.getField("id")).as("Sense"),
+        pv.getField("id")).as("Sense"),
       when(st === "novalue", lit(true)).as("NoValue"),
       when(st === "somevalue", lit(true)).as("UnknownValue"))
 

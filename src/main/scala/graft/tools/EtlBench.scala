@@ -1,0 +1,77 @@
+package graft.tools
+
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.SparkSession
+import graft.ingest.Load
+
+/** ETL throughput benchmark against the reference's headline number:
+  * ~568 entities/s for the full-dump load (BASELINE.md — 112.5 M
+  * entities in ~55 h on 4 cores).
+  *
+  * {{{ runMain graft.tools.EtlBench [nEntities] [outJson|outBz2] }}}
+  *
+  * Generates a deterministic synthetic dump shaped like the real one
+  * (bare entity lines inside a top-level array, trailing commas,
+  * multi-datatype claims, qualifiers, multi-language labels), then
+  * times the full pipeline: text scan → parse → normalize →
+  * tb-partitioned parquet write. Prints one JSON line.
+  */
+object EtlBench {
+
+  def writeDump(path: String, n: Int): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(path), StandardCharsets.UTF_8), 1 << 20)
+    w.write("[\n")
+    var i = 0
+    while (i < n) {
+      val qid = 1000000 + i
+      val kind = i % 20 // 1 property page per 20 items
+      val sb = new StringBuilder(1024)
+      if (kind == 19) {
+        sb.append(s"""{"type":"property","id":"P${i / 20 + 100}","labels":{"en":{"language":"en","value":"prop ${i / 20}"},"de":{"language":"de","value":"eigenschaft ${i / 20}"}},"descriptions":{"en":{"language":"en","value":"synthetic property"}},"claims":{}}""")
+      } else {
+        sb.append(s"""{"type":"item","id":"Q$qid","labels":{"en":{"language":"en","value":"item $i"},"ja":{"language":"ja","value":"アイテム$i"},"de":{"language":"de","value":"artikel $i"}},"descriptions":{"en":{"language":"en","value":"synthetic item $i"}},"claims":{""")
+        sb.append(s""""P31":[{"mainsnak":{"snaktype":"value","property":"P31","datavalue":{"value":{"entity-type":"item","numeric-id":${qid % 9973},"id":"Q${qid % 9973}"},"type":"wikibase-entityid"},"datatype":"wikibase-item"},"type":"statement","rank":"normal"}],""")
+        sb.append(s""""P1113":[{"mainsnak":{"snaktype":"value","property":"P1113","datavalue":{"value":{"amount":"+${i % 500}","unit":"1"},"type":"quantity"},"datatype":"quantity"},"type":"statement","qualifiers":{"P1545":[{"snaktype":"value","property":"P1545","datavalue":{"value":"${i % 50}","type":"string"},"datatype":"string"}]},"rank":"normal"}],""")
+        sb.append(s""""P1476":[{"mainsnak":{"snaktype":"value","property":"P1476","datavalue":{"value":{"text":"title $i","language":"en"},"type":"monolingualtext"},"datatype":"monolingualtext"},"type":"statement","rank":"normal"}],""")
+        sb.append(s""""P856":[{"mainsnak":{"snaktype":"value","property":"P856","datavalue":{"value":"https://example.org/$i","type":"string"},"datatype":"url"},"type":"statement","rank":"normal"}],""")
+        sb.append(s""""P580":[{"mainsnak":{"snaktype":"value","property":"P580","datavalue":{"value":{"time":"+20${10 + i % 15}-01-01T00:00:00Z","timezone":0,"before":0,"after":0,"precision":11,"calendarmodel":"http://www.wikidata.org/entity/Q1985727"},"type":"time"},"datatype":"time"},"type":"statement","rank":"normal"}]""")
+        sb.append("}}")
+      }
+      w.write(sb.toString)
+      if (i < n - 1) w.write(",")
+      w.write("\n")
+      i += 1
+    }
+    w.write("]\n")
+    w.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 200000
+    val dump = if (args.length > 1) args(1) else "/tmp/etl_bench_dump.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tGen0 = System.nanoTime()
+    writeDump(dump, n)
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+
+    val outDir = "/tmp/etl_bench_out"
+    val t0 = System.nanoTime()
+    val t = Load.run(spark, dump, outDir, format = "json", lang = "en")
+    val entities = t.entities.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val eps = entities / sec
+    println(s"""{"metric":"etl_throughput","value":$eps,"unit":"entities_per_sec","entities":$entities,"load_sec":$sec,"gen_sec":$genSec,"baseline_eps":568,"speedup_vs_baseline":${eps / 568.0}}""")
+    spark.stop()
+  }
+}
