@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.{Relational, Temporal}
+import graft.queries.{Extended, Relational, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Temporal.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      TextFunctions.queries
+    Relational.queries ++ Extended.queries ++ Temporal.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ TextFunctions.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Temporal.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      TextFunctions.oracle
+    Relational.oracle ++ Extended.oracle ++ Temporal.oracle ++
+      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Multimodal.oracle ++ TextFunctions.oracle
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Extended relational coverage beyond the reference's surface
+  * (SURVEY §2.C families, exercised fully): grouping-set variants,
+  * window offset/rank functions, percentiles, pivot, outer joins,
+  * subquery forms, null handling, and the SQL-string surface
+  * (spark.sql over registered views — proving both entry points share
+  * one Catalyst plan space). */
+object Extended {
+
+  private def round(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    org.apache.spark.sql.functions.round(c * p) / p
+  }
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** CUBE over (returnflag, linestatus). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Explicit GROUPING SETS via the SQL surface. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""")
+  }
+
+  /** Window offsets: lag/lead of order price within customer. */
+  def qLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir)("orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+      round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+  }
+
+  /** Ranking family: rank / dense_rank / percent_rank. */
+  def qRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir)("lineitem").select(
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      round(percent_rank().over(w), 6).as("prnk"))
+  }
+
+  /** First/last value over a bounded frame. */
+  def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir)("orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_order"),
+      last(col("o_orderkey")).over(w).as("last_order"))
+  }
+
+  /** Exact percentiles (continuous interpolation). */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders").groupBy(col("o_orderstatus")).agg(
+      round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+      round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+
+  /** Pivot: status → columns (oracle: conditional aggregation). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders").groupBy(col("o_custkey"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_custkey"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_finished"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  /** Right outer join (parts never ordered keep nulls → flagged). */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem").groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val p = t(s, dir)("part")
+    li.join(p, li("l_partkey") === p("p_partkey"), "right_outer")
+      .select(col("p_partkey"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+  }
+
+  /** Full outer join over two aggregates. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val byCust = t(s, dir)("orders").filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_open"))
+    val byCust2 = t(s, dir)("orders").filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_fin"))
+    byCust.join(byCust2, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("n_fin"), lit(0L)).as("n_fin"))
+  }
+
+  /** Cross join (constant-size dims only — the planner must see it's
+    * a 5×25 product, not an accidental blow-up). */
+  def qCrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("region").crossJoin(t(s, dir)("nation"))
+      .select(col("r_name"), col("n_name"))
+
+  /** IN / NOT IN subqueries via the SQL surface. */
+  def qInSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_custkey FROM customer
+             WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""")
+  }
+
+  /** Correlated scalar subquery via the SQL surface. */
+  def qCorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT o_orderkey,
+                    round((SELECT sum(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey)*1e2)/1e2 AS total_qty
+             FROM orders WHERE o_orderkey < 1000""")
+  }
+
+  /** UNION ALL + INTERSECT. */
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .unionAll(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+  }
+
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+  }
+
+  /** Null-handling scalar family: coalesce / nullif / nvl2-style. */
+  def qNullFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer").select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+        .as("segment_or_other"),
+      when(col("c_acctbal") > 0, "pos").when(col("c_acctbal") < 0, "neg")
+        .otherwise("zero").as("bal_sign"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cube" -> (qCube _),
+    "x_grouping_sets" -> (qGroupingSets _),
+    "x_lag_lead" -> (qLagLead _),
+    "x_ranks" -> (qRanks _),
+    "x_first_last" -> (qFirstLast _),
+    "x_percentile" -> (qPercentile _),
+    "x_pivot" -> (qPivot _),
+    "x_outer_join" -> (qOuterJoin _),
+    "x_full_outer" -> (qFullOuter _),
+    "x_cross_join" -> (qCrossJoin _),
+    "x_in_subquery" -> (qInSubquery _),
+    "x_correlated_subquery" -> (qCorrelatedSubquery _),
+    "x_union_all" -> (qUnionAll _),
+    "x_intersect" -> (qIntersect _),
+    "x_null_funcs" -> (qNullFuncs _))
+
+  val oracle: Map[String, String] = Map(
+    "x_cube" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    "x_grouping_sets" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())",
+    "x_lag_lead" ->
+      "SELECT o_custkey, o_orderkey, round((lag(o_totalprice, 1) OVER w)*1e2)/1e2 AS prev_price, round((lead(o_totalprice, 1) OVER w)*1e2)/1e2 AS next_price FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+    "x_ranks" ->
+      "SELECT l_returnflag, l_orderkey, l_linenumber, CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk, round((percent_rank() OVER w)*1e6)/1e6 AS prnk FROM lineitem WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)",
+    "x_first_last" ->
+      "SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_order, last_value(o_orderkey) OVER w AS last_order FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    "x_percentile" ->
+      "SELECT o_orderstatus, round((quantile_cont(o_totalprice, 0.5))*1e2)/1e2 AS p50, round((quantile_cont(o_totalprice, 0.9))*1e2)/1e2 AS p90 FROM orders GROUP BY o_orderstatus",
+    "x_pivot" ->
+      "SELECT o_custkey, count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open, count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending FROM orders GROUP BY o_custkey",
+    "x_outer_join" ->
+      "SELECT p_partkey, coalesce(n_lines, 0) AS n_lines FROM (SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey) li RIGHT JOIN part ON l_partkey = p_partkey",
+    "x_full_outer" ->
+      "SELECT coalesce(a.k, b.k) AS k, coalesce(n_open, 0) AS n_open, coalesce(n_fin, 0) AS n_fin FROM (SELECT o_custkey AS k, count(*) AS n_open FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) a FULL OUTER JOIN (SELECT o_custkey AS k, count(*) AS n_fin FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.k = b.k",
+    "x_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "x_in_subquery" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
+    "x_correlated_subquery" ->
+      "SELECT o_orderkey, round((SELECT sum(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey)*1e2)/1e2 AS total_qty FROM orders WHERE o_orderkey < 1000",
+    "x_union_all" ->
+      "SELECT o_custkey, count(*) AS n FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' UNION ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') GROUP BY o_custkey",
+    "x_intersect" ->
+      "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'",
+    "x_null_funcs" ->
+      "SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other, CASE WHEN c_acctbal > 0 THEN 'pos' WHEN c_acctbal < 0 THEN 'neg' ELSE 'zero' END AS bal_sign FROM customer")
+}
