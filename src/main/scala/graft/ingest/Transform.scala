@@ -156,7 +156,8 @@ object Transform {
   def normalize(raw: DataFrame, lang: String = "en"): DataFrame =
     raw.select(
       thingCol(idTable(col("id")), idNum(col("id"))).as("id"),
-      coalesce(element_at(col("labels"), lang).getField("value"), lit(""))
+      coalesce(element_at(col("labels"), lang).getField("value"),
+        element_at(col("lemmas"), lang).getField("value"), lit(""))
         .as("label"),
       coalesce(element_at(col("descriptions"), lang).getField("value"), lit(""))
         .as("description"),

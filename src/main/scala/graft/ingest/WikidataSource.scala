@@ -49,6 +49,7 @@ object WikidataSource {
     val bareStruct = struct(
       col("j.type").as("type"), col("j.id").as("id"),
       col("j.datatype").as("datatype"), col("j.labels").as("labels"),
+      col("j.lemmas").as("lemmas"),
       col("j.descriptions").as("descriptions"), col("j.claims").as("claims"))
     raw
       .select(explode(

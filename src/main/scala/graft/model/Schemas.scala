@@ -50,12 +50,15 @@ object Schemas {
     StructField("qualifiers", MapType(StringType, ArrayType(snak))),
     StructField("rank", StringType)))
 
-  /** A bare dump line: one entity object. */
+  /** A bare dump line: one entity object. Lexeme lines carry `lemmas`
+    * where items/properties carry `labels` — the transform coalesces
+    * them for the label projection. */
   val rawEntity: StructType = StructType(Seq(
     StructField("type", StringType), // item | property | lexeme
     StructField("id", StringType),   // "Q42" | "P31" | "L99"
     StructField("datatype", StringType), // property pages only
     StructField("labels", MapType(StringType, langValue)),
+    StructField("lemmas", MapType(StringType, langValue)), // lexemes
     StructField("descriptions", MapType(StringType, langValue)),
     StructField("claims", MapType(StringType, ArrayType(statement)))))
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Relational
+
+/** Physical-plan audits: the 100-TB design assertions, checked
+  * programmatically so a regression in plan shape fails CI, not a
+  * cluster bill. Each test pins the property that makes the operator
+  * survive a 100× scale-up:
+  *   - filters/projections must reach the parquet scan (pushdown,
+  *     nested/column pruning);
+  *   - dimension joins must broadcast (no shuffle of the fact side);
+  *   - aggregations must have a map-side partial phase;
+  *   - global top-k must be TakeOrderedAndProject (no full sort);
+  *   - per-row operators must introduce no exchange at all.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("b3_filter: both predicates push into the parquet scan") {
+    val p = plan(Relational.b3Filter(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(o_orderstatus)") ||
+      p.contains("EqualTo(o_orderstatus,F)"), p)
+    // toString truncates the PushedFilters list — match the prefix
+    assert(p.contains("GreaterThan(o_total"), p)
+  }
+
+  test("b1_scan: column pruning reaches the scan (2 of 2 columns, none extra)") {
+    val p = plan(Relational.b1Scan(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("r_regionkey") && readSchema.contains("r_name"), p)
+  }
+
+  test("b4_link_join: dimension side broadcasts — no exchange of the fact side") {
+    val p = plan(Relational.b4LinkJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the fact (orders) side must NOT hit a shuffle exchange
+    assert(!p.contains("ShuffleExchange") || !p.contains("hashpartitioning(o_"), p)
+  }
+
+  test("q1_agg: two-phase aggregation (map-side partial before the exchange)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.qTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p)
+  }
+
+  test("per-row operators introduce no exchange: b2_project, text analysis") {
+    val p1 = plan(Relational.b2Project(spark, sf))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = plan(graft.operators.TextAnalysis.queries("t_fingerprint")(spark, sf))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
+  test("b2_project stays inside whole-stage codegen") {
+    // "*(n)" prefixes mark whole-stage-codegen'd operators
+    val p = plan(Relational.b2Project(spark, sf))
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("wikidata traversal (B4): claims join broadcasts at fixture scale") {
+    val t = graft.ingest.Load.run(spark,
+      "/root/reference/tests/data/Entity.json",
+      java.nio.file.Files.createTempDirectory("plan-audit").toString)
+    val traversed = graft.query.Paths.withClaims(t.entities, t.claims)
+      .filter(col("label") === "Black Clover, season 1")
+    val p = plan(traversed)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("anti-join delete (B14) compiles to a single join, no cartesian") {
+    val p = plan(Relational.b14Delete(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+}
