@@ -99,11 +99,40 @@ object Similarity {
         (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ `threshold`. Discovery via multi-table SRP-LSH buckets
+    * (same-bucket-in-any-table candidates — at 100 TB this replaces
+    * the quadratic all-pairs product), exact cosine verification on
+    * candidates. High thresholds (≥0.9 ≈ <26° angle) give the banding
+    * near-total recall with few tables. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double,
+                        bits: Int = 4, tables: Int = 16): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    graft.functions.HashExpressions.registerSrp(embeddings.sparkSession, bits, tables)
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col("embedding"), bits, t)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (round(col("sim") * 1e4) / 1e4).as("sim"))
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
-    "s_lsh_ann" -> ((s, dir) => lshCosineTopK(emb(s, dir), 10, 5)))
+    "s_lsh_ann" -> ((s, dir) => lshCosineTopK(emb(s, dir), 10, 5)),
+    // 0.4: the tail of this corpus's cosine distribution (max pairwise
+    // ≈ 0.5 — the generator plants no true embedding duplicates)
+    "s_embed_neardup" -> ((s, dir) => embeddingNearDups(emb(s, dir), 0.4)))
 
   // DuckDB-side double fold, bit-identical to the Spark expressions.
   private val dotSql =

@@ -147,7 +147,17 @@ object Extended {
       when(col("c_acctbal") > 0, "pos").when(col("c_acctbal") < 0, "neg")
         .otherwise("zero").as("bal_sign"))
 
+  /** Sketch aggregates: HLL++ distinct count + quantile sketch. No
+    * DuckDB oracle (different sketch algorithms give different
+    * estimates by design) — OperatorsSpec pins them within tolerance
+    * of the exact values. */
+  def qApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      round(expr("approx_percentile(l_extendedprice, 0.5)"), 2).as("approx_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_approx" -> (qApprox _),
     "x_cube" -> (qCube _),
     "x_grouping_sets" -> (qGroupingSets _),
     "x_lag_lead" -> (qLagLead _),

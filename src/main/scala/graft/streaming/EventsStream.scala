@@ -79,6 +79,15 @@ object EventsStream {
       }.toDF()
   }
 
+  /** Streaming dedup: drop repeat (user_id, event_type) observations
+    * within the watermark horizon — state is bounded by the watermark
+    * (Spark purges keys older than it), which is what makes streaming
+    * dedup viable on an unbounded stream. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Drive a streaming query synchronously from a batch parquet dir
     * (memory sink) — the local smoke path; swap `readStream` source +
     * `writeStream` sink for kafka/delta in deployment. */

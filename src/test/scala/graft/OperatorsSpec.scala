@@ -166,6 +166,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batchClosed)
   }
 
+  test("embedding near-dup: no false positives, recall >= 0.8 of brute force") {
+    // max pairwise cosine in this corpus ≈ 0.5 — threshold 0.4 hits
+    // the tail; at that angle (≈66°) 16-table/4-bit SRP recall is ~0.94
+    val got = Similarity.embeddingNearDups(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // iterate Seqs: a for-comprehension over a Map yielding (a, b)
+    // would collapse to one pair per left id
+    val brute = (for {
+      (a, va) <- vecs.toSeq; (b, vb) <- vecs.toSeq
+      if a < b && cos(va, vb) >= 0.4
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty)
+    assert(got.subsetOf(brute), s"false positives: ${got -- brute}")
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall of ${brute.size} pairs")
+  }
+
+  test("approx aggregates within tolerance of exact") {
+    val approx = graft.queries.Extended.qApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (n, p50)) =>
+      val (an, ap) = approx(k)
+      assert(math.abs(an - n).toDouble / n < 0.05, s"$k distinct: $an vs $n")
+      assert(math.abs(ap - p50) / p50 < 0.05, s"$k p50: $ap vs $p50")
+    }
+  }
+
+  test("streaming dedup: bounded-state dropDuplicatesWithinWatermark") {
+    val events = Tables.load(spark, sf, "events")
+    val schema = events.schema
+    val stream = spark.readStream.schema(
+        spark.read.parquet(s"$sf/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventsStream.dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream").count()
+    val distinctKeys = events.select(col("user_id"), col("event_type"))
+      .distinct().count()
+    // single batch → one survivor per key
+    assert(got === distinctKeys)
+  }
+
   test("streaming sessionization: sessions split on 30-min gaps") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
