@@ -153,8 +153,9 @@ object Transform {
     * `entityMini` / `claimsRows` below. `lang` is the WIKIDATA_LANG
     * projection (reference `tables.rs:9-15`, default "" when the
     * translation is missing). */
-  def normalize(raw: DataFrame, lang: String = "en"): DataFrame =
-    raw.select(
+  def normalize(raw: DataFrame, lang: String = "en",
+                keepAllLanguages: Boolean = false): DataFrame = {
+    val base = Seq(
       thingCol(idTable(col("id")), idNum(col("id"))).as("id"),
       coalesce(element_at(col("labels"), lang).getField("value"),
         element_at(col("lemmas"), lang).getField("value"), lit(""))
@@ -162,6 +163,17 @@ object Transform {
       coalesce(element_at(col("descriptions"), lang).getField("value"), lit(""))
         .as("description"),
       flattenClaims(col("claims")).as("claims_arr"))
+    // SURVEY §7.4: the reference DROPS all non-WIKIDATA_LANG
+    // translations (parity default); the full maps stay available
+    // behind this flag for pipelines that need them
+    val extra = if (keepAllLanguages) Seq(
+      transform_values(coalesce(col("labels"), col("lemmas")),
+        (_, v) => v.getField("value")).as("labels_all"),
+      transform_values(col("descriptions"),
+        (_, v) => v.getField("value")).as("descriptions_all"))
+    else Seq.empty
+    raw.select(base ++ extra: _*)
+  }
 
   /** The EntityMini side: id, label, claims FK, description. The FK
     * carries ("Claims", owner-num); the owner table lives in id.tb —

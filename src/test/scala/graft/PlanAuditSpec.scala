@@ -93,4 +93,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("Cartesian"), p)
   }
+
+  test("bucketed tables sort-merge join with NO shuffle exchange (co-location)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    graft.sources.Tables.load(spark, sf, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    graft.sources.Tables.load(spark, sf, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b").join(spark.table("li_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+    }
+  }
+
+  test("GraftExtensions applies cleanly (function injection smoke)") {
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("multi-language projection behind keepAllLanguages flag") {
+    val raw = graft.ingest.WikidataSource.read(spark,
+      "/root/reference/tests/data/Entity.json")
+    val n = graft.ingest.Transform.normalize(raw, "en", keepAllLanguages = true)
+    val row = n.filter(col("id.id") === 70331950L)
+      .select(element_at(col("labels_all"), "ja")).collect()(0)
+    assert(row.getString(0) === "ブラッククローバー")
+    // parity default drops the maps
+    val n2 = graft.ingest.Transform.normalize(raw, "en")
+    assert(!n2.columns.contains("labels_all"))
+  }
 }
