@@ -32,7 +32,13 @@ object WikidataSource {
   def readRaw(spark: SparkSession, path: String, format: String = "json"): DataFrame = {
     require(formats.contains(format),
       s"unknown WIKIDATA_FILE_FORMAT '$format' (expected one of $formats)")
-    val lines = spark.read.text(path)
+    fromLines(spark.read.text(path))
+  }
+
+  /** Line cleanup + parse over ANY lines DataFrame — batch or
+    * streaming (`spark.readStream.text`): every step is per-row, so
+    * the same pipeline runs unchanged under Structured Streaming. */
+  def fromLines(lines: DataFrame): DataFrame = {
     // A5 line cleanup: strip whitespace + trailing comma; `[`/`]` lines
     // then parse to all-null structs and fall out with the bad records.
     val cleaned = lines

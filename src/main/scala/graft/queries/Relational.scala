@@ -89,7 +89,7 @@ object Relational {
     t(s, dir)("lineitem")
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_list(col("l_partkey"))).as("parts"))
-      .select(col("l_orderkey"), element_at(col("parts"), 1).as("first_part"))
+      .select(col("l_orderkey"), try_element_at(col("parts"), lit(1)).as("first_part"))
 
   /** B7 nested field extraction through a dynamic payload (the events
     * table's JSON props stands in for the claim-value union). */

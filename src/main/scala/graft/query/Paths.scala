@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *     for selective entity subsets;
   *   - `claims[WHERE id = Property:N]` = higher-order `filter` over
   *     the in-row array (B5) — no explode, no shuffle;
-  *   - `[0]` = null-safe `element_at(arr, 1)` (B6), NONE → null;
+  *   - `[0]` = null-safe `try_element_at(arr, 1)` (B6), NONE → null under ANSI;
   *   - `.value.ClaimValueData.Quantity.amount` = struct field chain on
   *     the union schema (B7), missing branch → null, exactly
   *     SurrealQL's NONE propagation.
@@ -49,7 +49,7 @@ object Paths {
 
   /** `(claims[WHERE id = Property:pid].value...amount)[0]` (B6). */
   def quantityAmount(arr: Column, pid: Long): Column =
-    element_at(quantityAmounts(arr, pid), 1)
+    try_element_at(quantityAmounts(arr, pid), lit(1))
 
   /** `claims[WHERE id = Property:pid].value.Thing` — record links. */
   def things(arr: Column, pid: Long): Column =
@@ -58,7 +58,7 @@ object Paths {
 
   /** `(claims[WHERE ...].value.Thing)[0]`. */
   def thing(arr: Column, pid: Long): Column =
-    element_at(things(arr, pid), 1)
+    try_element_at(things(arr, pid), lit(1))
 
   /** B11: `claims[WHERE id = Property:pid].value.Thing == []` — true
     * iff the entity has NO claim for `pid` at all (an existing claim
