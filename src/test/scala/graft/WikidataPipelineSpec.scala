@@ -176,6 +176,22 @@ class WikidataPipelineSpec extends AnyFunSuite {
     assert(parent.getString(0) === "Entity" && parent.getLong(1) === 70331950L)
   }
 
+  test("flagship in PURE SQL: the SurrealQL paths are expressible on the SQL surface") {
+    entityTables.entities.createOrReplaceTempView("wd_entities")
+    entityTables.claims.createOrReplaceTempView("wd_claims")
+    val episodes = spark.sql(
+      """SELECT try_element_at(
+        |         transform(
+        |           filter(c.claims, x -> x.id.tb = 'Property' AND x.id.id = 1113),
+        |           x -> x.value.ClaimValueData.Quantity.amount),
+        |         1) AS episodes
+        |FROM wd_entities e
+        |JOIN wd_claims c ON e.claims.id = c.id.id AND e.id.tb = c.src_tb
+        |WHERE e.label = 'Black Clover, season 1'""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(episodes === 51.0)
+  }
+
   test("B14: delete by id-set co-deletes claims rows") {
     val out = Ops.deleteIds(entityTables,
       entityTables.entities.filter(col("label") === "Banana Fish")
