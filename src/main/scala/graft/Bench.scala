@@ -32,7 +32,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ETL throughput vs BASELINE.md's headline 568 entities/s (the
+    // reference's only published number): 50k-entity synthetic dump
+    // through the full load pipeline
+    val etlEps = try {
+      val dump = "/tmp/graft_bench_dump.json"
+      graft.tools.EtlBench.writeDump(dump, 50000)
+      val t0 = System.nanoTime()
+      val t = graft.ingest.Load.run(spark, dump, "/tmp/graft_bench_etl")
+      val n = t.entities.count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":$etlEps,"etl_baseline_eps":568}""")
     spark.stop()
   }
 }

@@ -99,6 +99,51 @@ object Similarity {
         (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
   }
 
+  /** IVF-style ANN: coarse quantization + probed search. Vectors are
+    * assigned to their nearest of `nCells` centroid cells (here:
+    * deterministic seed centroids — the first nCells vectors; a real
+    * deployment k-means-refines them, the plumbing is identical);
+    * queries probe their `nProbe` nearest cells and rerank exactly.
+    * At 100 TB the corpus is WRITTEN partitioned by cell, so a query
+    * touches nProbe/nCells of the data — this is the standard
+    * IVF-Flat layout on parquet. */
+  def ivfCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val centroids = broadcast(embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("ce")))
+
+    // assign: nearest centroid per vector (map-side, centroid bcast)
+    val assigned = embeddings.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("ce")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // queries probe their nProbe nearest cells
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .crossJoin(centroids)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
+        cosine(col("embedding"), col("ce")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"),
+        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ `threshold`. Discovery via multi-table SRP-LSH buckets
     * (same-bucket-in-any-table candidates — at 100 TB this replaces
@@ -113,12 +158,17 @@ object Similarity {
       posexplode(array((0 until tables).map(t =>
         srpBucket(col("embedding"), bits, t)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    // dedupe on the narrow pair key; vectors join back after (the
+    // distinct must not carry the float arrays through its shuffle)
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+      .join(embeddings.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea")), "id_a")
+      .join(embeddings.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb")), "id_b")
     cand.select(col("id_a"), col("id_b"), cosine(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -132,7 +182,8 @@ object Similarity {
     "s_lsh_ann" -> ((s, dir) => lshCosineTopK(emb(s, dir), 10, 5)),
     // 0.4: the tail of this corpus's cosine distribution (max pairwise
     // ≈ 0.5 — the generator plants no true embedding duplicates)
-    "s_embed_neardup" -> ((s, dir) => embeddingNearDups(emb(s, dir), 0.4)))
+    "s_embed_neardup" -> ((s, dir) => embeddingNearDups(emb(s, dir), 0.4)),
+    "s_ivf_ann" -> ((s, dir) => ivfCosineTopK(emb(s, dir), 10, 5)))
 
   // DuckDB-side double fold, bit-identical to the Spark expressions.
   private val dotSql =

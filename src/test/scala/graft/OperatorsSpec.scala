@@ -95,6 +95,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= recallSingle, s"multi=$recall single=$recallSingle")
   }
 
+  test("IVF-ANN: no false candidates, recall well above random probing") {
+    val exact = Similarity.cosineTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(emb, 10, 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // probing 4/16 cells of near-random vectors scans ~25% of the
+    // corpus; requiring 35% recall shows cell-locality beats random
+    assert(recall >= 0.35, s"recall=$recall")
+  }
+
   test("cosineTopK is exact: matches driver-side brute force") {
     val got = Similarity.cosineTopK(emb, 3, 3).collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
