@@ -48,6 +48,31 @@ object Temporal {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Bucketed range join — the scale path for the same semantics as
+    * [[rangePairs]]. Each event lands in a 5-minute time bucket; a
+    * pair within 5 minutes is in the same or adjacent buckets, so the
+    * join key becomes (user_id, bucket) with the left side exploded
+    * to (bucket, bucket+1) — bounding per-task fan-out to two buckets
+    * regardless of how long a user's history is. The range predicate
+    * then filters exactly. Oracle: identical output to the naive
+    * formulation. */
+  def rangePairsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val bucketSec = 300L
+    val ev = events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), (unix_timestamp(col("ts")) / bucketSec).cast("long").as("bk"))
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"),
+        explode(array(col("bk"), col("bk") + 1)).as("bk"))
+    val b = ev.select(col("user_id"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"), col("bk"))
+    // no distinct needed: b carries ONE bucket, so each qualifying
+    // pair matches in exactly one of the left's two exploded buckets
+    a.join(b, Seq("user_id", "bk"))
+      .filter(col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** Tumbling 1-hour window aggregation (the streaming twin groups by
     * the same window with a watermark). */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame =
@@ -62,12 +87,15 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofPurchaseSignup _),
     "q_range_join" -> (rangePairs _),
+    "q_range_join_bucketed" -> (rangePairsBucketed _),
     "q_stream_window" -> (hourlyRollup _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts >= l.ts",
     "q_range_join" ->
+      "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
+    "q_range_join_bucketed" ->
       "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
     "q_stream_window" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, count(*) AS n, round((sum(value))*1e2)/1e2 AS total_value FROM events GROUP BY 1, 2")
