@@ -35,38 +35,61 @@ object AsOfJoin {
     * @param rightTs    reference timestamp column name
     * @param rightCols  reference columns to carry (renamed as given:
     *                   (srcName, outName))
+    * @param forward    false (default): greatest right ts ≤ left ts;
+    *                   true: smallest right ts ≥ left ts
+    * @param toleranceMs optional max |left ts − right ts| in millis;
+    *                   matches farther away become null
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightCols: Seq[(String, String)]): DataFrame = {
+           rightCols: Seq[(String, String)],
+           forward: Boolean = false,
+           toleranceMs: Option[Long] = None): DataFrame = {
     val keyCols = keys.map(col)
-    val payload = struct(rightCols.map { case (src, out) =>
-      col(src).as(out) }: _*)
+    // carry the reference ts alongside the payload for the tolerance
+    val payload = struct((rightCols.map { case (src, out) =>
+      col(src).as(out) } :+ col(rightTs).cast("timestamp").as("_rts")): _*)
+
+    // forward as-of = backward as-of on negated time
+    def dir(ts: Column): Column =
+      if (forward) -unix_micros(ts.cast("timestamp"))
+      else unix_micros(ts.cast("timestamp"))
 
     val l = left.select(
-      keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+      keyCols ++ Seq(col(leftTs).cast("timestamp").as("_lts"),
+        dir(col(leftTs)).as("_ord"), lit(1).as("_side"),
         struct(left.columns.map(col): _*).as("_l"),
-        lit(null).cast(payloadType(right, rightCols)).as("_r")): _*)
+        lit(null).cast(payloadType(right, rightCols, rightTs)).as("_r")): _*)
     val r = right.select(
-      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
+      keyCols ++ Seq(col(rightTs).cast("timestamp").as("_lts"),
+        dir(col(rightTs)).as("_ord"), lit(0).as("_side"),
         lit(null).cast(structType(left)).as("_l"),
         payload.as("_r")): _*)
 
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ord"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(col("_l.*") +: rightCols.map { case (_, out) =>
-        col(s"_match.$out").as(out) }: _*)
+    val withinTol = toleranceMs match {
+      case None => matched
+      case Some(ms) => matched.withColumn("_match",
+        when(abs(unix_micros(col("_lts")) -
+          unix_micros(col("_match._rts"))) <= ms * 1000L, col("_match")))
+    }
+    withinTol.select(col("_l.*") +: rightCols.map { case (_, out) =>
+      col(s"_match.$out").as(out) }: _*)
   }
 
   private def structType(df: DataFrame) =
     org.apache.spark.sql.types.StructType(df.schema.fields)
 
-  private def payloadType(df: DataFrame, cols: Seq[(String, String)]) =
-    org.apache.spark.sql.types.StructType(cols.map { case (src, out) =>
-      df.schema(src).copy(name = out) })
+  private def payloadType(df: DataFrame, cols: Seq[(String, String)],
+                          rightTs: String) =
+    org.apache.spark.sql.types.StructType(
+      cols.map { case (src, out) => df.schema(src).copy(name = out) } :+
+        org.apache.spark.sql.types.StructField("_rts",
+          org.apache.spark.sql.types.TimestampType))
 }

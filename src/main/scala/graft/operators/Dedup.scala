@@ -154,7 +154,25 @@ object Dedup {
 
   // ------------------------------------------------------- queries //
 
+  /** The composed corpus-cleaning pipeline: quality gate →
+    * normalized exact dedup → surviving doc ids. Each stage is an
+    * operator above; this is the end-to-end shape a training-data
+    * pipeline runs (minhash near-dup removal chains after it via
+    * [[minhashPairs]] — kept out of this query so the whole pipeline
+    * stays SQL-oracle-checkable). */
+  def cleanCorpus(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val meanLen = (length(col("text")) - size(toks) + 1).cast("double") /
+      size(toks).cast("double")
+    val quality = df.filter(size(toks) >= 10 &&
+      meanLen >= 2.0 && meanLen <= 12.0)
+    quality.groupBy(md5(normalized(col("text")).cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_clean_corpus" -> ((s, dir) => cleanCorpus(docs(s, dir))),
     "d_exact" -> ((s, dir) => exact(docs(s, dir), col("text"))),
     "d_exact_norm" -> ((s, dir) =>
       exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
@@ -164,6 +182,8 @@ object Dedup {
     "d_simhash" -> ((s, dir) => simhashPairs(docs(s, dir))))
 
   val oracle: Map[String, String] = Map(
+    "p_clean_corpus" ->
+      """SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0) GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""",
     "d_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "d_exact_norm" ->

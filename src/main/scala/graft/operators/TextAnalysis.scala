@@ -88,7 +88,18 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Inverted index: token → sorted posting list — the search-index
+    * foundation the B17 analyzer feeds. One explode + one groupBy;
+    * at scale the postings table is what you bucket by token. */
+  def invertedIndex(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(lower(text), " ")).as("token"), col("doc_id"))
+      .groupBy(col("token"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
+        countDistinct(col("doc_id")).as("df"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_inverted_index" -> ((s, dir) =>
+      invertedIndex(docs(s, dir), col("text"))),
     "t_langid" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), enScore(col("text")).as("en_score"),
       predictedLang(col("text")).as("pred_lang"))),
@@ -100,6 +111,8 @@ object TextAnalysis {
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "t_inverted_index" ->
+      "SELECT token, list_sort(list(DISTINCT doc_id)) AS postings, count(DISTINCT doc_id) AS df FROM (SELECT unnest(string_split(lower(text), ' ')) AS token, doc_id FROM documents) GROUP BY token",
     "t_langid" ->
       s"""SELECT doc_id, round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 AS en_score, CASE WHEN round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM documents""",
     "t_quality" ->

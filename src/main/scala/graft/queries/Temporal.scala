@@ -48,6 +48,20 @@ object Temporal {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Forward as-of: each purchase matched to the user's NEXT signup
+    * at-or-after it (direction flag on the same operator). */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asOf(purchases, signups,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("event_id" -> "signup_id"), forward = true)
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
   /** Bucketed range join — the scale path for the same semantics as
     * [[rangePairs]]. Each event lands in a 5-minute time bucket; a
     * pair within 5 minutes is in the same or adjacent buckets, so the
@@ -86,6 +100,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofPurchaseSignup _),
+    "q_asof_forward" -> (asofForward _),
     "q_range_join" -> (rangePairs _),
     "q_range_join_bucketed" -> (rangePairsBucketed _),
     "q_stream_window" -> (hourlyRollup _))
@@ -93,6 +108,8 @@ object Temporal {
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts >= l.ts",
+    "q_asof_forward" ->
+      "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts <= l.ts",
     "q_range_join" ->
       "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
     "q_range_join_bucketed" ->

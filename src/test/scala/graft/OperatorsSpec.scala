@@ -144,6 +144,25 @@ class OperatorsSpec extends AnyFunSuite {
     // p1@10 matches rid100@10 (inclusive >=); p2@20 matches rid101@15;
     // p3@5 has no signup at-or-before → null
     assert(out === Map("p1" -> 100L, "p2" -> 101L, "p3" -> -1L))
+
+    // forward direction: smallest right ts >= left ts
+    val fwd = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+        Seq("rid" -> "matched"), forward = true)
+      .select("name", "matched").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // p1@10 → rid100@10 (inclusive); p2@20 → none after; p3@5 → rid102@6
+    assert(fwd === Map("p1" -> 100L, "p2" -> -1L, "p3" -> 102L))
+
+    // tolerance: backward match farther than 3s becomes null
+    // (long ts are cast to epoch seconds)
+    val tol = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts",
+        Seq("rid" -> "matched"), toleranceMs = Some(3000L))
+      .select("name", "matched").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // p2@20 matched rid101@15 — 5s away > 3s tolerance → null
+    assert(tol === Map("p1" -> 100L, "p2" -> -1L, "p3" -> -1L))
   }
 
   test("multimodal decode: deterministic, schema-true, payload-derived") {
