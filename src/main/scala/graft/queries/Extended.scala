@@ -156,7 +156,48 @@ object Extended {
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       round(expr("approx_percentile(l_extendedprice, 0.5)"), 2).as("approx_p50"))
 
+  /** TPC-H Q5 shape: 6-way join (region→nation→customer→orders→
+    * lineitem→supplier) with filters. Catalyst orders the joins and
+    * broadcasts the constant-size dims (region/nation) and the
+    * mid-size dims under AQE — the fact table shuffles at most on its
+    * join keys. */
+  def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(t(s, dir)("region").filter(col("r_name") === "ASIA"))
+    val nation = broadcast(t(s, dir)("nation"))
+    val customer = t(s, dir)("customer")
+    val orders = t(s, dir)("orders").filter(col("o_orderstatus") =!= "P")
+    val lineitem = t(s, dir)("lineitem")
+    val supplier = t(s, dir)("supplier")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q10 shape: returned-item reporting — join + filter + agg +
+    * top-k by revenue. */
+  def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir)("orders")
+    val c = t(s, dir)("customer")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_tpch_q5" -> (qTpchQ5 _),
+    "x_tpch_q10" -> (qTpchQ10 _),
     "x_approx" -> (qApprox _),
     "x_cube" -> (qCube _),
     "x_grouping_sets" -> (qGroupingSets _),
@@ -175,6 +216,10 @@ object Extended {
     "x_null_funcs" -> (qNullFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "x_tpch_q5" ->
+      "SELECT n_name, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderstatus != 'P' GROUP BY n_name",
+    "x_tpch_q10" ->
+      "SELECT c_custkey, c_name, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20",
     "x_cube" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
     "x_grouping_sets" ->

@@ -20,8 +20,14 @@ import graft.ingest.Load
 object EtlBench {
 
   def writeDump(path: String, n: Int): Unit = {
+    val sink: java.io.OutputStream =
+      if (path.endsWith(".bz2")) {
+        val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+        codec.setConf(new org.apache.hadoop.conf.Configuration())
+        codec.createOutputStream(new FileOutputStream(path))
+      } else new FileOutputStream(path)
     val w = new BufferedWriter(new OutputStreamWriter(
-      new FileOutputStream(path), StandardCharsets.UTF_8), 1 << 20)
+      sink, StandardCharsets.UTF_8), 1 << 20)
     w.write("[\n")
     var i = 0
     while (i < n) {
@@ -58,6 +64,13 @@ object EtlBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bz2 is block-splittable: size splits so a small bench file
+      // still fans out the way an 80 GB dump would (128 MB default →
+      // one task for a 25 MB file = single-threaded decompress);
+      // uncompressed inputs keep the default (bigger splits, less
+      // per-task overhead)
+      .config("spark.sql.files.maxPartitionBytes",
+        if (args.length > 1 && args(1).endsWith(".bz2")) "4m" else "128m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -66,8 +79,9 @@ object EtlBench {
     val genSec = (System.nanoTime() - tGen0) / 1e9
 
     val outDir = "/tmp/etl_bench_out"
+    val fmt = if (dump.endsWith(".bz2")) "bz2" else "json"
     val t0 = System.nanoTime()
-    val t = Load.run(spark, dump, outDir, format = "json", lang = "en")
+    val t = Load.run(spark, dump, outDir, format = fmt, lang = "en")
     val entities = t.entities.count()
     val sec = (System.nanoTime() - t0) / 1e9
     val eps = entities / sec
