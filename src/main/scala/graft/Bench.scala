@@ -38,6 +38,9 @@ object Bench {
     val etlEps = try {
       val dump = "/tmp/graft_bench_dump.json"
       graft.tools.EtlBench.writeDump(dump, 50000)
+      // a 50 MB bench dump needs small splits to fan out like a real
+      // multi-GB dump would under the 128 MB default
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
       val t0 = System.nanoTime()
       val t = graft.ingest.Load.run(spark, dump, "/tmp/graft_bench_etl")
       val n = t.entities.count()

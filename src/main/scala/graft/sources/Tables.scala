@@ -19,7 +19,19 @@ object Tables {
     */
   val alwaysBroadcast: Set[String] = Set("region", "nation")
 
+  /** Plan-handle cache: repeated loads of the same table re-list
+    * files and re-read footers (a fresh InMemoryFileIndex per call) —
+    * measurable fixed cost across a 60-query run. DataFrames are
+    * immutable plan handles, safe to share within a session. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => loadFresh(spark, dir, name))
+
+  private def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read it as raw nanos (legacy long mode) and
