@@ -36,15 +36,8 @@ object Bench {
     // reference's only published number): 50k-entity synthetic dump
     // through the full load pipeline
     val etlEps = try {
-      val dump = "/tmp/graft_bench_dump.json"
-      graft.tools.EtlBench.writeDump(dump, 50000)
-      // a 50 MB bench dump needs small splits to fan out like a real
-      // multi-GB dump would under the 128 MB default
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
-      val t0 = System.nanoTime()
-      val t = graft.ingest.Load.run(spark, dump, "/tmp/graft_bench_etl")
-      val n = t.entities.count()
-      n / ((System.nanoTime() - t0) / 1e9)
+      graft.tools.EtlBench.timedLoad(spark, 50000,
+        "/tmp/graft_bench_dump.json", "/tmp/graft_bench_etl")
     } catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":$etlEps,"etl_baseline_eps":568}""")
     spark.stop()
