@@ -31,6 +31,11 @@ object Load {
   /** Pre-write filter over (entities, claims) — the BulkFilter hook. */
   final case class BulkFilter(
       f: (DataFrame, DataFrame) => (DataFrame, DataFrame)) extends LoadMode
+  /** BulkFilter from a LITERAL `filter.surql` script — the
+    * reference's FILTER_PATH workflow (`src/utils.rs:168-200`): the
+    * user's existing SurrealQL filter runs verbatim through
+    * [[graft.query.SurrealQL]] before the write. */
+  final case class BulkFilterScript(script: String) extends LoadMode
 
   final case class WikiTables(entities: DataFrame, claims: DataFrame)
 
@@ -49,6 +54,10 @@ object Load {
       case BulkFilter(f) =>
         val (e2, c2) = f(entities, claims)
         entities = e2; claims = c2
+      case BulkFilterScript(script) =>
+        val out = graft.query.SurrealQL.run(
+          WikiTables(entities, claims), script)
+        entities = out.tables.entities; claims = out.tables.claims
     }
 
     entities

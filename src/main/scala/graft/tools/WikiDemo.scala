@@ -7,11 +7,12 @@ import graft.query.{Ops, Paths}
 
 /** CLI driver for the Wikidata ETL + query surface:
   * {{{
-  *   runMain graft.tools.WikiDemo <dumpPath> <outDir> [lang] [format]
+  *   runMain graft.tools.WikiDemo <dumpPath> <outDir> [lang] [format] [filter.surql]
   * }}}
-  * Loads the dump into the four-table layout and prints the flagship
-  * "episodes" traversal over the result — the end-to-end slice of
-  * SURVEY §7.2 step 4.
+  * Loads the dump into the four-table layout — optionally through a
+  * LITERAL SurrealQL filter script (the reference's FILTER_PATH
+  * workflow) — and prints the flagship "episodes" traversal over the
+  * result: the end-to-end slice of SURVEY §7.2 step 4.
   */
 object WikiDemo {
   def main(args: Array[String]): Unit = {
@@ -19,6 +20,10 @@ object WikiDemo {
     val outDir = args(1)
     val lang = if (args.length > 2) args(2) else "en"
     val format = if (args.length > 3) args(3) else "json"
+    val mode: Load.LoadMode =
+      if (args.length > 4) Load.BulkFilterScript(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(4))))
+      else Load.Bulk
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -29,7 +34,8 @@ object WikiDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t = Load.run(spark, path, outDir, format = format, lang = lang)
+    val t = Load.run(spark, path, outDir, format = format, lang = lang,
+      mode = mode)
     println(s"entities=${t.entities.count()} claims_rows=${t.claims.count()}")
 
     val media = Ops.mediaView(t)

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths => JPaths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{Load, Transform, WikidataSource}
+import graft.query.SurrealQL
+
+/** The reference's LITERAL SurrealQL scripts — `test_filter.surql`
+  * read from disk and every query block of `Useful queries.md` — run
+  * verbatim through the interpreter against the Spark tables. This is
+  * the "a reference user could switch" proof. */
+class SurrealQLSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val fixtures = "/root/reference/tests/data"
+
+  lazy val tables: Load.WikiTables = {
+    val n = Transform.normalize(
+      WikidataSource.read(spark, s"$fixtures/Entity.json"), "en")
+    Load.WikiTables(Transform.entityMini(n), Transform.claimsRows(n))
+  }
+
+  test("test_filter.surql VERBATIM from the reference repo (3 survivors)") {
+    // mixed fixture: 3 real entities (all have P1113) + 2 without
+    val extra =
+      """{"entities":{"Q900000001":{"type":"item","id":"Q900000001","labels":{"en":{"language":"en","value":"no eps a"}},"claims":{}}}}
+        |{"entities":{"Q900000002":{"type":"item","id":"Q900000002","labels":{"en":{"language":"en","value":"no eps b"}},"claims":{}}}}""".stripMargin
+    val mixDir = Files.createTempDirectory("surql").toString
+    Files.writeString(JPaths.get(s"$mixDir/extra.json"), extra)
+    Files.copy(JPaths.get(s"$fixtures/Entity.json"),
+      JPaths.get(s"$mixDir/Entity.json"))
+    val n = Transform.normalize(WikidataSource.read(spark, mixDir), "en")
+    val mixed = Load.WikiTables(Transform.entityMini(n), Transform.claimsRows(n))
+    assert(mixed.entities.count() === 5)
+
+    val script = Files.readString(
+      JPaths.get(s"$fixtures/test_filter.surql"))
+    val out = SurrealQL.run(mixed, script)
+    assert(out.tables.entities.count() === 3) // ≡ integration.rs:73
+    assert(out.tables.claims.count() === 3)
+  }
+
+  test("Useful queries.md 'Get number of episodes' block verbatim (51.0 + update)") {
+    val script =
+      """let $number_of_episodes = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as number_of_episodes from Entity where label = "Black Clover, season 1")[0].number_of_episodes;
+        |
+        |return $number_of_episodes;
+        |
+        |update Entity SET number_of_episodes=$number_of_episodes where label = "Black Clover, season 1";""".stripMargin
+    val out = SurrealQL.run(tables, script)
+    assert(out.returned.get.collect()(0).getDouble(0) === 51.0)
+    val updated = out.tables.entities
+      .filter(col("number_of_episodes").isNotNull)
+    assert(updated.count() === 1)
+    assert(updated.select("label").collect()(0).getString(0) ===
+      "Black Clover, season 1")
+  }
+
+  test("Useful queries.md 'Get Parts' block verbatim") {
+    val script =
+      """let $parts = (select claims.claims[where id = Property:527].value.Thing as parts from Entity where label = "Black Clover")[0].parts;
+        |
+        |return $parts;""".stripMargin
+    val out = SurrealQL.run(tables, script)
+    val parts = out.returned.get.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // Q70331950 "Black Clover" has P527 (has part) item links
+    assert(parts.nonEmpty)
+    assert(parts.forall(r => r == null || r.getString(0) == "Entity"))
+  }
+
+  test("Useful queries.md Media view DDL verbatim (episodes/parent/children)") {
+    val script =
+      """DEFINE TABLE Media TYPE NORMAL AS
+        |SELECT
+        |*,
+        |# Number of episodes
+        |(claims.claims[WHERE id = Property:1113].value.ClaimValueData.Quantity.amount)[0] AS episodes,
+        |# Part of the series (parent)
+        |(claims.claims[WHERE id = Property:179].value.Thing)[0] AS parent,
+        |# Has part(s) (children)
+        |claims.claims[WHERE id = Property:527].value.Thing AS children
+        |FROM Entity;
+        |
+        |# Full-Text Search
+        |DEFINE ANALYZER OVERWRITE blank_english TOKENIZERS blank FILTERS lowercase, ascii, snowball(english);""".stripMargin
+    val out = SurrealQL.run(tables, script)
+    val media = out.views("Media")
+    val eps = media.select(col("id.id"), col("episodes")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(eps === Map(70331950L -> 170.0, 106589421L -> 24.0, 60746544L -> 51.0))
+    val parent = media.filter(col("id.id") === 60746544L)
+      .select("parent").collect()(0).getStruct(0)
+    assert(parent.getString(0) === "Entity" && parent.getLong(1) === 70331950L)
+  }
+
+  test("A13 end-to-end: Load.run with the user's literal filter.surql file") {
+    val extra =
+      """{"entities":{"Q900000003":{"type":"item","id":"Q900000003","labels":{"en":{"language":"en","value":"no eps c"}},"claims":{}}}}"""
+    val mixDir = Files.createTempDirectory("surql-load").toString
+    Files.writeString(JPaths.get(s"$mixDir/extra.json"), extra)
+    Files.copy(JPaths.get(s"$fixtures/Entity.json"),
+      JPaths.get(s"$mixDir/Entity.json"))
+    val out = Load.run(spark, mixDir,
+      Files.createTempDirectory("surql-sink").toString,
+      mode = Load.BulkFilterScript(
+        Files.readString(JPaths.get(s"$fixtures/test_filter.surql"))))
+    assert(out.entities.count() === 3)
+    assert(out.claims.count() === 3)
+  }
+
+  test("count(select * from Entity) form (integration.rs count checks)") {
+    val out = SurrealQL.run(tables, "return count(select * from Entity)")
+    assert(out.returned.get.collect()(0).getLong(0) === 3L)
+  }
+}
