@@ -44,8 +44,12 @@ object Load {
   def run(spark: SparkSession, path: String, outDir: String,
           format: String = "json", lang: String = "en",
           mode: LoadMode = Bulk): WikiTables = {
+    // persist: entities and claims are two write ACTIONS off one
+    // normalize — without this the full text scan + from_json parse
+    // (the dominant ETL cost) runs twice
     val normalized = Transform.normalize(
       WikidataSource.read(spark, path, format), lang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var entities = Transform.entityMini(normalized)
     var claims = Transform.claimsRows(normalized)
@@ -67,6 +71,7 @@ object Load {
     claims
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/claims")
+    normalized.unpersist()
     open(spark, outDir)
   }
 

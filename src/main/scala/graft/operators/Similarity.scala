@@ -84,11 +84,17 @@ object Similarity {
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("tbl").as("qt"), col("bucket").as("qb"))
-    val cand = bucketed.join(broadcast(q),
+    // union of per-table candidates: dedupe on the narrow (qid, nid)
+    // key, then join vectors back (the distinct must not shuffle the
+    // float arrays)
+    val cand = bucketed.join(broadcast(q.select(col("qid"), col("qt"), col("qb"))),
         col("tbl") === col("qt") && col("bucket") === col("qb") &&
           col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), col("qe"), col("embedding"))
-      .distinct() // union of per-table candidates
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+      .join(broadcast(q.select(col("qid"), col("qe")).distinct()), "qid")
+      .join(embeddings.select(col("vec_id").as("nid"),
+        col("embedding")), "nid")
       .select(col("qid"), col("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("qid"))

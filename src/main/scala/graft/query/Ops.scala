@@ -21,10 +21,9 @@ object Ops {
     * anti-joins on the (src_tb, id) key. `doomed` is evaluated against
     * the traversed view (entities + `claims_arr`), exactly the shape
     * `test_filter.surql` selects over. */
-  def deleteWhere(t: WikiTables, doomed: Column): DataFrame => WikiTables = { _ =>
+  def deleteWhere(t: WikiTables, doomed: Column): WikiTables =
     deleteIds(t, Paths.withClaims(t.entities, t.claims).filter(doomed)
       .select(col("id")))
-  }
 
   /** Delete by computed id-set (the `$del` form): ids is a DF with a
     * `id: Thing` column. */

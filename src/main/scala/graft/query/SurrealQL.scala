@@ -46,7 +46,8 @@ object SurrealQL {
     val letRe = "(?is)^LET\\s+\\$([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(.+)$".r
     val retRe = "(?is)^RETURN\\s+(.+)$".r
     val delRe = "(?is)^DELETE\\s+\\$([a-zA-Z_][a-zA-Z0-9_]*)$".r
-    val updRe = "(?is)^UPDATE\\s+Entity\\s+SET\\s+([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(\\S+)\\s+WHERE\\s+(.+)$".r
+    // value: $var, quoted string (may contain spaces), or bare literal
+    val updRe = "(?is)^UPDATE\\s+Entity\\s+SET\\s+([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(\"[^\"]*\"|\\S+)\\s+WHERE\\s+(.+)$".r
     val defTableRe = "(?is)^DEFINE\\s+TABLE\\s+(?:OVERWRITE\\s+)?([a-zA-Z_][a-zA-Z0-9_]*)\\s+TYPE\\s+NORMAL\\s+AS\\s+(.+)$".r
     val defAnalyzerRe = "(?is)^DEFINE\\s+ANALYZER\\s+.*$".r
 
@@ -65,12 +66,19 @@ object SurrealQL {
             lit(scalarOf(vars(s.drop(1))))
           case s => literal(s)
         }
-        val entities = Paths.withClaims(t.entities, t.claims)
+        // match set scoped to the named table (UPDATE Entity must not
+        // touch Property/Lexeme rows that happen to satisfy WHERE)
+        val entities = Paths.withClaims(
+          t.entities.filter(col("id.tb") === "Entity"), t.claims)
         val pred = compileCond(cond.trim)
+        // non-matching rows KEEP their value (or null for a new field)
+        val prev: Column =
+          if (t.entities.columns.contains(field)) col(field)
+          else lit(null)
         val updated = t.entities
           .join(entities.filter(pred).select(col("id").as("_m_id")),
             t.entities("id") === col("_m_id"), "left")
-          .withColumn(field, when(col("_m_id").isNotNull, v))
+          .withColumn(field, when(col("_m_id").isNotNull, v).otherwise(prev))
           .drop("_m_id")
         t = WikiTables(updated, t.claims)
       case defAnalyzerRe() => // analyzer DDL accepted (B17)
@@ -242,8 +250,24 @@ object SurrealQL {
     else if (s.matches("-?[0-9.]+")) lit(s.toDouble)
     else throw new IllegalArgumentException(s"cannot parse literal: $s")
 
+  /** Strip `#` line comments, quote-aware (a `#` inside a string
+    * literal is content, not a comment). */
   private def stripComments(s: String): String =
-    s.linesIterator.map(l => l.replaceAll("(^|\\s)#.*$", "")).mkString("\n")
+    s.linesIterator.map { l =>
+      var quote = false
+      var cut = l.length
+      var i = 0
+      while (i < l.length && cut == l.length) {
+        l.charAt(i) match {
+          case '"' => quote = !quote
+          case '#' if !quote && (i == 0 || l.charAt(i - 1).isWhitespace) =>
+            cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      l.substring(0, cut)
+    }.mkString("\n")
 
   private def balanced(s: String): Boolean =
     s.foldLeft(0) { (d, c) =>
@@ -267,18 +291,20 @@ object SurrealQL {
     out.result()
   }
 
+  /** Split on a keyword at top level — outside parens, brackets, AND
+    * string literals (a label like "War and Peace" must not split). */
   private def splitTopWord(s: String, word: String): Seq[String] = {
-    val re = s"(?i)\\s+$word\\s+".r
-    // only split at top level: replace protected regions first
     val parts = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var i = 0
+    var depth = 0; var quote = false; var start = 0; var i = 0
     val upper = s.toUpperCase
     while (i < s.length) {
       s.charAt(i) match {
-        case '(' | '[' => depth += 1
-        case ')' | ']' => depth -= 1
+        case '"' => quote = !quote
+        case '(' | '[' if !quote => depth += 1
+        case ')' | ']' if !quote => depth -= 1
         case _ =>
-          if (depth == 0 && upper.startsWith(" " + word + " ", i)) {
+          if (!quote && depth == 0 &&
+            upper.startsWith(" " + word + " ", i)) {
             parts += s.substring(start, i)
             start = i + word.length + 2
             i = start - 1

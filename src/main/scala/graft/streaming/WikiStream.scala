@@ -60,22 +60,44 @@ object WikiStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val updates = mediaRows(batch).cache()
         try {
-          val merged =
-            if (new java.io.File(viewDir).exists()) {
-              val existing = batch.sparkSession.read.parquet(viewDir)
+          // crash-safe staged swap on plain parquet: write the merged
+          // view next to the live one, then directory-rename into
+          // place (local rename is atomic). A crash between delete
+          // and rename leaves the staged copy — recovered below. The
+          // checkpointed micro-batch replays idempotently either way.
+          // (Delta/Iceberg MERGE is the managed-table form of this.)
+          val live = new java.io.File(viewDir)
+          val staged = new java.io.File(viewDir + "_staged")
+          val base =
+            if (valid(live)) Some(viewDir)
+            else if (valid(staged)) Some(staged.getPath) // crash recovery
+            else None
+          val merged = base match {
+            case Some(dir) =>
+              val existing = batch.sparkSession.read.parquet(dir)
               val upd = updates.select(col("id").as("_u_id"))
               existing.join(upd,
                   existing("id.tb") === col("_u_id.tb") &&
                     existing("id.id") === col("_u_id.id"),
                   "left_anti")
                 .unionByName(updates)
-            } else updates
-          // two-phase write: parquet sources can't overwrite in place
-          val tmp = viewDir + "_staged"
-          merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-          batch.sparkSession.read.parquet(tmp)
-            .write.mode(SaveMode.Overwrite).parquet(viewDir)
+            case None => updates
+          }
+          val next = new java.io.File(viewDir + "_next")
+          merged.write.mode(SaveMode.Overwrite).parquet(next.getPath)
+          deleteRecursively(staged)
+          if (live.exists()) { live.renameTo(staged); () }
+          next.renameTo(live)
+          deleteRecursively(staged)
         } finally updates.unpersist()
       }
       .start()
+
+  private def valid(dir: java.io.File): Boolean =
+    dir.exists() && new java.io.File(dir, "_SUCCESS").exists()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
 }

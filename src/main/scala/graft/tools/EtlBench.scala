@@ -89,7 +89,19 @@ object EtlBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val eps = timedLoad(spark, n, dump, "/tmp/etl_bench_out")
-    println(s"""{"metric":"etl_throughput","value":$eps,"unit":"entities_per_sec","entities":$n,"baseline_eps":568,"speedup_vs_baseline":${eps / 568.0}}""")
+
+    // query-surface timing over the loaded tables: the flagship
+    // traversal (B4-B7) and the Media view materialization (B16) at
+    // this entity count — the reference publishes no query numbers,
+    // so these establish ours on its own data model
+    val t = Load.open(spark, "/tmp/etl_bench_out")
+    val tq0 = System.nanoTime()
+    val traversed = graft.query.Ops.mediaView(t)
+      .filter(org.apache.spark.sql.functions.col("episodes").isNotNull)
+      .count()
+    val querySec = (System.nanoTime() - tq0) / 1e9
+
+    println(s"""{"metric":"etl_throughput","value":$eps,"unit":"entities_per_sec","entities":$n,"baseline_eps":568,"speedup_vs_baseline":${eps / 568.0},"media_view_sec":$querySec,"media_view_rows":$traversed}""")
     spark.stop()
   }
 }

@@ -115,6 +115,25 @@ class SurrealQLSpec extends AnyFunSuite {
     assert(out.claims.count() === 3)
   }
 
+  test("UPDATE preserves non-matching rows' values and only touches Entity") {
+    val s1 = SurrealQL.run(tables,
+      """update Entity SET note="first" where label = "Black Clover";
+        |update Entity SET note="second" where label = "Banana Fish";""".stripMargin)
+    val notes = s1.tables.entities.select(col("label"), col("note"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the second UPDATE must NOT null out the first one's value
+    assert(notes("Black Clover") === "first")
+    assert(notes("Banana Fish") === "second")
+    assert(notes("Black Clover, season 1") === null)
+  }
+
+  test("labels containing AND / # parse correctly (quote-aware splitting)") {
+    // a condition value containing ' and ' must not split the WHERE
+    val out = SurrealQL.run(tables,
+      """return select id from Entity where label = "War and Peace # 5"""")
+    assert(out.returned.get.count() === 0) // parses; matches nothing
+  }
+
   test("count(select * from Entity) form (integration.rs count checks)") {
     val out = SurrealQL.run(tables, "return count(select * from Entity)")
     assert(out.returned.get.collect()(0).getLong(0) === 3L)
