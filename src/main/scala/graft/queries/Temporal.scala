@@ -87,6 +87,26 @@ object Temporal {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Batch sessionization — the oracle-checkable twin of the
+    * streaming `flatMapGroupsWithState` sessionizer: a session break
+    * is a >30-min gap; session ids are the running count of breaks
+    * (lag + cumulative sum over the per-user time order). */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events(s, dir)
+      .withColumn("brk",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)) > 30L * 60 * 1000000,
+          1).otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Tumbling 1-hour window aggregation (the streaming twin groups by
     * the same window with a watermark). */
   def hourlyRollup(s: SparkSession, dir: String): DataFrame =
@@ -103,7 +123,8 @@ object Temporal {
     "q_asof_forward" -> (asofForward _),
     "q_range_join" -> (rangePairs _),
     "q_range_join_bucketed" -> (rangePairsBucketed _),
-    "q_stream_window" -> (hourlyRollup _))
+    "q_stream_window" -> (hourlyRollup _),
+    "q_sessionize" -> (sessionizeBatch _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
@@ -115,5 +136,7 @@ object Temporal {
     "q_range_join_bucketed" ->
       "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
     "q_stream_window" ->
-      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, count(*) AS n, round((sum(value))*1e2)/1e2 AS total_value FROM events GROUP BY 1, 2")
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, count(*) AS n, round((sum(value))*1e2)/1e2 AS total_value FROM events GROUP BY 1, 2",
+    "q_sessionize" ->
+      "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events FROM (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 30*60*1000000 THEN 1 ELSE 0 END AS brk FROM events)) GROUP BY user_id, session_id")
 }
