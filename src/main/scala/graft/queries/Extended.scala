@@ -195,7 +195,61 @@ object Extended {
       .limit(20)
   }
 
+  /** HAVING: post-aggregation filter. */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .filter(col("n") >= 45)
+
+  /** RANGE window frame: count of orders within ±10000 of each
+    * order's price (value-range frame, not row frame; ordered on
+    * integer cents — Spark's rangeBetween takes long bounds). */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice") * 100).cast("long")
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(cents)
+      .rangeBetween(-1000000L, 1000000L)
+    t(s, dir)("orders").select(
+      col("o_orderkey"),
+      count(lit(1)).over(w).as("n_similar"))
+  }
+
+  /** Second string family: replace / pad / part extraction / trim. */
+  def qString2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("part").select(
+      col("p_partkey"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      element_at(split(col("p_type"), " "), 1).as("type_first"),
+      reverse(col("p_brand")).as("brand_rev"))
+
+  /** Second date family: arithmetic + diffs + parts. */
+  def qDate2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders").select(
+      col("o_orderkey"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+      datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+        .cast("long").as("days_to_2002"),
+      dayofweek(col("o_orderdate")).cast("int").as("dow"),
+      quarter(col("o_orderdate")).cast("int").as("qtr"))
+
+  /** Second math family: pow/exp/mod/sign/greatest/least. */
+  def qMath2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(pow(col("l_discount") + 1, 3), 6).as("disc_pow"),
+      round(exp(col("l_discount")), 6).as("disc_exp"),
+      pmod(col("l_partkey"), lit(7L)).as("pk_mod"),
+      signum(col("l_discount") - 0.05).cast("int").as("d_sign"),
+      greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+      least(col("l_tax"), col("l_discount")).as("l"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_having" -> (qHaving _),
+    "x_window_range" -> (qWindowRange _),
+    "x_string2" -> (qString2 _),
+    "x_date2" -> (qDate2 _),
+    "x_math2" -> (qMath2 _),
     "x_tpch_q5" -> (qTpchQ5 _),
     "x_tpch_q10" -> (qTpchQ10 _),
     "x_approx" -> (qApprox _),
@@ -216,6 +270,16 @@ object Extended {
     "x_null_funcs" -> (qNullFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "x_having" ->
+      "SELECT l_partkey, count(*) AS n, round((sum(l_quantity))*1e2)/1e2 AS qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45",
+    "x_window_range" ->
+      "SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice * 100 AS BIGINT) RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING) AS n_similar FROM orders",
+    "x_string2" ->
+      "SELECT p_partkey, replace(p_name, ' ', '_') AS name_snake, lpad(p_brand, 12, '*') AS brand_pad, split_part(p_type, ' ', 1) AS type_first, reverse(p_brand) AS brand_rev FROM part",
+    "x_date2" ->
+      "SELECT o_orderkey, strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m, date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002, CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, CAST(quarter(o_orderdate) AS INTEGER) AS qtr FROM orders",
+    "x_math2" ->
+      "SELECT l_orderkey, l_linenumber, round((pow(l_discount + 1, 3))*1e6)/1e6 AS disc_pow, round((exp(l_discount))*1e6)/1e6 AS disc_exp, l_partkey % 7 AS pk_mod, CAST(sign(l_discount - 0.05) AS INTEGER) AS d_sign, greatest(l_quantity, l_discount * 100) AS g, least(l_tax, l_discount) AS l FROM lineitem",
     "x_tpch_q5" ->
       "SELECT n_name, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderstatus != 'P' GROUP BY n_name",
     "x_tpch_q10" ->
