@@ -38,6 +38,10 @@ object Bench {
     // reference's only published number): 50k-entity synthetic dump
     // through the full load pipeline
     val etlEps = try {
+      // drop 67 queries' worth of session residue (cached relations,
+      // broadcast blocks) so the ETL measures the pipeline, not GC
+      spark.catalog.clearCache()
+      System.gc()
       graft.tools.EtlBench.timedLoad(spark, 50000,
         "/tmp/graft_bench_dump.json", "/tmp/graft_bench_etl")
     } catch { case _: Throwable => -1.0 }
