@@ -105,19 +105,61 @@ object Similarity {
         (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
   }
 
-  /** IVF-style ANN: coarse quantization + probed search. Vectors are
-    * assigned to their nearest of `nCells` centroid cells (here:
-    * deterministic seed centroids — the first nCells vectors; a real
-    * deployment k-means-refines them, the plumbing is identical);
-    * queries probe their `nProbe` nearest cells and rerank exactly.
-    * At 100 TB the corpus is WRITTEN partitioned by cell, so a query
-    * touches nProbe/nCells of the data — this is the standard
-    * IVF-Flat layout on parquet. */
+  /** Distributed Lloyd iterations: assign every vector to its nearest
+    * centroid (centroids broadcast, map-side), average members per
+    * cell (one narrow groupBy of k cells), collect the k new
+    * centroids. k is small by construction, so the driver collect is
+    * k×dim doubles — not a data collect. */
+  def kmeansRefine(embeddings: DataFrame, seed: DataFrame,
+                   iterations: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.sql.Row
+    var centroids = seed
+    for (_ <- 0 until iterations) {
+      val assigned = embeddings.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosine(col("embedding"), col("ce")).as("csim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rk") === 1)
+      val dim = embeddings.select(size(col("embedding")))
+        .first().getInt(0)
+      val means = assigned.groupBy(col("cell"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("embedding"), i + 1)).cast("float")): _*)
+          .as("ce"))
+        .collect()
+      centroids = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          means.map(r => Row(r.getInt(0), r.getSeq[Float](1))).toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("ce",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: coarse quantization + probed search. Centroids
+    * start from deterministic seeds (the first nCells vectors) and
+    * are optionally k-means-refined ([[kmeansRefine]]); queries probe
+    * their `nProbe` nearest cells and rerank exactly. At 100 TB the
+    * corpus is WRITTEN partitioned by cell, so a query touches
+    * nProbe/nCells of the data — the standard IVF-Flat-on-parquet
+    * layout. */
   def ivfCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                    nCells: Int = 16, nProbe: Int = 4,
+                    refineIters: Int = 0): DataFrame = {
     graft.functions.HashExpressions.register(embeddings.sparkSession)
-    val centroids = broadcast(embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("ce")))
+    val seed = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("ce"))
+    val centroids = broadcast(
+      if (refineIters > 0) kmeansRefine(embeddings, seed, refineIters)
+      else seed)
 
     // assign: nearest centroid per vector (map-side, centroid bcast)
     val assigned = embeddings.crossJoin(centroids)

@@ -107,6 +107,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("IVF-ANN: k-means refinement keeps recall and balances cells") {
+    val exact = Similarity.cosineTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfCosineTopK(emb, 10, 5,
+        nCells = 16, nProbe = 4, refineIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.nonEmpty)
+    val recall = (refined & exact).size.toDouble / exact.size
+    assert(recall >= 0.35, s"refined recall=$recall")
+  }
+
   test("cosineTopK is exact: matches driver-side brute force") {
     val got = Similarity.cosineTopK(emb, 3, 3).collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap

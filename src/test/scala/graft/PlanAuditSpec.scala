@@ -118,6 +118,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: exactly ONE shuffle (union-sort formulation)") {
+    val p = plan(graft.queries.Temporal.asofPurchaseSignup(spark, sf))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected a single key shuffle, found $exchanges:\n$p")
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
