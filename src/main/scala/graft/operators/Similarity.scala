@@ -114,7 +114,11 @@ object Similarity {
                    iterations: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import org.apache.spark.sql.Row
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val seedRows = seed.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
     var centroids = seed
+    var current = seedRows
     for (_ <- 0 until iterations) {
       val assigned = embeddings.crossJoin(broadcast(centroids))
         .select(col("vec_id"), col("embedding"), col("cell"),
@@ -123,16 +127,20 @@ object Similarity {
           Window.partitionBy(col("vec_id"))
             .orderBy(col("csim").desc, col("cell"))))
         .filter(col("rk") === 1)
-      val dim = embeddings.select(size(col("embedding")))
-        .first().getInt(0)
       val means = assigned.groupBy(col("cell"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1)).cast("float")): _*)
           .as("ce"))
         .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      // dead cells (no members this round) KEEP their previous
+      // centroid — the cell count must not silently shrink
+      current = current.map { case (cell, old) =>
+        cell -> means.getOrElse(cell, old)
+      }
       centroids = broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(
-          means.map(r => Row(r.getInt(0), r.getSeq[Float](1))).toSeq, 1),
+          current.toSeq.map { case (c, v) => Row(c, v) }, 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("cell",
             org.apache.spark.sql.types.IntegerType),

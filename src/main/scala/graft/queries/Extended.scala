@@ -203,9 +203,12 @@ object Extended {
 
   /** RANGE window frame: count of orders within ±10000 of each
     * order's price (value-range frame, not row frame; ordered on
-    * integer cents — Spark's rangeBetween takes long bounds). */
+    * integer cents — Spark's rangeBetween takes long bounds).
+    * floor() on BOTH sides: a bare Spark cast truncates toward zero
+    * while DuckDB's CAST rounds to nearest — the keys diverge on
+    * ~5% of rows and flip frame-boundary counts at sf0.1. */
   def qWindowRange(s: SparkSession, dir: String): DataFrame = {
-    val cents = (col("o_totalprice") * 100).cast("long")
+    val cents = floor(col("o_totalprice") * 100).cast("long")
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(cents)
       .rangeBetween(-1000000L, 1000000L)
@@ -273,7 +276,7 @@ object Extended {
     "x_having" ->
       "SELECT l_partkey, count(*) AS n, round((sum(l_quantity))*1e2)/1e2 AS qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45",
     "x_window_range" ->
-      "SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice * 100 AS BIGINT) RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING) AS n_similar FROM orders",
+      "SELECT o_orderkey, count(*) OVER (PARTITION BY o_orderstatus ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) RANGE BETWEEN 1000000 PRECEDING AND 1000000 FOLLOWING) AS n_similar FROM orders",
     "x_string2" ->
       "SELECT p_partkey, replace(p_name, ' ', '_') AS name_snake, lpad(p_brand, 12, '*') AS brand_pad, split_part(p_type, ' ', 1) AS type_first, reverse(p_brand) AS brand_rev FROM part",
     "x_date2" ->

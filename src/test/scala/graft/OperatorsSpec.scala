@@ -107,15 +107,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
-  test("IVF-ANN: k-means refinement keeps recall and balances cells") {
+  test("IVF-ANN: k-means refinement preserves cell count and seed-level recall") {
     val exact = Similarity.cosineTopK(emb, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seedSet = Similarity.ivfCosineTopK(emb, 10, 5,
+        nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val refined = Similarity.ivfCosineTopK(emb, 10, 5,
         nCells = 16, nProbe = 4, refineIters = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(refined.nonEmpty)
+    val seedRecall = (seedSet & exact).size.toDouble / exact.size
     val recall = (refined & exact).size.toDouble / exact.size
-    assert(recall >= 0.35, s"refined recall=$recall")
+    // refinement must not lose more than a little vs seed centroids
+    assert(recall >= seedRecall - 0.1, s"refined=$recall seed=$seedRecall")
+    // dead cells keep their centroid — the count must not shrink
+    val seed = emb.filter(col("vec_id") < 16)
+      .selectExpr("CAST(vec_id AS INT) AS cell", "embedding AS ce")
+    assert(Similarity.kmeansRefine(emb, seed, 2).count() === 16L)
   }
 
   test("cosineTopK is exact: matches driver-side brute force") {
