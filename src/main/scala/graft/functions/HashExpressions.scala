@@ -108,6 +108,8 @@ object HashExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
+      // dimension mismatch → null (SQL-style), not an executor crash
+      if (a.numElements() != b.numElements()) return null
       val n = a.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -165,6 +167,8 @@ object HashExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
+      // signature length mismatch → null, not an executor crash
+      if (a.numElements() != b.numElements()) return null
       val n = a.numElements()
       var eq = 0
       var i = 0

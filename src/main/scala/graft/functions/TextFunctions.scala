@@ -80,12 +80,14 @@ object TextFunctions {
         ascii_fold(lower(col("text"))).as("norm"))
     }),
     // full analyzer incl. stemming — no DuckDB oracle in this env
-    // (stem() needs the fts extension); pinned by StemmerSpec goldens
+    // (stem() needs the fts extension); pinned by StemmerSpec goldens.
+    // Rows-only gate: the token array is rendered as CSV because the
+    // driver's pandas harness can't hash ndarray cells
     "t_analyze" -> ((s, dir) => {
       register(s)
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
-        analyzeBlankEnglish(col("text")).as("tokens"))
+        array_join(analyzeBlankEnglish(col("text")), ",").as("tokens"))
     }))
 
   val oracle: Map[String, String] = Map(

@@ -62,6 +62,12 @@ object Transform {
     StructField("longitude", DoubleType),
     StructField("globe", StringType)))
 
+  /** `[{"text": "...", "language": "en"}, ...]` — the
+    * MultilingualText(Vec<Text>) union branch's array payload. */
+  private val multiTextSchema = ArrayType(StructType(Seq(
+    StructField("text", StringType),
+    StructField("language", StringType))))
+
   /** The A9 FK normalization + value-union fill for one snak column.
     * Exactly one union branch non-null; `snaktype` somevalue/novalue
     * map to UnknownValue/NoValue (wikidata-crate variant names). */
@@ -96,6 +102,13 @@ object Transform {
       when(isVal && dt === "monolingualtext",
         struct(pv.getField("text").as("text"),
           pv.getField("language").as("lang"))).as("MonolingualText"),
+      // MultilingualText(Vec<Text>): array-shaped value payload — its
+      // own from_json, evaluated lazily only on matching rows (CaseWhen
+      // branches don't run for non-matching datatypes)
+      when(isVal && dt === "multilingualtext",
+        transform(from_json(raw, multiTextSchema), v =>
+          struct(v.getField("text").as("text"),
+            v.getField("language").as("lang")))).as("MultilingualText"),
       when(isVal && dt === "quantity", struct(
         pv.getField("amount").cast(DoubleType).as("amount"),
         pv.getField("lowerBound").cast(DoubleType).as("lower_bound"),

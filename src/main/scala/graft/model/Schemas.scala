@@ -98,6 +98,9 @@ object Schemas {
       StructField("MonolingualText", StructType(Seq(
         StructField("text", StringType),
         StructField("lang", StringType)))),
+      StructField("MultilingualText", ArrayType(StructType(Seq(
+        StructField("text", StringType),
+        StructField("lang", StringType))))),
       StructField("Quantity", StructType(Seq(
         StructField("amount", DoubleType),
         StructField("lower_bound", DoubleType),

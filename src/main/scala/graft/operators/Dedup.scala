@@ -171,8 +171,36 @@ object Dedup {
       .select(col("doc_id"))
   }
 
+  /** LSH discovery verified against exact Jaccard, SQL-oracle-checkable:
+    * the LSH candidate pairs are joined back to the exact n-gram
+    * Jaccard kernel and filtered to J ≥ `minJaccard`. The DuckDB
+    * oracle computes {all pairs with exact J ≥ minJaccard} with no
+    * LSH at all — hash equality therefore PROVES the banded discovery
+    * path has recall 1 at this threshold on this corpus (at 16×4
+    * banding, P(miss | J=0.8) ≈ 2·10⁻⁴ analytically; all hashing is
+    * deterministic so the result is reproducible bit-for-bit). */
+  def minhashVerifiedPairs(df: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    // the pair list feeds BOTH the candidate-doc set and the final
+    // join — persist it (it's O(near-dup pairs), tiny next to the
+    // corpus) so the LSH discovery DAG runs once, not twice
+    val pairs = minhashPairs(df).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact-rerank only the docs LSH surfaced — per-doc shingle sets
+    // are independent, so per-pair Jaccard is unchanged, and the
+    // quadratic kernel never sees the full corpus (the discovery/
+    // rerank split that holds at 100 TB)
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    pairs.join(
+        ngramJaccardPairs(df.join(candDocs, Seq("doc_id"), "left_semi"),
+          minJaccard),
+        Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_clean_corpus" -> ((s, dir) => cleanCorpus(docs(s, dir))),
+    "d_minhash_exact" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir))),
     "d_exact" -> ((s, dir) => exact(docs(s, dir), col("text"))),
     "d_exact_norm" -> ((s, dir) =>
       exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
@@ -189,7 +217,11 @@ object Dedup {
     "d_exact_norm" ->
       "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     "d_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""")
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""",
+    // the oracle has NO LSH — matching it proves banded discovery
+    // recall = 1 at J >= 0.8 on this corpus (see minhashVerifiedPairs)
+    "d_minhash_exact" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""")
   // d_minhash_lsh / d_simhash: not SQL-expressible in the oracle —
   // rows-only driver check; pinned by DedupSpec against brute force.
 }

@@ -205,22 +205,36 @@ object Similarity {
     * (same-bucket-in-any-table candidates — at 100 TB this replaces
     * the quadratic all-pairs product), exact cosine verification on
     * candidates. High thresholds (≥0.9 ≈ <26° angle) give the banding
-    * near-total recall with few tables. */
+    * near-total recall with few tables.
+    *
+    * Skew guard (same as [[Dedup.minhashPairs]]): buckets above
+    * `maxBucket` are dropped — a hot bucket means that hyperplane set
+    * is non-discriminative for the corpus, and expanding it would go
+    * quadratic; with `tables` independent tables a genuine near-dup
+    * pair still co-buckets elsewhere. `bits` must grow ~log₂(N): the
+    * expected bucket size is N/2^bits per table, so at 10⁹ vectors you
+    * want bits ≈ 24-28, not the 4 suitable for the sf0.1 corpus. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
-                        bits: Int = 4, tables: Int = 16): DataFrame = {
+                        bits: Int = 4, tables: Int = 16,
+                        maxBucket: Int = 256): DataFrame = {
     graft.functions.HashExpressions.register(embeddings.sparkSession)
     graft.functions.HashExpressions.registerSrp(embeddings.sparkSession, bits, tables)
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+    val bucketed = embeddings.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         srpBucket(col("embedding"), bits, t)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    // dedupe on the narrow pair key; vectors join back after (the
-    // distinct must not carry the float arrays through its shuffle)
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    // per-bucket expansion with the hot-bucket cap; the shuffle
+    // carries only (tbl, bucket, vec_id) — vectors join back onto the
+    // surviving narrow pair keys
+    val buckets = bucketed.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cand = buckets.select(explode(flatten(
+        transform(col("ids"), a =>
+          filter(transform(col("ids"), b =>
+            when(a < b, struct(a.as("id_a"), b.as("id_b")))),
+            x => x.isNotNull)))).as("p"))
+      .select(col("p.*")).distinct()
       .join(embeddings.select(col("vec_id").as("id_a"),
         col("embedding").as("ea")), "id_a")
       .join(embeddings.select(col("vec_id").as("id_b"),
@@ -237,8 +251,12 @@ object Similarity {
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
     "s_lsh_ann" -> ((s, dir) => lshCosineTopK(emb(s, dir), 10, 5)),
     // 0.4: the tail of this corpus's cosine distribution (max pairwise
-    // ≈ 0.5 — the generator plants no true embedding duplicates)
-    "s_embed_neardup" -> ((s, dir) => embeddingNearDups(emb(s, dir), 0.4)),
+    // ≈ 0.5 — the generator plants no true embedding duplicates).
+    // maxBucket sized for the 2000-vector corpus at bits=4 (mean
+    // bucket ≈ 125): the cap still trips on a degenerate bucket while
+    // leaving the ordinary SRP spread intact
+    "s_embed_neardup" -> ((s, dir) =>
+      embeddingNearDups(emb(s, dir), 0.4, maxBucket = 1024)),
     "s_ivf_ann" -> ((s, dir) => ivfCosineTopK(emb(s, dir), 10, 5)))
 
   // DuckDB-side double fold, bit-identical to the Spark expressions.

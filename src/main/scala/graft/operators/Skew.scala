@@ -25,11 +25,22 @@ import graft.sources.Tables
   */
 object Skew {
 
+  /** Deterministic row-content salt in [0, buckets). MUST NOT be
+    * derived from monotonically_increasing_id()/rand(): if a shuffle
+    * map task is recomputed after a fetch failure, a nondeterministic
+    * salt re-assigns rows to different buckets and the two-phase
+    * rewrite drops/double-counts (the SPARK-23207 class of bugs) —
+    * exactly the large-cluster scenario this operator exists for.
+    * Hashing every column spreads a hot key's rows as long as the
+    * rows differ anywhere; full-row duplicates co-bucket, which is
+    * correct (and they aggregate into one partial anyway). */
+  private def contentSalt(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets))
+
   /** Salted sum/count aggregation over one key column. */
   def saltedAgg(df: DataFrame, key: String, valueCol: String,
                 buckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val salted = df.withColumn("_salt", contentSalt(df, buckets))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
     partial.groupBy(col(key))
@@ -40,8 +51,7 @@ object Skew {
     * `buckets` tasks. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val saltedBig = big.withColumn("_salt", contentSalt(big, buckets))
     val replicatedSmall = small.withColumn("_salt",
       explode(array((0 until buckets).map(lit(_)): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

@@ -98,8 +98,14 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("df"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the gate compares the posting list's canonical CSV rendering
+    // (the driver's pandas harness can't sort ndarray cells); the
+    // array-valued index is the library function above
     "t_inverted_index" -> ((s, dir) =>
-      invertedIndex(docs(s, dir), col("text"))),
+      invertedIndex(docs(s, dir), col("text"))
+        .select(col("token"),
+          array_join(col("postings").cast("array<string>"), ",").as("postings"),
+          col("df"))),
     "t_langid" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), enScore(col("text")).as("en_score"),
       predictedLang(col("text")).as("pred_lang"))),
@@ -112,7 +118,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t_inverted_index" ->
-      "SELECT token, list_sort(list(DISTINCT doc_id)) AS postings, count(DISTINCT doc_id) AS df FROM (SELECT unnest(string_split(lower(text), ' ')) AS token, doc_id FROM documents) GROUP BY token",
+      "SELECT token, coalesce(array_to_string(list_sort(list(DISTINCT doc_id)), ','), '') AS postings, count(DISTINCT doc_id) AS df FROM (SELECT unnest(string_split(lower(text), ' ')) AS token, doc_id FROM documents) GROUP BY token",
     "t_langid" ->
       s"""SELECT doc_id, round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 AS en_score, CASE WHEN round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM documents""",
     "t_quality" ->

@@ -54,10 +54,14 @@ object Ops {
   }
 
   /** B15: `UPDATE <tb> SET <field> = <value> WHERE <pred>` as a
-    * schema-widening rewrite — non-matching rows get null, matching
-    * the schemaless SET of the reference. */
-  def update(df: DataFrame, pred: Column, field: String, value: Column): DataFrame =
-    df.withColumn(field, when(pred, value))
+    * schema-widening rewrite — non-matching rows KEEP their current
+    * value (null for a brand-new field), mirroring SurrealQL SET:
+    * an UPDATE must never null out rows its WHERE didn't select. */
+  def update(df: DataFrame, pred: Column, field: String, value: Column): DataFrame = {
+    val prev: Column =
+      if (df.columns.contains(field)) col(field) else lit(null)
+    df.withColumn(field, when(pred, value).otherwise(prev))
+  }
 
   /** B16: the Media materialized view (`Useful queries.md:16-25`) —
     * episodes (P1113 quantity), parent (P179 Thing), children (P527

@@ -55,7 +55,7 @@ object SurrealQL {
       case letRe(name, expr) =>
         vars += name -> evalExpr(expr.trim, t, vars)
       case retRe(expr) =>
-        returned = Some(evalExpr(expr.trim, t, vars))
+        returned = Some(evalExpr(expr.trim, t, vars).drop("_claims_src_tb"))
       case delRe(name) =>
         val df = vars.getOrElse(name,
           throw new IllegalArgumentException(s"unknown $$$name"))
@@ -83,9 +83,9 @@ object SurrealQL {
         t = WikiTables(updated, t.claims)
       case defAnalyzerRe() => // analyzer DDL accepted (B17)
       case defTableRe(name, select) =>
-        views += name -> evalExpr(select.trim, t, vars)
+        views += name -> evalExpr(select.trim, t, vars).drop("_claims_src_tb")
       case other =>
-        returned = Some(evalExpr(other.trim, t, vars))
+        returned = Some(evalExpr(other.trim, t, vars).drop("_claims_src_tb"))
     }
     Result(t, views, returned)
   }
@@ -123,7 +123,13 @@ object SurrealQL {
       .findAllIn(Option(postfix).getOrElse("")).toList
     tokens.foreach {
       case "[0]" => df = df.limit(1)
-      case f => df = df.select(col(f.drop(1)))
+      case f =>
+        val name = f.drop(1)
+        // keep the hidden claims-owner provenance alongside a claims
+        // link projection — DELETE needs it to key (src_tb, id)
+        df = if (name == "claims" && df.columns.contains("_claims_src_tb"))
+          df.select(col(name), col("_claims_src_tb"))
+        else df.select(col(name))
     }
     df
   }
@@ -148,7 +154,9 @@ object SurrealQL {
         val asRe = "(?is)^(.*?)\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*)$".r
         val cols = items.flatMap {
           case "*" =>
-            filtered.columns.filter(_ != "claims_arr").map(col).toSeq
+            filtered.columns
+              .filter(c => c != "claims_arr" && c != "_claims_src_tb")
+              .map(col).toSeq
           case asRe(path, alias) =>
             Seq(compileProj(path.trim).as(alias))
           case p if p.matches("[a-zA-Z_][a-zA-Z0-9_]*") => Seq(col(p))
@@ -156,7 +164,20 @@ object SurrealQL {
             Seq(compileProj(path).as(path.replaceAll("[^a-zA-Z0-9_]", "_")
               .replaceAll("_+", "_").stripSuffix("_").stripPrefix("_")))
         }
-        filtered.select(cols: _*)
+        // a projected `claims` record link loses its owner table (the
+        // Thing is ("Claims", N) for Entity:N, Property:N and
+        // Lexeme:N alike) — carry the owner as hidden provenance so a
+        // later DELETE anti-joins claims on the collision-free
+        // (src_tb, id) key instead of the numeric id alone
+        val withProv =
+          if (items.contains("claims") && !items.contains("*")) {
+            if (filtered.columns.contains("id"))
+              cols :+ col("id.tb").as("_claims_src_tb")
+            else if (filtered.columns.contains("_claims_src_tb"))
+              cols :+ col("_claims_src_tb")
+            else cols
+          } else cols
+        filtered.select(withProv: _*)
       case _ => throw new IllegalArgumentException(s"cannot parse: $sql")
     }
   }
@@ -221,21 +242,37 @@ object SurrealQL {
 
   /** DELETE $var: var rows carry record ids (`id` Thing column) or
     * claims links (`claims` Thing column / bare Thing rows). Entity
-    * things delete entity rows; Claims things delete claims rows (by
-    * numeric id — faithful to the reference's owner-table-less claims
-    * keying). */
+    * things delete entity rows; Claims things delete claims rows —
+    * keyed (src_tb, id) when the hidden `_claims_src_tb` provenance
+    * column survived projection (it does for every documented script
+    * shape), falling back to numeric id alone for bare Things whose
+    * owner is genuinely unknown (Entity:N / Property:N / Lexeme:N
+    * claims would collide there — the reference has the same
+    * ambiguity in its single Claims table). */
   private def deleteRecords(t: WikiTables, df: DataFrame): WikiTables = {
-    val colName = df.columns.head
-    val things = df.select(col(colName).as("_thing")).na.drop()
+    val colName = df.columns.filterNot(_ == "_claims_src_tb").head
+    val hasOwner = df.columns.contains("_claims_src_tb")
+    val things = (if (hasOwner)
+        df.select(col(colName).as("_thing"),
+          col("_claims_src_tb").as("_owner_tb"))
+      else df.select(col(colName).as("_thing"),
+        lit(null).cast("string").as("_owner_tb")))
+      .filter(col("_thing").isNotNull)
     val entityIds = things.filter(col("_thing.tb") =!= "Claims")
       .select(col("_thing.tb").as("_d_tb"), col("_thing.id").as("_d_id"))
     val claimsIds = things.filter(col("_thing.tb") === "Claims")
-      .select(col("_thing.id").as("_d_id"))
+      .select(col("_thing.id").as("_d_id"), col("_owner_tb"))
     val entities = t.entities.join(entityIds,
       t.entities("id.tb") === col("_d_tb") &&
         t.entities("id.id") === col("_d_id"), "left_anti")
-    val claims = t.claims.join(claimsIds,
-      t.claims("id.id") === col("_d_id"), "left_anti")
+    val claims =
+      if (hasOwner)
+        t.claims.join(claimsIds,
+          t.claims("src_tb") === col("_owner_tb") &&
+            t.claims("id.id") === col("_d_id"), "left_anti")
+      else
+        t.claims.join(claimsIds.select(col("_d_id")),
+          t.claims("id.id") === col("_d_id"), "left_anti")
     WikiTables(entities, claims)
   }
 

@@ -244,6 +244,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall of ${brute.size} pairs")
   }
 
+  test("embedding near-dup: hot-bucket guard bounds a degenerate bucket") {
+    // 300 identical vectors co-bucket in EVERY table — without the
+    // cap the self-pairing is quadratic (300 choose 2 = 44850 pairs);
+    // with maxBucket=256 the degenerate bucket is dropped everywhere
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val constVec = Array.fill(dim)(0.5f).toSeq
+    val clones = spark.createDataFrame(
+      (100000L until 100300L).map(i => (i, constVec, 0)))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+    val spiked = emb.unionByName(clones)
+    val guarded = Similarity.embeddingNearDups(spiked, 0.99, maxBucket = 256)
+      .filter(col("id_a") >= 100000L).count()
+    assert(guarded === 0, "degenerate bucket must be dropped by the cap")
+    // the same corpus WITHOUT the cap explodes — proving the guard,
+    // not bucket luck, is what bounded the candidate set
+    val unguarded = Similarity.embeddingNearDups(spiked, 0.99, maxBucket = 1000000)
+      .filter(col("id_a") >= 100000L).count()
+    assert(unguarded === 300L * 299 / 2)
+    // and the ordinary corpus result is unaffected by the guard
+    val normal = Similarity.embeddingNearDups(emb, 0.4, maxBucket = 1024).count()
+    val capped = Similarity.embeddingNearDups(emb, 0.4, maxBucket = 256).count()
+    assert(normal === capped)
+  }
+
   test("approx aggregates within tolerance of exact") {
     val approx = graft.queries.Extended.qApprox(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -158,6 +158,29 @@ class WikidataPipelineSpec extends AnyFunSuite {
     assert(mono > 0)
   }
 
+  test("B7: MultilingualText union branch fills from an array-shaped value") {
+    val dir = tmp()
+    // authored fixture: one claim whose datavalue.value is an ARRAY of
+    // Text objects — the wikidata crate's MultilingualText(Vec<Text>)
+    // variant (SURVEY §1.1); absent from real dumps but a real branch
+    // of the reference's value union
+    val line =
+      """[
+        |{"type":"item","id":"Q8","labels":{"en":{"language":"en","value":"eight"}},"claims":{"P9":[{"mainsnak":{"snaktype":"value","property":"P9","datavalue":{"value":[{"text":"hello","language":"en"},{"text":"hallo","language":"de"}],"type":"multilingualtext"},"datatype":"multilingualtext"},"type":"statement","rank":"normal"}]}}
+        |]""".stripMargin
+    Files.writeString(JPaths.get(s"$dir/multi.json"), line)
+    val n = Transform.normalize(
+      WikidataSource.read(spark, s"$dir/multi.json"), "en")
+    val texts = n.select(expr(
+      "transform(claims_arr[0].value.ClaimValueData.MultilingualText, t -> t.lang || ':' || t.text)"))
+      .collect()(0).getSeq[String](0)
+    assert(texts === Seq("en:hello", "de:hallo"))
+    // exactly one union branch non-null: Thing and MonolingualText stay null
+    assert(n.select(expr("claims_arr[0].value.Thing")).collect()(0).isNullAt(0))
+    assert(n.select(expr("claims_arr[0].value.ClaimValueData.MonolingualText"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("B15: update widens schema with conditional column") {
     val updated = Ops.update(entityTables.entities,
       col("label") === "Black Clover, season 1",
