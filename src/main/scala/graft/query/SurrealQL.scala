@@ -11,7 +11,9 @@ import graft.ingest.Load.WikiTables
   * B1-B16 + B18 in string form):
   *
   *   - `LET $var = <expr>;` / `RETURN <expr>;`
-  *   - `SELECT <proj,...> FROM Entity|$var [WHERE <cond>]`
+  *   - scalar arithmetic in expressions: `$a * 2`, `$x + $y`, ...
+  *   - `SELECT <proj,...> FROM Entity|$var [WHERE <cond>]
+  *     [ORDER BY f [ASC|DESC], ...] [LIMIT n]`
   *   - projections: `*`, `<path> [AS alias]`, parenthesized
   *     subselects with `[0]`/`.field` postfix, `count(<subselect>)`
   *   - paths: `claims.claims[WHERE id = Property:N]`, `[0]`,
@@ -111,8 +113,84 @@ object SurrealQL {
         applyPostfix(vars(name), postfix)
       case parenRe(inner, postfix) if balanced(inner) =>
         applyPostfix(evalExpr(inner.trim, t, vars), postfix)
+      case _ if !e.matches("(?is)^SELECT\\b.*") && topLevelOp(e).isDefined =>
+        val (lhs, op, rhs) = topLevelOp(e).get
+        val a = numOf(lhs, t, vars)
+        val b = numOf(rhs, t, vars)
+        val spark = t.entities.sparkSession
+        val value: Column = (a, b) match {
+          // integral stays integral except under division
+          case (x: Long, y: Long) if op != '/' =>
+            lit(op match {
+              case '+' => x + y
+              case '-' => x - y
+              case '*' => x * y
+            })
+          case _ =>
+            val (x, y) = (toD(a), toD(b))
+            lit(op match {
+              case '+' => x + y
+              case '-' => x - y
+              case '*' => x * y
+              case '/' => x / y
+            })
+        }
+        spark.range(1).select(value.as("value"))
       case _ => evalSelect(e, t, vars)
     }
+  }
+
+  /** Rightmost top-level (not inside parens/brackets/strings) binary
+    * arithmetic operator, additive before multiplicative — the scalar
+    * algebra of LET/RETURN expressions. `-` counts only when preceded
+    * by a term (else it's a sign). */
+  private def topLevelOp(s: String): Option[(String, Char, String)] = {
+    var depth = 0; var quote = false
+    var addIdx = -1; var mulIdx = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => quote = !quote
+        case '(' | '[' if !quote => depth += 1
+        case ')' | ']' if !quote => depth -= 1
+        case '+' if !quote && depth == 0 => addIdx = i
+        case '*' | '/' if !quote && depth == 0 => mulIdx = i
+        case '-' if !quote && depth == 0 =>
+          val prev = s.substring(0, i).reverse.dropWhile(_.isWhitespace)
+            .headOption
+          if (prev.exists(p => p.isLetterOrDigit || p == ')' || p == ']'))
+            addIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    val idx = if (addIdx >= 0) addIdx else mulIdx
+    if (idx < 0) None
+    else Some((s.substring(0, idx).trim, s.charAt(idx),
+      s.substring(idx + 1).trim))
+  }
+
+  /** A scalar term: numeric literal, or any expression whose 1-row
+    * result yields a number. */
+  private def numOf(s: String, t: WikiTables,
+                    vars: Map[String, DataFrame]): Any =
+    if (s.matches("-?[0-9]+")) s.toLong
+    else if (s.matches("-?[0-9]*\\.[0-9]+")) s.toDouble
+    else scalarOf(evalExpr(s, t, vars)) match {
+      case null => throw new IllegalArgumentException(
+        s"non-scalar arithmetic term: $s")
+      case n: java.lang.Double => n.doubleValue()
+      case n: java.lang.Float => n.doubleValue()
+      case n: java.math.BigDecimal => n.doubleValue()
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric arithmetic term: $s = $other")
+    }
+
+  private def toD(a: Any): Double = a match {
+    case n: Number => n.doubleValue()
+    case _ => throw new IllegalArgumentException(s"not a number: $a")
   }
 
   /** `[0]` on a DataFrame = first row (SurrealQL array-of-rows);
@@ -136,9 +214,13 @@ object SurrealQL {
 
   private def evalSelect(sql: String, t: WikiTables,
                          vars: Map[String, DataFrame]): DataFrame = {
-    val selRe = "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)(?:\\s+WHERE\\s+(.+))?$".r
+    val selRe = ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ORDER\\s+BY\\s+([a-zA-Z_][a-zA-Z0-9_]*(?:\\s+(?:ASC|DESC))?" +
+      "(?:\\s*,\\s*[a-zA-Z_][a-zA-Z0-9_]*(?:\\s+(?:ASC|DESC))?)*))?" +
+      "(?:\\s+LIMIT\\s+([0-9]+))?$").r
     sql match {
-      case selRe(projs, source, cond) =>
+      case selRe(projs, source, cond, orderBy, limit) =>
         val base = source match {
           case "Entity" => Paths.withClaims(
             t.entities.filter(col("id.tb") === "Entity"), t.claims)
@@ -177,7 +259,23 @@ object SurrealQL {
               cols :+ col("_claims_src_tb")
             else cols
           } else cols
-        filtered.select(withProv: _*)
+        val projected = filtered.select(withProv: _*)
+        // ORDER BY names output fields (aliases included), SurrealQL
+        // style; LIMIT after ordering
+        val ordered = Option(orderBy) match {
+          case Some(ob) =>
+            val sorts = ob.split(",").map(_.trim).map { item =>
+              item.split("\\s+").toList match {
+                case f :: Nil => col(f).asc
+                case f :: d :: Nil if d.equalsIgnoreCase("desc") => col(f).desc
+                case f :: _ => col(f).asc
+                case Nil => throw new IllegalArgumentException("empty ORDER BY")
+              }
+            }
+            projected.orderBy(sorts.toIndexedSeq: _*)
+          case None => projected
+        }
+        Option(limit).map(n => ordered.limit(n.toInt)).getOrElse(ordered)
       case _ => throw new IllegalArgumentException(s"cannot parse: $sql")
     }
   }

@@ -270,6 +270,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(normal === capped)
   }
 
+  test("merge: upsert is correct and untouched buckets are not rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_spec").toString
+    val t = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    Merge.writeTarget(t, dir, "k", nBuckets = 8)
+    def bucketFiles(b: Long): Map[String, Long] = {
+      val d = new java.io.File(dir, s"_mb=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val before = (0L until 8L).map(b => b -> bucketFiles(b)).toMap
+    // delta: update k=1,2 and insert k=5000 — touches <= 3 buckets
+    val delta = spark.createDataFrame(Seq(1L -> -1L, 2L -> -2L, 5000L -> -5L))
+      .toDF("k", "v")
+    Merge.into(spark, dir, delta, "k", nBuckets = 8)
+    val out = Merge.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 1001)
+    assert(out(1L) === -1L && out(2L) === -2L && out(5000L) === -5L)
+    assert(out(0L) === 0L && out(999L) === 1998L)
+    // partition pruning: buckets without delta keys keep their exact
+    // files (same names, same mtimes) — they were never rewritten
+    val touched = delta
+      .select(Merge.bucketOf(col("k"), 8)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(touched.size <= 3 && touched.size < 8)
+    (0L until 8L).filterNot(touched).foreach { b =>
+      assert(bucketFiles(b) === before(b), s"bucket $b was rewritten")
+    }
+  }
+
   test("approx aggregates within tolerance of exact") {
     val approx = graft.queries.Extended.qApprox(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap

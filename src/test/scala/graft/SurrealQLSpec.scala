@@ -63,6 +63,30 @@ class SurrealQLSpec extends AnyFunSuite {
       "Black Clover, season 1")
   }
 
+  test("extension: ORDER BY / LIMIT in SELECT") {
+    val out = SurrealQL.run(tables,
+      """return select label from Entity ORDER BY label DESC LIMIT 2;""")
+    val got = out.returned.get.collect().map(_.getString(0)).toSeq
+    assert(got === Seq("Black Clover, season 1", "Black Clover"))
+    val asc = SurrealQL.run(tables,
+      """return select label from Entity order by label limit 1;""")
+    assert(asc.returned.get.collect().map(_.getString(0)).toSeq ===
+      Seq("Banana Fish"))
+  }
+
+  test("extension: scalar arithmetic in LET/RETURN") {
+    val script =
+      """let $eps = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as eps from Entity where label = "Black Clover, season 1")[0].eps;
+        |return $eps * 2;""".stripMargin
+    val out = SurrealQL.run(tables, script)
+    assert(out.returned.get.collect()(0).getDouble(0) === 102.0)
+    // long algebra stays long; division promotes
+    val l = SurrealQL.run(tables, "return count(select label from Entity) + 7;")
+    assert(l.returned.get.collect()(0).getLong(0) === 10L)
+    val d = SurrealQL.run(tables, "return count(select label from Entity) / 2;")
+    assert(d.returned.get.collect()(0).getDouble(0) === 1.5)
+  }
+
   test("Useful queries.md 'Get Parts' block verbatim") {
     val script =
       """let $parts = (select claims.claims[where id = Property:527].value.Thing as parts from Entity where label = "Black Clover")[0].parts;
