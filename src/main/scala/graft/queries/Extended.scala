@@ -247,7 +247,57 @@ object Extended {
       greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
       least(col("l_tax"), col("l_discount")).as("l"))
 
+  /** TPC-H Q18 shape (large-volume customers): the inner HAVING
+    * aggregate reduces lineitem to qualifying orderkeys BEFORE any
+    * join — at 100 TB the join probe side is the filtered aggregate
+    * (473 rows at sf0.1), never raw lineitem. */
+  def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir)("lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val o = t(s, dir)("orders")
+    val c = t(s, dir)("customer")
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("sum_qty"), 2).as("total_qty"))
+  }
+
+  /** Keep-latest-per-key dedup (row_number = 1): THE warehouse dedup
+    * idiom — one shuffle on the key; at scale this is how snapshots
+    * collapse a CDC/append log. Full tie-break makes it deterministic. */
+  def qDedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir)("orders")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** Ordered string aggregation (listagg/string_agg): sorted
+    * collect_list keeps partial-aggregation order from leaking into
+    * the result — parallelism-stable on both engines. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders").groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_list(col("o_orderstatus"))), ",")
+        .as("statuses"))
+
+  /** ntile quartiles over a full tie-broken ordering. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir)("orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_tpch_q18" -> (qTpchQ18 _),
+    "x_dedup_latest" -> (qDedupLatest _),
+    "x_string_agg" -> (qStringAgg _),
+    "x_ntile" -> (qNtile _),
     "x_having" -> (qHaving _),
     "x_window_range" -> (qWindowRange _),
     "x_string2" -> (qString2 _),
@@ -273,6 +323,14 @@ object Extended {
     "x_null_funcs" -> (qNullFuncs _))
 
   val oracle: Map[String, String] = Map(
+    "x_tpch_q18" ->
+      "SELECT c_custkey, c_name, o_orderkey, round((sum_qty)*1e2)/1e2 AS total_qty FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) big ON o_orderkey = l_orderkey JOIN customer ON o_custkey = c_custkey",
+    "x_dedup_latest" ->
+      "SELECT o_custkey, o_orderkey, round((o_totalprice)*1e2)/1e2 AS price FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1",
+    "x_string_agg" ->
+      "SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses FROM orders GROUP BY o_custkey",
+    "x_ntile" ->
+      "SELECT o_orderkey, o_orderstatus, CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile FROM orders",
     "x_having" ->
       "SELECT l_partkey, count(*) AS n, round((sum(l_quantity))*1e2)/1e2 AS qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45",
     "x_window_range" ->

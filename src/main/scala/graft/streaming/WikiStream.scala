@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.ingest.{Transform, WikidataSource}
-import graft.query.{Ops, Paths}
-import graft.ingest.Load.WikiTables
+import graft.operators.Merge
+import graft.query.Paths
 
 /** Streaming Wikidata ingest + incremental materialized-view
   * maintenance (SURVEY §7 / B16's Structured-Streaming extension).
@@ -16,11 +16,11 @@ import graft.ingest.Load.WikiTables
   * [[incrementalMediaView]] maintains the reference's Media view
   * (episodes/parent/children) incrementally: each micro-batch
   * computes view rows for the arriving entities only and upserts them
-  * into the materialized parquet by id — the view stays fresh without
-  * recomputing history. (`foreachBatch` + anti-join merge: the
-  * pattern Delta's MERGE automates; on plain parquet the rewrite is
-  * explicit. At cluster scale the view would be id-partitioned so the
-  * merge rewrites only touched partitions.)
+  * by id through [[graft.operators.Merge]] — the view is laid out in
+  * hash buckets of the id, and each micro-batch reads and rewrites
+  * ONLY the buckets its ids land in (partition-pruned MERGE, the
+  * operation Delta/Iceberg automate), so the view stays fresh without
+  * recomputing or rewriting history.
   */
 object WikiStream {
 
@@ -48,56 +48,37 @@ object WikiStream {
       Paths.things(col("claims_arr"), 527).as("children"))
 
   /** Start the incremental view: dump files land in `dumpDir`, the
-    * view materializes at `viewDir`. Returns the running query;
-    * `processAllAvailable()` to drain synchronously. */
+    * view materializes at `viewDir` as a [[graft.operators.Merge]]
+    * bucketed target. Returns the running query;
+    * `processAllAvailable()` to drain synchronously.
+    *
+    * Each micro-batch UPSERTs its view rows by entity id through the
+    * partition-pruned merge: only buckets containing arriving ids are
+    * read or rewritten — at 100 TB a micro-batch touches
+    * O(batch + touched buckets), never the whole view (the earlier
+    * formulation rewrote the full view per batch). Replays are
+    * idempotent: re-merging the same rows upserts to the same state,
+    * so a crash mid-swap converges on the checkpointed retry. */
   def incrementalMediaView(spark: SparkSession, dumpDir: String,
                            viewDir: String, checkpoint: String,
-                           lang: String = "en"): StreamingQuery =
+                           lang: String = "en",
+                           nBuckets: Int = 16): StreamingQuery =
     normalizedStream(spark, dumpDir, lang).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val updates = mediaRows(batch).cache()
-        try {
-          // crash-safe staged swap on plain parquet: write the merged
-          // view next to the live one, then directory-rename into
-          // place (local rename is atomic). A crash between delete
-          // and rename leaves the staged copy — recovered below. The
-          // checkpointed micro-batch replays idempotently either way.
-          // (Delta/Iceberg MERGE is the managed-table form of this.)
-          val live = new java.io.File(viewDir)
-          val staged = new java.io.File(viewDir + "_staged")
-          val base =
-            if (valid(live)) Some(viewDir)
-            else if (valid(staged)) Some(staged.getPath) // crash recovery
-            else None
-          val merged = base match {
-            case Some(dir) =>
-              val existing = batch.sparkSession.read.parquet(dir)
-              val upd = updates.select(col("id").as("_u_id"))
-              existing.join(upd,
-                  existing("id.tb") === col("_u_id.tb") &&
-                    existing("id.id") === col("_u_id.id"),
-                  "left_anti")
-                .unionByName(updates)
-            case None => updates
-          }
-          val next = new java.io.File(viewDir + "_next")
-          merged.write.mode(SaveMode.Overwrite).parquet(next.getPath)
-          deleteRecursively(staged)
-          if (live.exists()) { live.renameTo(staged); () }
-          next.renameTo(live)
-          deleteRecursively(staged)
-        } finally updates.unpersist()
+        // one row per id within a batch (a dump can repeat an entity;
+        // which copy wins is arbitrary, matching upsert semantics)
+        val updates = mediaRows(batch).dropDuplicates("id")
+        val live = new java.io.File(viewDir)
+        val bootstrapped = live.exists() &&
+          new java.io.File(live, "_SUCCESS").exists() &&
+          live.listFiles().exists(_.getName.startsWith("_mb="))
+        if (!bootstrapped)
+          Merge.writeTarget(updates, viewDir, "id", nBuckets)
+        else
+          Merge.into(batch.sparkSession, viewDir, updates, "id", nBuckets)
       }
       .start()
-
-  private def valid(dir: java.io.File): Boolean =
-    dir.exists() && new java.io.File(dir, "_SUCCESS").exists()
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
 }
