@@ -72,6 +72,24 @@ object Dedup {
         (round(col("jac") * 1e4) / 1e4).as("jaccard"))
   }
 
+  /** Benchmark-contamination check: for each corpus doc, the number
+    * of its distinct word 3-grams that also appear in ANY probe
+    * (benchmark/eval) document — the standard n-gram-overlap decon
+    * pass a training corpus runs before release. The probe shingle
+    * set is small (eval suites are), so at 100 TB it broadcasts and
+    * the corpus side is a map-side semi-join + one groupBy on
+    * doc_id; the corpus never self-joins. */
+  def contamination(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(corpus.sparkSession)
+    val c = corpus.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text")))).as("sh"))
+    val p = probes
+      .select(explode(array_distinct(shingles(col("text")))).as("sh"))
+      .distinct()
+    c.join(broadcast(p), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 64-perm MinHash signature — compiled kernel
     * ([[graft.functions.HashExpressions.MinHashSignature]]): one
     * xxHash per shingle, 64 affine permutations in a primitive loop.
@@ -201,6 +219,11 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_clean_corpus" -> ((s, dir) => cleanCorpus(docs(s, dir))),
     "d_minhash_exact" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir))),
+    // docs 0-9 stand in for the benchmark/eval set
+    "d_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      contamination(d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10))
+    }),
     "d_exact" -> ((s, dir) => exact(docs(s, dir), col("text"))),
     "d_exact_norm" -> ((s, dir) =>
       exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
@@ -218,6 +241,8 @@ object Dedup {
       "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     "d_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""",
+    "d_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN probe p ON s.sh = p.sh WHERE s.doc_id >= 10 GROUP BY s.doc_id""",
     // the oracle has NO LSH — matching it proves banded discovery
     // recall = 1 at J >= 0.8 on this corpus (see minhashVerifiedPairs)
     "d_minhash_exact" ->

@@ -83,6 +83,17 @@ object TextAnalysis {
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
+  /** Deterministic train/test split: bucket = first 16 md5 bits of
+    * the key, mod 100. Stable across runs, partitionings, cluster
+    * sizes AND engines (md5 is md5 everywhere) — the property a
+    * training-data split must have so re-running the pipeline never
+    * migrates a document across the split. Pure map work, no
+    * shuffle. */
+  def hashSplit(df: DataFrame, key: Column, trainPct: Int): DataFrame =
+    df.withColumn("split",
+      when(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 < trainPct, "train").otherwise("test"))
+
   // ------------------------------------------------------- queries //
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -106,6 +117,9 @@ object TextAnalysis {
         .select(col("token"),
           array_join(col("postings").cast("array<string>"), ",").as("postings"),
           col("df"))),
+    "t_hash_split" -> ((s, dir) =>
+      hashSplit(docs(s, dir), col("doc_id"), 80)
+        .select(col("doc_id"), col("split"))),
     "t_langid" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), enScore(col("text")).as("en_score"),
       predictedLang(col("text")).as("pred_lang"))),
@@ -119,6 +133,8 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t_inverted_index" ->
       "SELECT token, coalesce(array_to_string(list_sort(list(DISTINCT doc_id)), ','), '') AS postings, count(DISTINCT doc_id) AS df FROM (SELECT unnest(string_split(lower(text), ' ')) AS token, doc_id FROM documents) GROUP BY token",
+    "t_hash_split" ->
+      "SELECT doc_id, CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train' ELSE 'test' END AS split FROM documents",
     "t_langid" ->
       s"""SELECT doc_id, round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 AS en_score, CASE WHEN round((CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))*1e4)/1e4 >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang FROM documents""",
     "t_quality" ->

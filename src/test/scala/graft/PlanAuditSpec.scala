@@ -88,6 +88,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("contamination: probe shingles broadcast — corpus side never self-joins") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val p = plan(graft.operators.Dedup.contamination(
+      d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10)))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("anti-join delete (B14) compiles to a single join, no cartesian") {
     val p = plan(Relational.b14Delete(spark, sf))
     assert(p.contains("LeftAnti"), p)
