@@ -88,6 +88,33 @@ object EventsStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join (click attribution): each view
+    * joined to the same user's clicks in (view_ts, view_ts + 30 min].
+    * Watermarks on BOTH sides plus the time-range condition are what
+    * let Spark bound the join state: a buffered view older than
+    * watermark + 30 min can never match a future click and is
+    * evicted — without the range bound, stream-stream join state
+    * grows forever. On a batch frame the watermark is a no-op and the
+    * SAME function is the DuckDB-oracled twin (`q_stream_join`) —
+    * one definition, two execution modes. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+  }
+
   /** Drive a streaming query synchronously from a batch parquet dir
     * (memory sink) — the local smoke path; swap `readStream` source +
     * `writeStream` sink for kafka/delta in deployment. */

@@ -244,6 +244,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall of ${brute.size} pairs")
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    // the SAME clickAttribution definition driven as a real
+    // stream-stream join (file source, two watermarked branches) must
+    // emit exactly the batch result — all data in one micro-batch, so
+    // no late-drop divergence
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventsStream.clickAttribution(stream).writeStream
+      .outputMode("append").format("memory").queryName("ops_stream_join")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ops_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventsStream.clickAttribution(
+      Tables.load(spark, sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("embedding near-dup: hot-bucket guard bounds a degenerate bucket") {
     // 300 identical vectors co-bucket in EVERY table — without the
     // cap the self-pairing is quadratic (300 choose 2 = 44850 pairs);
