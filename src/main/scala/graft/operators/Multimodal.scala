@@ -86,6 +86,33 @@ object Multimodal {
     }
   }
 
+  /** Resize stage: cap the longer side at `maxDim`, preserving aspect
+    * ratio (integer truncation, floorMod-free: dims are positive).
+    * Payload-free typed map over the decoded records — the stage a
+    * real pipeline runs between decode and feature extraction; the
+    * stub keeps features unchanged (a real codec would re-extract). */
+  def resizeAll(decoded: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { f =>
+      val longer = math.max(f.width, f.height)
+      if (longer <= maxDim) f
+      else {
+        val scale = maxDim.toDouble / longer
+        f.copy(width = math.max(1, (f.width * scale).toInt),
+          height = math.max(1, (f.height * scale).toInt))
+      }
+    }
+  }
+
+  /** Frame-sampling stage: one row per sampled frame of each video —
+    * the explode that feeds per-frame models downstream. Offsets come
+    * from the decode stage (every 1024 payload bytes in the stub). */
+  def frameRows(decoded: DataFrame): DataFrame =
+    decoded.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        posexplode(col("frame_offsets")).as(Seq("frame_no", "offset")))
+
   /** Metadata projection — payload-pruned scan (check ReadSchema:
     * `media` is still read here because n_bytes/hash derive from it;
     * a metadata-only query prunes it entirely). */
@@ -101,11 +128,18 @@ object Multimodal {
       d.select(col("doc_id"), col("kind"), col("width"), col("height"),
         size(col("features")).as("n_features"),
         size(col("frame_offsets")).as("n_frames"))
-    }))
+    }),
+    // frame offsets are payload-length-derived (every 1024 bytes), so
+    // the explode is fully SQL-oracle-checkable — the one multimodal
+    // stage whose output is engine-independent
+    "mm_frames" -> ((s, dir) =>
+      frameRows(decodeAll(mediaTable(s, dir)).toDF())))
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
-      "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS content_hash FROM documents")
+      "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS content_hash FROM documents",
+    "mm_frames" ->
+      "SELECT doc_id, CAST(off / 1024 AS INTEGER) AS frame_no, CAST(off AS INTEGER) AS offset FROM (SELECT doc_id, unnest(range(0, octet_length(CAST(text AS BLOB)), 1024)) AS off FROM documents WHERE doc_id % 3 = 2)")
   // mm_decode: stub codec output — rows-only driver check; determinism
   // and schema pinned by MultimodalSpec.
 }

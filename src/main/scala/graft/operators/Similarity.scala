@@ -200,6 +200,74 @@ object Similarity {
         (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
   }
 
+  /** Materialize the IVF index as the layout [[ivfCosineTopK]]'s doc
+    * promises: vectors written `partitionBy("cell")`, centroids as a
+    * tiny side table. At 100 TB this is the persisted ANN index — a
+    * search touches nProbe of nCells partition directories and the
+    * scan PRUNES the rest (asserted in SimilaritySpec on the physical
+    * plan). */
+  def writeIvfIndex(embeddings: DataFrame, path: String,
+                    nCells: Int = 16, refineIters: Int = 2): Unit = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val seed = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("ce"))
+    val centroids = broadcast(
+      if (refineIters > 0) kmeansRefine(embeddings, seed, refineIters)
+      else seed)
+    centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    embeddings.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("ce")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probed search over a persisted [[writeIvfIndex]] layout. The
+    * probe-cell set is collected driver-side — bounded by nCells, not
+    * by data — and becomes a literal partition filter, so the index
+    * scan reads only the probed directories. */
+  def searchIvfIndex(spark: SparkSession, path: String,
+                     queries: DataFrame, k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    graft.functions.HashExpressions.register(spark)
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probes = queries.crossJoin(centroids)
+      .select(col("qid"), col("qe"), col("cell"),
+        cosine(col("qe"), col("ce")).as("csim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qe"), col("cell"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // <= nCells values, not a data collect
+    val index = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val cand = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"),
+        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+  }
+
+  /** The pruned index scan of [[searchIvfIndex]], exposed for plan
+    * audits. */
+  def ivfIndexScan(spark: SparkSession, path: String,
+                   cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cells.map(c => c: Any): _*))
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ `threshold`. Discovery via multi-table SRP-LSH buckets
     * (same-bucket-in-any-table candidates — at 100 TB this replaces

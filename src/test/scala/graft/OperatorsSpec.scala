@@ -107,6 +107,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("IVF index on disk: search matches in-memory IVF, scan prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.writeIvfIndex(emb, path, nCells = 16, refineIters = 2)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val fromIndex = Similarity.searchIvfIndex(spark, path, queries, 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMemory = Similarity.ivfCosineTopK(emb, 10, 5,
+        nCells = 16, nProbe = 4, refineIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex === inMemory)
+    // the probed read is partition-pruned: cell is a partition column
+    // and the literal IN filter reaches PartitionFilters (directories
+    // outside the probe set are never listed, let alone read)
+    val p = Similarity.ivfIndexScan(spark, path, Seq(1, 3))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), p)
+  }
+
   test("IVF-ANN: k-means refinement preserves cell count and seed-level recall") {
     val exact = Similarity.cosineTopK(emb, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -195,6 +216,20 @@ class OperatorsSpec extends AnyFunSuite {
     // frame sampling only for video kind
     assert(a.forall(f => (f.kind == "video") == f.frame_offsets.nonEmpty))
     assert(byId === b.map(f => f.doc_id -> f).toMap.keys.map(k => k -> byId(k)).toMap)
+    // resize stage: longer side capped, aspect preserved, small dims
+    // untouched (decode emits 64-127, so maxDim=96 exercises both)
+    val resized = Multimodal.resizeAll(
+      Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)), 96).collect()
+    assert(resized.exists(f => math.max(f.width, f.height) == 96))
+    resized.foreach { f =>
+      val orig = byId(f.doc_id)
+      assert(math.max(f.width, f.height) <= 96, f.toString)
+      if (math.max(orig.width, orig.height) <= 96)
+        assert(f.width == orig.width && f.height == orig.height)
+      else
+        assert((f.width <= orig.width) && (f.height <= orig.height) &&
+          f.width >= 1 && f.height >= 1)
+    }
   }
 
   test("streaming windowed rollup matches the batch twin on closed windows") {
