@@ -227,6 +227,8 @@ object HashExpressions {
       exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams_3",
       exprs => WordNgrams(exprs.head, 3), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams_2",
+      exprs => WordNgrams(exprs.head, 2), "built-in")
   }
 
   def minhash_signature(c: Column): Column = call_function("minhash_signature", c)
@@ -236,6 +238,7 @@ object HashExpressions {
   def sig_agreement(a: Column, b: Column): Column =
     call_function("sig_agreement", a, b)
   def word_ngrams3(c: Column): Column = call_function("word_ngrams_3", c)
+  def word_ngrams2(c: Column): Column = call_function("word_ngrams_2", c)
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

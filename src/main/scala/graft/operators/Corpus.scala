@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions
+import graft.sources.Tables
+
+/** Corpus-curation operators: the cleaning/mixing stages a training-
+  * data pipeline runs AFTER per-document scoring ([[TextAnalysis]])
+  * and BEFORE dedup ([[Dedup]]) — repetition signals, corpus-level
+  * boilerplate detection, PII scrubbing, and deterministic sampling
+  * (class-balanced and token-budgeted).
+  *
+  * Scale notes (100 TB): repetition and PII are per-document —
+  * repetition shuffles only narrow (doc_id, token) pairs with map-side
+  * partial aggregation; PII is pure scan-speed regex. Boilerplate is
+  * the one corpus-global stage: shingle doc-frequencies aggregate with
+  * partial combine, and the surviving boilerplate set (frequent
+  * shingles only — small by construction) broadcasts back, so the
+  * corpus is never shuffled whole. Both samplers key on md5(doc_id),
+  * which is stable across runs, partitionings, cluster sizes and
+  * engines — re-running the pipeline never migrates a document across
+  * the sample boundary.
+  */
+object Corpus {
+
+  private def r4(c: Column): Column = round(c * 1e4) / 1e4
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Gopher-style repetition signals: the fraction of tokens taken by
+    * the single most frequent word, and the fraction of duplicated
+    * bigrams. High values flag machine-generated / boilerplate docs.
+    * Distributed shape: explode to (doc_id, token) and aggregate —
+    * documents are small, so per-doc groups never skew. */
+  def repetitionSignals(df: DataFrame, text: Column): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val words = df.select(col("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).count()
+      .groupBy(col("doc_id"))
+      .agg(max(col("count")).as("maxc"), sum(col("count")).as("n_tokens"))
+    val bigrams = df.select(col("doc_id"),
+        explode(HashExpressions.word_ngrams2(tokens(text))).as("bg"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bg")).as("d_bi"), count(lit(1)).as("n_bi"))
+    words.join(bigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("maxc").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"),
+        r4(lit(1.0) - col("d_bi").cast("double") / col("n_bi").cast("double"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** Corpus-level boilerplate: 3-gram shingles occurring in at least
+    * `minDocs` distinct documents are "boilerplate" (headers, footers,
+    * license blurbs at web scale); each document reports how much of
+    * it is made of them. The boilerplate set is frequent-only, hence
+    * small, hence broadcast — the corpus-side explode is never
+    * re-shuffled for the membership join. */
+  def boilerplateSignals(df: DataFrame, text: Column,
+                         minDocs: Int = 5): DataFrame = {
+    HashExpressions.register(df.sparkSession)
+    val sh = df.select(col("doc_id"),
+      explode(array_distinct(HashExpressions.word_ngrams3(tokens(text))))
+        .as("sh"))
+    val boiler = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+      .filter(col("docfreq") >= minDocs)
+      .select(col("sh"), lit(1).as("isb"))
+    sh.join(broadcast(boiler), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("isb")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        r4(col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+          .as("boiler_frac"))
+  }
+
+  /** Conservative ASCII patterns shared with the DuckDB oracle (RE2 ∩
+    * java.util.regex — no lookaround, no \b). */
+  val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phone numbers. Spark's regexp_replace is
+    * global by default; the DuckDB twin needs the 'g' flag. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-document PII audit: match counts plus an md5 digest of the
+    * scrubbed text (md5 is engine-independent, so the digest oracles
+    * the full scrubbed string without shipping it). */
+  def piiAudit(df: DataFrame, text: Column): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(phoneRe), lit(0))).as("n_phones"),
+      md5(scrubPii(text)).as("scrub_hash"))
+
+  /** Class-balanced downsampling: classes larger than `cap` keep a
+    * deterministic md5-bucket fraction ≈ cap/|class|; smaller classes
+    * keep everything. Class sizes come from a pre-aggregated broadcast
+    * (classes ≪ rows), so the data pass is a scan + map-side join —
+    * no shuffle of the corpus. floor() before the integer cast on BOTH
+    * engines (double→int casts round differently). */
+  def stratifiedSample(df: DataFrame, classCol: Column, key: Column,
+                       cap: Int): DataFrame = {
+    val counts = df.groupBy(classCol.as("_cls")).agg(count(lit(1)).as("_cnt"))
+    val bucket =
+      conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 10000
+    df.join(broadcast(counts), classCol === col("_cls"))
+      .filter(bucket < floor(
+        least(lit(1.0), lit(cap.toDouble) / col("_cnt").cast("double")) * 10000)
+        .cast("long"))
+      .drop("_cls", "_cnt")
+  }
+
+  /** Token-budget corpus mixing: within each class, take documents in
+    * deterministic md5-bucket order until the running token count
+    * exceeds `budget` — the "N tokens per source" recipe of LLM data
+    * mixes. One window per class; a class bigger than an executor's
+    * partition would be pre-split by bucket range at real scale. */
+  def tokenBudgetSample(df: DataFrame, classCol: Column, key: Column,
+                        estTokens: Column, budget: Long): DataFrame = {
+    val bucket =
+      conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val w = Window.partitionBy(classCol).orderBy(bucket.asc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(estTokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  // ------------------------------------------------------- queries //
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** The corpus has no organic PII, so the audit query plants a
+    * deterministic synthetic tail (same expression in the oracle) —
+    * the scrubber and counters then run on real + planted content. */
+  private def withSyntheticPii(df: DataFrame): DataFrame =
+    df.withColumn("text", concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex.com tel 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_repetition" -> ((s, dir) =>
+      repetitionSignals(docs(s, dir), col("text"))),
+    "c_boilerplate" -> ((s, dir) =>
+      boilerplateSignals(docs(s, dir), col("text"), minDocs = 5)),
+    "c_pii_scrub" -> ((s, dir) =>
+      piiAudit(withSyntheticPii(docs(s, dir)), col("text"))),
+    "c_stratified_sample" -> ((s, dir) =>
+      stratifiedSample(docs(s, dir), col("source"), col("doc_id"), cap = 8)
+        .select(col("doc_id"), col("source"))),
+    "c_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("est_tokens",
+        ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+      tokenBudgetSample(d, col("source"), col("doc_id"),
+          col("est_tokens"), budget = 500L)
+        .select(col("doc_id"), col("source"), col("est_tokens"),
+          col("cum_tokens"))
+    }))
+
+  private val piiText =
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  val oracle: Map[String, String] = Map(
+    "c_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |w AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc, CAST(sum(c) AS BIGINT) AS n_tokens
+        |      FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) GROUP BY 1),
+        |bg AS (SELECT doc_id, count(DISTINCT bg) AS d_bi, count(*) AS n_bi
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+        |             FROM documents) GROUP BY 1)
+        |SELECT w.doc_id, n_tokens,
+        |  round((CAST(maxc AS DOUBLE) / CAST(n_tokens AS DOUBLE))*1e4)/1e4 AS top_word_frac,
+        |  round((1.0 - CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE))*1e4)/1e4 AS dup_bigram_frac
+        |FROM w JOIN bg ON w.doc_id = bg.doc_id""".stripMargin,
+    "c_boilerplate" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, sh FROM
+        |  (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS sh
+        |   FROM documents)),
+        |bo AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 5)
+        |SELECT s.doc_id, count(*) AS n_shingles, count(bo.sh) AS n_boiler,
+        |  round((CAST(count(bo.sh) AS DOUBLE) / CAST(count(*) AS DOUBLE))*1e4)/1e4 AS boiler_frac
+        |FROM sh s LEFT JOIN bo ON s.sh = bo.sh GROUP BY s.doc_id""".stripMargin,
+    "c_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all($piiText, '[a-z0-9.]+@[a-z0-9.]+')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all($piiText, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(regexp_replace($piiText, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_hash
+         |FROM documents""".stripMargin,
+    "c_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, count(*) OVER (PARTITION BY source) AS cnt,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 AS b
+        |  FROM documents)
+        |WHERE b < CAST(floor(least(1.0, 8.0 / cnt) * 10000) AS BIGINT)""".stripMargin,
+    "c_token_budget" ->
+      """SELECT doc_id, source, est_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, est_tokens,
+        |    CAST(sum(est_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM (SELECT doc_id, source,
+        |          CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens,
+        |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+        |        FROM documents))
+        |WHERE cum_tokens <= 500""".stripMargin)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** Pins the corpus-curation operators against hand-computed truth on
+  * planted documents (the oracle gate covers the full tables; these
+  * cover the semantics on known content). */
+class CorpusSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.HashExpressions.register(s)
+    s
+  }
+
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetition signals: hand-computed fractions on planted docs") {
+    // "a a a b": top word a=3/4; bigrams [a a, a a, a b] → dup 1-2/3
+    val out = Corpus.repetitionSignals(
+        docsDf(1L -> "a a a b", 2L -> "w x y z"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 0.75, 0.3333)))
+    assert(out(2L) === ((4L, 0.25, 0.0))) // all distinct: no repetition
+  }
+
+  test("boilerplate: shared shingle flagged at threshold, unique text not") {
+    // "common header here" appears in 3 docs (minDocs=3); doc 4 is clean
+    val df = docsDf(
+      1L -> "common header here alpha beta gamma",
+      2L -> "common header here delta epsilon zeta",
+      3L -> "common header here eta theta iota",
+      4L -> "nothing shared at all in this one")
+    val out = Corpus.boilerplateSignals(df, col("text"), minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each doc has 4 distinct shingles; only "common header here" is boiler
+    assert(out(1L) === ((4L, 1L)) && out(2L) === ((4L, 1L)) &&
+      out(3L) === ((4L, 1L)))
+    assert(out(4L)._2 === 0L)
+  }
+
+  test("pii scrub: planted email and phone redacted, counts exact") {
+    val df = docsDf(1L -> "mail me at jo.doe@site.org or call 555-1234 now",
+      2L -> "no pii here at all")
+    val audited = Corpus.piiAudit(df, col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(audited(1L) === ((1, 1)) && audited(2L) === ((0, 0)))
+    val scrubbed = df.select(col("doc_id"), Corpus.scrubPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed(1L) === "mail me at <EMAIL> or call <PHONE> now")
+    assert(scrubbed(2L) === "no pii here at all")
+  }
+
+  test("stratified sample: small classes intact, large classes near cap, deterministic") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 200L).map(i => (i, "big")) ++
+      (201L to 205L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val kept = Corpus.stratifiedSample(df, col("src"), col("doc_id"), cap = 20)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") === 5L) // under cap: keep all
+    // rate 0.1 of 200 → expected 20; md5 buckets are uniform enough for 3x
+    assert(bySrc("big") > 0L && bySrc("big") < 60L, bySrc.toString)
+    val again = Corpus.stratifiedSample(df, col("src"), col("doc_id"), cap = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("token budget: cumsum bounded and prefix-closed in bucket order") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => (i, "cls", 10L)).toDF("doc_id", "src", "est")
+    val kept = Corpus.tokenBudgetSample(df, col("src"), col("doc_id"),
+        col("est"), budget = 95L)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.length === 9) // 9 docs * 10 tokens = 90 <= 95 < 100
+    assert(kept.forall(_._2 <= 95L))
+    // prefix-closed: the kept set is exactly the first k in bucket order
+    val order = df.select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("b"))
+      .orderBy("b", "doc_id").collect().map(_.getLong(0)).take(9).toSet
+    assert(kept.map(_._1).toSet === order)
+  }
+}
