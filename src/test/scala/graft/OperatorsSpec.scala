@@ -107,6 +107,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall=$recall")
   }
 
+  test("incremental LSH index: probe equals batch LSH on cross-shard pairs, append folds in") {
+    val shard = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.initLshIndex(corpus, "graft_test_idx")
+    val inc = Dedup.dedupAgainstIndex(spark, shard, "graft_test_idx",
+        maxBucket = 100000)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))) -> r.getDouble(2)).toMap
+    // batch twin: full-corpus LSH restricted to cross-shard pairs
+    val batch = Dedup.minhashPairs(docs, maxBucket = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .filter { case ((a, b), _) => (a % 5 == 0) != (b % 5 == 0) }
+    assert(inc === batch)
+    assert(inc.nonEmpty, "generator plants near-dups crossing any 1-in-5 split")
+    // append: fold the shard in; a shard doc must now be discoverable
+    // as dup_of by a clone of itself probed against the grown index
+    Dedup.appendToLshIndex(shard, "graft_test_idx")
+    val probeDoc = shard.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(999999L))
+    val hits = Dedup.dedupAgainstIndex(spark, probeDoc, "graft_test_idx",
+        maxBucket = 100000)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(0L), s"appended doc 0 not found by its clone: $hits")
+    spark.sql("DROP TABLE IF EXISTS graft_test_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS graft_test_idx_sigs")
+  }
+
   test("IVF index on disk: search matches in-memory IVF, scan prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(emb, path, nCells = 16, refineIters = 2)

@@ -97,6 +97,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("boilerplate: frequent-shingle set broadcasts back onto the corpus") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val p = plan(graft.operators.Corpus.boilerplateSignals(d, col("text")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("stratified sample: class counts broadcast — corpus pass is scan + filter") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val p = plan(graft.operators.Corpus.stratifiedSample(
+      d, col("source"), col("doc_id"), cap = 8))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("anti-join delete (B14) compiles to a single join, no cartesian") {
     val p = plan(Relational.b14Delete(spark, sf))
     assert(p.contains("LeftAnti"), p)
@@ -124,6 +139,34 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS li_b")
+    }
+  }
+
+  test("incremental dedup probe: index side joins with NO exchange (bucketed layout)") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    graft.operators.Dedup.initLshIndex(
+      d.filter(col("doc_id") % 5 =!= 0), "graft_audit_idx")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = graft.operators.Dedup.bandKeys(graft.operators.Dedup
+          .signatures(d.filter(col("doc_id") % 5 === 0)))
+        .select(col("doc_id").as("new_id"), col("bucket"))
+      val guarded = spark.table("graft_audit_idx_bands")
+        .withColumn("bcnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+        .filter(col("bcnt") <= 64)
+      val p = plan(guarded.join(probe, "bucket"))
+      // exactly one hashpartitioning exchange: the (small) probe side.
+      // The index scan feeds its window AND the join shuffle-free.
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"index side must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_audit_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_audit_idx_sigs")
     }
   }
 
