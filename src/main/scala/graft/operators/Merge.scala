@@ -90,6 +90,145 @@ object Merge {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("_mb")
 
+  // ---------------------------------------- versioned (time travel) //
+  //
+  // The swap protocol above reclaims space immediately but destroys
+  // history. The versioned variant is the lakehouse form (Delta's
+  // log / Iceberg's snapshots re-expressed on plain parquet): bucket
+  // data files are IMMUTABLE — a merge writes its touched buckets
+  // into a fresh `_data/v<N>/_mb=<b>/` directory and publishes a new
+  // manifest mapping every bucket to the directory holding its
+  // current rows. Readers resolve a manifest, never a live directory,
+  // so any retained version reconstructs exactly; publication is a
+  // single manifest-file rename, so a crash mid-merge leaves the
+  // previous version intact and complete. Space is reclaimed
+  // explicitly with [[vacuum]]. Manifest size is O(nBuckets) — at
+  // 4096 buckets it is a few hundred KB of text per version, the same
+  // order as a Delta checkpoint, and the touched-bucket merge cost
+  // stays O(|delta| + |touched buckets|).
+
+  private def manifestDir(path: String) = new java.io.File(path, "_manifests")
+
+  private def writeManifest(path: String, version: Int, nBuckets: Int,
+                            entries: Map[Long, String]): Unit = {
+    val dir = manifestDir(path); dir.mkdirs()
+    val tmp = new java.io.File(dir, s"v$version.tsv.tmp")
+    val out = new java.io.PrintWriter(tmp, "UTF-8")
+    try {
+      out.println(s"#nBuckets=$nBuckets")
+      entries.toSeq.sortBy(_._1).foreach { case (b, rel) =>
+        out.println(s"$b\t$rel")
+      }
+    } finally out.close()
+    val fin = new java.io.File(dir, s"v$version.tsv")
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"manifest publish failed for v$version")
+  }
+
+  /** All published versions at `path`, ascending. */
+  def versions(path: String): Seq[Int] = {
+    val fs = Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
+    fs.map(_.getName).collect {
+      case n if n.matches("v\\d+\\.tsv") => n.stripPrefix("v").stripSuffix(".tsv").toInt
+    }.sorted.toSeq
+  }
+
+  private def readManifest(path: String, version: Int): (Int, Map[Long, String]) = {
+    val f = new java.io.File(manifestDir(path), s"v$version.tsv")
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+    val nBuckets = lines.head.stripPrefix("#nBuckets=").toInt
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, rel) = l.split("\t", 2); b.toLong -> rel
+    }.toMap
+    (nBuckets, entries)
+  }
+
+  /** Create a versioned merge target (publishes version 0). */
+  def writeVersioned(df: DataFrame, path: String, key: String,
+                     nBuckets: Int = 16): Unit = {
+    val dataDir = s"$path/_data/v0"
+    df.withColumn("_mb", bucketOf(col(key), nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(dataDir)
+    val present = Option(new java.io.File(dataDir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
+      .map(f => f.getName.stripPrefix("_mb=").toLong ->
+        s"_data/v0/${f.getName}").toMap
+    writeManifest(path, 0, nBuckets, present)
+  }
+
+  /** Read a published version (default: latest). Rows come straight
+    * from the manifest's immutable bucket directories; the layout
+    * column is not materialized (it re-derives from the key). */
+  def readVersioned(spark: SparkSession, path: String,
+                    version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else versions(path).last
+    val (_, entries) = readManifest(path, v)
+    val dirs = entries.values.toSeq.sorted.map(rel => s"$path/$rel")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Upsert `delta`, publishing a new version. Touched buckets are
+    * read via the CURRENT manifest (pruned by construction — only
+    * their directories are listed), merged, written immutably under
+    * the new version's directory; untouched buckets carry their old
+    * directories forward in the manifest, byte-identical. */
+  def mergeVersioned(spark: SparkSession, path: String, delta: DataFrame,
+                     key: String): Unit = {
+    val cur = versions(path).last
+    val (nBuckets, entries) = readManifest(path, cur)
+    val d = delta.withColumn("_mb", bucketOf(col(key), nBuckets))
+    val touched = d.select(col("_mb")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val oldDirs = touched.toSeq.flatMap(entries.get).map(rel => s"$path/$rel")
+    val old =
+      if (oldDirs.isEmpty) None
+      else Some(spark.read.parquet(oldDirs: _*)
+        .withColumn("_mb", bucketOf(col(key), nBuckets)))
+    val deltaKeys = d.select(col(key).as("_d_key")).distinct()
+    val merged = old.map(_.join(deltaKeys, col(key) === col("_d_key"), "left_anti")
+        .drop("_d_key").unionByName(d))
+      .getOrElse(d)
+    val next = cur + 1
+    val staging = s"$path/_m_staging_v$next"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
+    val verDir = new java.io.File(path, s"_data/v$next"); verDir.mkdirs()
+    touched.foreach { b =>
+      val src = new java.io.File(staging, s"_mb=$b")
+      val dst = new java.io.File(verDir, s"_mb=$b")
+      if (src.exists() && !src.renameTo(dst))
+        throw new java.io.IOException(s"versioned merge move failed: bucket $b")
+    }
+    deleteRecursively(new java.io.File(staging))
+    val updated = entries ++ touched.filter(b =>
+        new java.io.File(verDir, s"_mb=$b").exists())
+      .map(b => b -> s"_data/v$next/_mb=$b")
+    writeManifest(path, next, nBuckets, updated)
+  }
+
+  /** Drop all but the last `keepLast` versions: their manifests go,
+    * then every bucket directory no retained manifest references.
+    * Returns the deleted data directories (relative). */
+  def vacuum(path: String, keepLast: Int): Seq[String] = {
+    val vs = versions(path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = keep.flatMap(v => readManifest(path, v)._2.values).toSet
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    val dataRoot = new java.io.File(path, "_data")
+    Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { vdir =>
+      Option(vdir.listFiles()).getOrElse(Array.empty).foreach { bdir =>
+        val rel = s"_data/${vdir.getName}/${bdir.getName}"
+        if (!referenced.contains(rel)) {
+          deleteRecursively(bdir); removed += rel
+        }
+      }
+      if (Option(vdir.listFiles()).exists(_.isEmpty)) vdir.delete()
+    }
+    drop.foreach(v =>
+      new java.io.File(manifestDir(path), s"v$v.tsv").delete())
+    removed.toSeq
+  }
+
   // ------------------------------------------------------- queries //
 
   /** Oracle-checked end-to-end merge: customers upserted with a delta
@@ -117,8 +256,36 @@ object Merge {
         .as("acctbal"))
   }
 
+  /** Oracle-checked time travel: v0 = customers, v1 = balance bump on
+    * keys ≡ 0 (mod 3), v2 = rename on keys ≡ 0 (mod 7) — where the v2
+    * delta is DERIVED BY READING v1, so the read path feeds the write
+    * path. The result unions all three reconstructed versions; the
+    * DuckDB oracle restates the chain relationally with no versioning
+    * machinery at all. */
+  def timeTravelDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tt").toString
+    writeVersioned(c, path, "c_custkey")
+    mergeVersioned(s, path, c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal")), "c_custkey")
+    mergeVersioned(s, path,
+      readVersioned(s, path, 1).filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(lit("upd2#"), col("c_name")).as("c_name"),
+          col("c_acctbal")), "c_custkey")
+    (0 to 2).map(v => readVersioned(s, path, v)
+        .select(lit(v).as("version"), col("c_custkey"), col("c_name"),
+          (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
+            .as("acctbal")))
+      .reduce(_.unionByName(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_merge_upsert" -> (mergeDemo _))
+    "m_merge_upsert" -> (mergeDemo _),
+    "m_time_travel" -> (timeTravelDemo _))
 
   val oracle: Map[String, String] = Map(
     // the upsert stated relationally: updated-or-kept customers plus
@@ -134,5 +301,24 @@ object Merge {
            SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
            WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
            UNION ALL
-           SELECT * FROM delta)""")
+           SELECT * FROM delta)""",
+    // every historical state restated relationally: hash equality
+    // proves each retained version reconstructs exactly
+    "m_time_travel" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+           d1 AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+                  FROM base WHERE c_custkey % 3 = 0),
+           s1 AS (SELECT * FROM base b
+                  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.c_custkey = b.c_custkey)
+                  UNION ALL SELECT * FROM d1),
+           d2 AS (SELECT c_custkey, 'upd2#' || c_name AS c_name, c_acctbal
+                  FROM s1 WHERE c_custkey % 7 = 0),
+           s2 AS (SELECT * FROM s1 t
+                  WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.c_custkey = t.c_custkey)
+                  UNION ALL SELECT * FROM d2)
+         SELECT CAST(0 AS INTEGER) AS version, c_custkey, c_name, round((c_acctbal)*1e2)/1e2 AS acctbal FROM base
+         UNION ALL
+         SELECT CAST(1 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s1
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s2""")
 }

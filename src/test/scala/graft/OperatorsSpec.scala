@@ -386,6 +386,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned merge: every version reconstructs; vacuum drops only unreferenced dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("tt_spec").toString
+    val t = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    Merge.writeVersioned(t, dir, "k", nBuckets = 8)
+    Merge.mergeVersioned(spark, dir,
+      spark.createDataFrame(Seq(1L -> -1L, 5000L -> -5L)).toDF("k", "v"), "k")
+    Merge.mergeVersioned(spark, dir,
+      spark.createDataFrame(Seq(2L -> -2L)).toDF("k", "v"), "k")
+    assert(Merge.versions(dir) === Seq(0, 1, 2))
+    def state(v: Int) = Merge.readVersioned(spark, dir, v).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v0 = state(0); val v1 = state(1); val v2 = state(2)
+    assert(v0.size === 1000 && v0(1L) === 2L && !v0.contains(5000L))
+    assert(v1.size === 1001 && v1(1L) === -1L && v1(5000L) === -5L && v1(2L) === 4L)
+    assert(v2.size === 1001 && v2(2L) === -2L && v2(1L) === -1L)
+    // untouched buckets carry the SAME directory forward across versions
+    // (immutable data files — only manifests change)
+    assert(Merge.readVersioned(spark, dir).collect().length === 1001) // latest = v2
+    val removed = Merge.vacuum(dir, keepLast = 1)
+    assert(removed.nonEmpty, "old bucket versions should be reclaimed")
+    assert(Merge.versions(dir) === Seq(2))
+    assert(state(2) === v2, "latest version must survive vacuum intact")
+  }
+
   test("approx aggregates within tolerance of exact") {
     val approx = graft.queries.Extended.qApprox(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
