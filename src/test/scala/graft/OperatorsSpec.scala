@@ -386,6 +386,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("online dedup stream: within-batch and cross-batch near-dups dropped, index grows") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val in = JF.createTempDirectory("ods_in").toString
+    val out = JF.createTempDirectory("ods_out").toString + "/corpus"
+    val cp = JF.createTempDirectory("ods_cp").toString
+    def doc(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    val a = "alpha beta gamma delta epsilon"
+    val b = "one two three four five"
+    val c = "red green blue yellow purple"
+    JF.writeString(JP.get(s"$in/f1.json"),
+      doc(1, a) + "\n" + doc(2, a) + "\n" + doc(5, b))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").json(in)
+    val q = graft.streaming.CorpusStream.onlineDedup(
+      stream, "graft_ods_idx", out, cp)
+    try {
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(v1 === Set(1L, 5L), s"got $v1") // 2 intra-dups 1
+      // batch 2: 7 dups batch-1's doc 1; 9 intra-dups 8; 8 is novel
+      JF.writeString(JP.get(s"$in/f2.json"),
+        doc(7, a) + "\n" + doc(8, c) + "\n" + doc(9, c))
+      q.processAllAvailable()
+      val v2 = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(v2 === Set(1L, 5L, 8L), s"got $v2")
+      // the greedy sequential fold over (batch, doc_id) order agrees
+      // by construction: 2→1, 7→1, 9→8 dropped; 1, 5, 8 kept
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_ods_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_ods_idx_sigs")
+    }
+  }
+
   test("versioned merge: every version reconstructs; vacuum drops only unreferenced dirs") {
     val dir = java.nio.file.Files.createTempDirectory("tt_spec").toString
     val t = spark.range(0, 1000)
