@@ -57,6 +57,50 @@ object Skew {
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Pure decision rule, exposed for testing: salt only when the
+    * hottest key's share exceeds what one reducer should hold (2/par —
+    * below that AQE's runtime splitting is enough), and size the salt
+    * so the hot key spreads to ~its fair share of the cluster:
+    * share×par×2 buckets, capped at `parallelism`. */
+  def chooseBuckets(maxShare: Double, parallelism: Int): Int =
+    if (maxShare <= 2.0 / parallelism) 1
+    else math.min(parallelism,
+      math.max(2, math.ceil(maxShare * parallelism * 2).toInt))
+
+  /** Hottest-key share from a bounded deterministic sample — the
+    * planning statistic for [[chooseBuckets]]. Two tiny jobs over a
+    * `fraction` sample (top-1 key count + sample size), the same kind
+    * of pre-pass AQE's stats collection does; collects one row, never
+    * data. Seeded sample + stable file splits ⇒ reproducible plans. */
+  def sampledMaxShare(df: DataFrame, key: String,
+                      fraction: Double = 0.05, seed: Long = 42L): Double = {
+    val s = df.select(col(key)).sample(fraction, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = s.count()
+      if (total == 0) 0.0
+      else {
+        val top = s.groupBy(col(key)).count()
+          .orderBy(col("count").desc).limit(1)
+          .collect().head.getLong(1)
+        top.toDouble / total
+      }
+    } finally { s.unpersist(); () }
+  }
+
+  /** Skew-adaptive aggregation: measure, then pick the plain GROUP BY
+    * or the salted rewrite with a data-derived bucket count. The
+    * result is identical either way (the oracle pins it); only the
+    * shuffle layout changes. */
+  def autoSaltedAgg(df: DataFrame, key: String, valueCol: String,
+                    parallelism: Int = 32): DataFrame = {
+    val buckets = chooseBuckets(sampledMaxShare(df, key), parallelism)
+    if (buckets <= 1)
+      df.groupBy(col(key))
+        .agg(sum(col(valueCol)).as("total"), count(lit(1)).as("n"))
+    else saltedAgg(df, key, valueCol, buckets)
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,6 +108,15 @@ object Skew {
     "k_salted_agg" -> ((s, dir) => {
       val out = saltedAgg(Tables.load(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice")
+      out.select(col("l_returnflag"),
+        (round(col("total") * 1e2) / 1e2).as("total"), col("n"))
+    }),
+    // l_returnflag has 3 values (~1/3 share each) — the sampler must
+    // detect the skew and route through the salted path; the oracle is
+    // the plain GROUP BY either way
+    "k_auto_salted" -> ((s, dir) => {
+      val out = autoSaltedAgg(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity")
       out.select(col("l_returnflag"),
         (round(col("total") * 1e2) / 1e2).as("total"), col("n"))
     }),
@@ -80,6 +133,8 @@ object Skew {
     // GROUP BY — round(2) absorbs the reassociation error
     "k_salted_agg" ->
       "SELECT l_returnflag, round((sum(l_extendedprice))*1e2)/1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "k_auto_salted" ->
+      "SELECT l_returnflag, round((sum(l_quantity))*1e2)/1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "k_salted_join" ->
       "SELECT p_brand, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand")
 }

@@ -386,6 +386,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-salting: decision rule routes skew to the salted path, result unchanged") {
+    assert(Skew.chooseBuckets(0.01, 32) === 1) // balanced: plain GROUP BY
+    assert(Skew.chooseBuckets(0.33, 32) === 22) // ceil(.33*64), spread wide
+    assert(Skew.chooseBuckets(1.0, 32) === 32) // degenerate single key: cap
+    val s = spark; import s.implicits._
+    val df = ((1 to 900).map(_ => ("hot", 1L)) ++
+      (1 to 100).map(i => (s"k$i", 1L))).toDF("k", "v")
+    val share = Skew.sampledMaxShare(df, "k", fraction = 0.5)
+    assert(share > 0.5, s"planted 90% hot key, sampled share=$share")
+    val out = Skew.autoSaltedAgg(df, "k", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("hot") === ((900L, 900L)) && out("k1") === ((1L, 1L)))
+    assert(out.size === 101)
+  }
+
   test("online dedup stream: within-batch and cross-batch near-dups dropped, index grows") {
     import java.nio.file.{Files => JF, Paths => JP}
     val in = JF.createTempDirectory("ods_in").toString
