@@ -13,7 +13,9 @@ import graft.ingest.Load.WikiTables
   *   - `LET $var = <expr>;` / `RETURN <expr>;`
   *   - scalar arithmetic in expressions: `$a * 2`, `$x + $y`, ...
   *   - `SELECT <proj,...> FROM Entity|$var [WHERE <cond>]
-  *     [ORDER BY f [ASC|DESC], ...] [LIMIT n]`
+  *     [GROUP BY f, ... | GROUP ALL]
+  *     [ORDER BY f [ASC|DESC], ...] [LIMIT n]` — aggregates:
+  *     `count()`, `math::sum|mean|max|min(<path>)`
   *   - projections: `*`, `<path> [AS alias]`, parenthesized
   *     subselects with `[0]`/`.field` postfix, `count(<subselect>)`
   *   - paths: `claims.claims[WHERE id = Property:N]`, `[0]`,
@@ -216,11 +218,13 @@ object SurrealQL {
                          vars: Map[String, DataFrame]): DataFrame = {
     val selRe = ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)" +
       "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+GROUP\\s+(ALL|BY\\s+[a-zA-Z_][a-zA-Z0-9_]*" +
+      "(?:\\s*,\\s*[a-zA-Z_][a-zA-Z0-9_]*)*))?" +
       "(?:\\s+ORDER\\s+BY\\s+([a-zA-Z_][a-zA-Z0-9_]*(?:\\s+(?:ASC|DESC))?" +
       "(?:\\s*,\\s*[a-zA-Z_][a-zA-Z0-9_]*(?:\\s+(?:ASC|DESC))?)*))?" +
       "(?:\\s+LIMIT\\s+([0-9]+))?$").r
     sql match {
-      case selRe(projs, source, cond, orderBy, limit) =>
+      case selRe(projs, source, cond, groupSpec, orderBy, limit) =>
         val base = source match {
           case "Entity" => Paths.withClaims(
             t.entities.filter(col("id.tb") === "Entity"), t.claims)
@@ -234,7 +238,8 @@ object SurrealQL {
         }
         val items = splitTop(projs, ',').map(_.trim).filter(_.nonEmpty)
         val asRe = "(?is)^(.*?)\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*)$".r
-        val cols = items.flatMap {
+        // lazy: under GROUP the items are aggregate calls, not paths
+        lazy val cols = items.flatMap {
           case "*" =>
             filtered.columns
               .filter(c => c != "claims_arr" && c != "_claims_src_tb")
@@ -251,7 +256,7 @@ object SurrealQL {
         // Lexeme:N alike) — carry the owner as hidden provenance so a
         // later DELETE anti-joins claims on the collision-free
         // (src_tb, id) key instead of the numeric id alone
-        val withProv =
+        lazy val withProv =
           if (items.contains("claims") && !items.contains("*")) {
             if (filtered.columns.contains("id"))
               cols :+ col("id.tb").as("_claims_src_tb")
@@ -259,7 +264,33 @@ object SurrealQL {
               cols :+ col("_claims_src_tb")
             else cols
           } else cols
-        val projected = filtered.select(withProv: _*)
+        // GROUP BY f,... / GROUP ALL (SurrealQL's aggregation forms):
+        // aggregate projections are count() and the math:: family over
+        // a claims path; group keys project implicitly
+        val projected = Option(groupSpec) match {
+          case Some(g) =>
+            val keys =
+              if (g.equalsIgnoreCase("ALL")) Seq.empty[String]
+              else g.replaceFirst("(?is)^BY\\s+", "")
+                .split(",").map(_.trim).toSeq
+            val aggRe = ("(?is)^(count|math::sum|math::mean|math::max|" +
+              "math::min)\\s*\\(\\s*(.*?)\\s*\\)" +
+              "(?:\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*))?$").r
+            val aggs = items.collect { case aggRe(fn, arg, alias) =>
+              val c = fn.toLowerCase match {
+                case "count" => count(lit(1))
+                case "math::sum" => sum(compileProj(arg))
+                case "math::mean" => avg(compileProj(arg))
+                case "math::max" => max(compileProj(arg))
+                case "math::min" => min(compileProj(arg))
+              }
+              c.as(Option(alias).getOrElse(fn.replace("::", "_")))
+            }
+            require(aggs.nonEmpty, s"GROUP without aggregates: $sql")
+            filtered.groupBy(keys.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+          case None => filtered.select(withProv: _*)
+        }
         // ORDER BY names output fields (aliases included), SurrealQL
         // style; LIMIT after ordering
         val ordered = Option(orderBy) match {

@@ -74,6 +74,22 @@ class SurrealQLSpec extends AnyFunSuite {
       Seq("Banana Fish"))
   }
 
+  test("extension: GROUP ALL and GROUP BY with count()/math:: aggregates") {
+    // whole-table aggregation: 3 fixture entities, episode counts
+    // 170 + 24 + 51 = 245
+    val all = SurrealQL.run(tables,
+      """SELECT count() AS n, math::sum(claims.claims[WHERE id = Property:1113][0].value.ClaimValueData.Quantity.amount) AS total, math::max(claims.claims[WHERE id = Property:1113][0].value.ClaimValueData.Quantity.amount) AS hi FROM Entity GROUP ALL;"""
+    ).returned.get.collect().head
+    assert(all.getLong(0) === 3L)
+    assert(all.getDouble(1) === 245.0 && all.getDouble(2) === 170.0)
+    // grouped: one row per label, ordered
+    val byLabel = SurrealQL.run(tables,
+      """SELECT label, count() AS n FROM Entity GROUP BY label ORDER BY label;"""
+    ).returned.get.collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(byLabel.toSeq === Seq("Banana Fish" -> 1L,
+      "Black Clover" -> 1L, "Black Clover, season 1" -> 1L))
+  }
+
   test("extension: scalar arithmetic in LET/RETURN") {
     val script =
       """let $eps = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as eps from Entity where label = "Black Clover, season 1")[0].eps;
