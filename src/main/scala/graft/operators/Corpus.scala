@@ -105,9 +105,10 @@ object Corpus {
   def stratifiedSample(df: DataFrame, classCol: Column, key: Column,
                        cap: Int): DataFrame = {
     val counts = df.groupBy(classCol.as("_cls")).agg(count(lit(1)).as("_cnt"))
-    val bucket =
-      conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 10000
-    df.join(broadcast(counts), classCol === col("_cls"))
+    val bucket = TextAnalysis.md5Bucket16(key) % 10000
+    // null-safe: a null class is a class too (<=> matches it to its
+    // count row; plain === would silently drop every null-class doc)
+    df.join(broadcast(counts), classCol <=> col("_cls"))
       .filter(bucket < floor(
         least(lit(1.0), lit(cap.toDouble) / col("_cnt").cast("double")) * 10000)
         .cast("long"))
@@ -121,8 +122,7 @@ object Corpus {
     * partition would be pre-split by bucket range at real scale. */
   def tokenBudgetSample(df: DataFrame, classCol: Column, key: Column,
                         estTokens: Column, budget: Long): DataFrame = {
-    val bucket =
-      conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+    val bucket = TextAnalysis.md5Bucket16(key)
     val w = Window.partitionBy(classCol).orderBy(bucket.asc, key.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(estTokens).over(w))

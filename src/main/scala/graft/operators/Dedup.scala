@@ -179,26 +179,38 @@ object Dedup {
     val uri = java.net.URI.create(wh)
     val base = if (uri.getScheme == "file") new java.io.File(uri.getPath)
                else new java.io.File(wh)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
     val loc = new java.io.File(base, name.toLowerCase)
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) graft.sources.LocalFs.deleteRecursively(loc)
   }
 
+  /** With `location` set, the index tables are EXTERNAL at
+    * `location/bands` and `location/sigs`: the catalog entry is
+    * re-creatable from the directories ([[ensureIndexRegistered]]),
+    * so the index survives a session/process restart even on the
+    * default in-memory catalog — required for long-lived streams
+    * ([[graft.streaming.CorpusStream]]). Without it the tables are
+    * managed (single-session lifetime). */
   def initLshIndex(df: DataFrame, table: String, nBuckets: Int = 8,
-                   bands: Int = 16, rows: Int = 4): Unit = {
+                   bands: Int = 16, rows: Int = 4,
+                   location: Option[String] = None): Unit = {
     clearTable(df.sparkSession, s"${table}_bands")
     clearTable(df.sparkSession, s"${table}_sigs")
+    location.foreach { dir =>
+      graft.sources.LocalFs.deleteRecursively(new java.io.File(dir, "bands"))
+      graft.sources.LocalFs.deleteRecursively(new java.io.File(dir, "sigs"))
+    }
     // both writes consume the signatures — compute the kernel once
     val sigd = signatures(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bandKeys(sigd, bands, rows).write
+      val bw = bandKeys(sigd, bands, rows).write
         .bucketBy(nBuckets, "bucket").sortBy("bucket")
-        .mode(SaveMode.Overwrite).saveAsTable(s"${table}_bands")
-      sigd.write.mode(SaveMode.Overwrite).saveAsTable(s"${table}_sigs")
+        .mode(SaveMode.Overwrite)
+      location.fold(bw)(dir => bw.option("path", s"$dir/bands"))
+        .saveAsTable(s"${table}_bands")
+      val sw = sigd.write.mode(SaveMode.Overwrite)
+      location.fold(sw)(dir => sw.option("path", s"$dir/sigs"))
+        .saveAsTable(s"${table}_sigs")
     } finally { sigd.unpersist(); () }
   }
 
@@ -214,6 +226,28 @@ object Dedup {
         .mode(SaveMode.Append).saveAsTable(s"${table}_bands")
       sigd.write.mode(SaveMode.Append).saveAsTable(s"${table}_sigs")
     } finally { sigd.unpersist(); () }
+  }
+
+  /** Recover the catalog entries of an external-location index after
+    * a restart (the in-memory catalog forgets them; the directories
+    * don't). Returns true when the index is usable — already
+    * registered, or re-registered from `location` with its bucketing
+    * DDL intact. False means no index exists yet. */
+  def ensureIndexRegistered(spark: SparkSession, table: String,
+                            location: String, nBuckets: Int = 8): Boolean = {
+    if (spark.catalog.tableExists(s"${table}_bands")) return true
+    val bandsDir = new java.io.File(location, "bands")
+    val sigsDir = new java.io.File(location, "sigs")
+    if (!bandsDir.exists() || !sigsDir.exists()) return false
+    spark.sql(
+      s"""CREATE TABLE ${table}_bands (doc_id BIGINT, bucket BIGINT)
+         |USING PARQUET
+         |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $nBuckets BUCKETS
+         |LOCATION '${bandsDir.getAbsolutePath}'""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE ${table}_sigs (doc_id BIGINT, sig ARRAY<BIGINT>)
+         |USING PARQUET LOCATION '${sigsDir.getAbsolutePath}'""".stripMargin)
+    true
   }
 
   /** Near-dups of `newDocs` against an [[initLshIndex]] corpus index.

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{LocalFs, Tables}
 
 /** Partition-pruned MERGE (upsert) on plain parquet — the managed-
   * table primitive (Delta/Iceberg `MERGE INTO`) re-expressed as an
@@ -43,47 +43,75 @@ object Merge {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("_mb").parquet(path)
 
+  private def stagingDir(path: String) = path + "_m_staging"
+
+  /** Complete a crashed swap before anything reads the target. A
+    * staging dir bearing Spark's `_SUCCESS` marker holds the NEWEST
+    * complete copy of every bucket it contains (the write finished;
+    * only the renames were cut short) — so "staging wins": its buckets
+    * move into place, replacing whatever half-state the crash left.
+    * A staging dir without the marker is an aborted write and is
+    * discarded. Idempotent; [[into]] runs it on entry. */
+  def recoverSwap(path: String): Unit = {
+    val staging = new java.io.File(stagingDir(path))
+    if (!staging.exists()) return
+    if (new java.io.File(staging, "_SUCCESS").exists()) {
+      Option(staging.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
+        .foreach { src =>
+          val dst = new java.io.File(path, src.getName)
+          LocalFs.deleteRecursively(dst)
+          if (!src.renameTo(dst))
+            throw new java.io.IOException(
+              s"swap recovery failed for ${src.getName}")
+        }
+    }
+    LocalFs.deleteRecursively(staging)
+  }
+
   /** Upsert `delta` into the bucketed target at `path`. Key matches
     * take the delta row; new keys append. Only buckets containing
     * delta keys are read or rewritten. */
   def into(spark: SparkSession, path: String, delta: DataFrame,
            key: String, nBuckets: Int = 16): Unit = {
+    recoverSwap(path) // restore any bucket a crashed swap left missing
+    // the delta feeds the touched-bucket collect, the anti-join key
+    // side AND the union — cache it across the three uses
     val d = delta.withColumn("_mb", bucketOf(col(key), nBuckets))
-    // touched buckets: at most nBuckets longs — a driver-side set,
-    // not a data collect
-    val touched = d.select(col("_mb")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return
-    val target = spark.read
-      // schema from the parquet footer, partition column retained
-      .option("basePath", path).parquet(path)
-      .filter(col("_mb").isin(touched.toIndexedSeq: _*)) // partition-pruned scan
-    val deltaKeys = d.select(col(key).as("_d_key")).distinct()
-    val merged = target
-      .join(deltaKeys, target(key) === col("_d_key"), "left_anti")
-      .drop("_d_key")
-      .unionByName(d.withColumn("_mb", col("_mb").cast("long")))
-    // staged write + per-bucket directory swap: the merged buckets
-    // land next to the live table, then only the touched `_mb=`
-    // directories move into place. Never an in-place overwrite of a
-    // path being read; a crash mid-swap loses at most the swap (the
-    // staging copy is still complete). On HDFS/object stores the
-    // renames go through the FileSystem API; locally java.io suffices.
-    val staging = path + "_m_staging"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
-    touched.foreach { b =>
-      val src = new java.io.File(staging, s"_mb=$b")
-      val dst = new java.io.File(path, s"_mb=$b")
-      deleteRecursively(dst)
-      if (!src.renameTo(dst))
-        throw new java.io.IOException(s"merge swap failed for bucket $b")
-    }
-    deleteRecursively(new java.io.File(staging))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(); ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched buckets: at most nBuckets longs — a driver-side set,
+      // not a data collect
+      val touched = d.select(col("_mb")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.isEmpty) return
+      val target = spark.read
+        // schema from the parquet footer, partition column retained
+        .option("basePath", path).parquet(path)
+        .filter(col("_mb").isin(touched.toIndexedSeq: _*)) // partition-pruned scan
+      val deltaKeys = d.select(col(key).as("_d_key")).distinct()
+      val merged = target
+        .join(deltaKeys, target(key) === col("_d_key"), "left_anti")
+        .drop("_d_key")
+        .unionByName(d.withColumn("_mb", col("_mb").cast("long")))
+      // staged write + per-bucket directory swap: the merged buckets
+      // land next to the live table, then only the touched `_mb=`
+      // directories move into place. Never an in-place overwrite of a
+      // path being read; a crash mid-swap is healed by recoverSwap on
+      // the next merge (staging keeps the complete copy until every
+      // rename landed). On HDFS/object stores the renames go through
+      // the FileSystem API; locally java.io suffices.
+      val staging = stagingDir(path)
+      merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
+      touched.foreach { b =>
+        val src = new java.io.File(staging, s"_mb=$b")
+        val dst = new java.io.File(path, s"_mb=$b")
+        LocalFs.deleteRecursively(dst)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"merge swap failed for bucket $b")
+      }
+      LocalFs.deleteRecursively(new java.io.File(staging))
+    } finally { d.unpersist(); () }
   }
 
   /** Read a merge target (drops the layout column). */
@@ -176,40 +204,50 @@ object Merge {
                      key: String): Unit = {
     val cur = versions(path).last
     val (nBuckets, entries) = readManifest(path, cur)
+    // three uses (touched collect, anti-join keys, union) — cache
     val d = delta.withColumn("_mb", bucketOf(col(key), nBuckets))
-    val touched = d.select(col("_mb")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return
-    val oldDirs = touched.toSeq.flatMap(entries.get).map(rel => s"$path/$rel")
-    val old =
-      if (oldDirs.isEmpty) None
-      else Some(spark.read.parquet(oldDirs: _*)
-        .withColumn("_mb", bucketOf(col(key), nBuckets)))
-    val deltaKeys = d.select(col(key).as("_d_key")).distinct()
-    val merged = old.map(_.join(deltaKeys, col(key) === col("_d_key"), "left_anti")
-        .drop("_d_key").unionByName(d))
-      .getOrElse(d)
-    val next = cur + 1
-    val staging = s"$path/_m_staging_v$next"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
-    val verDir = new java.io.File(path, s"_data/v$next"); verDir.mkdirs()
-    touched.foreach { b =>
-      val src = new java.io.File(staging, s"_mb=$b")
-      val dst = new java.io.File(verDir, s"_mb=$b")
-      if (src.exists() && !src.renameTo(dst))
-        throw new java.io.IOException(s"versioned merge move failed: bucket $b")
-    }
-    deleteRecursively(new java.io.File(staging))
-    val updated = entries ++ touched.filter(b =>
-        new java.io.File(verDir, s"_mb=$b").exists())
-      .map(b => b -> s"_data/v$next/_mb=$b")
-    writeManifest(path, next, nBuckets, updated)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = d.select(col("_mb")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (touched.isEmpty) return
+      val oldDirs = touched.toSeq.flatMap(entries.get).map(rel => s"$path/$rel")
+      val old =
+        if (oldDirs.isEmpty) None
+        else Some(spark.read.parquet(oldDirs: _*)
+          .withColumn("_mb", bucketOf(col(key), nBuckets)))
+      val deltaKeys = d.select(col(key).as("_d_key")).distinct()
+      val merged = old.map(_.join(deltaKeys, col(key) === col("_d_key"), "left_anti")
+          .drop("_d_key").unionByName(d))
+        .getOrElse(d)
+      val next = cur + 1
+      val staging = s"$path/_m_staging_v$next"
+      merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
+      val verDir = new java.io.File(path, s"_data/v$next"); verDir.mkdirs()
+      touched.foreach { b =>
+        val src = new java.io.File(staging, s"_mb=$b")
+        // a crashed previous attempt at this (unpublished) version may
+        // have left a stale dst — readers only resolve manifests, so
+        // clobbering it is safe
+        val dst = new java.io.File(verDir, s"_mb=$b")
+        LocalFs.deleteRecursively(dst)
+        if (src.exists() && !src.renameTo(dst))
+          throw new java.io.IOException(s"versioned merge move failed: bucket $b")
+      }
+      LocalFs.deleteRecursively(new java.io.File(staging))
+      val updated = entries ++ touched.filter(b =>
+          new java.io.File(verDir, s"_mb=$b").exists())
+        .map(b => b -> s"_data/v$next/_mb=$b")
+      writeManifest(path, next, nBuckets, updated)
+    } finally { d.unpersist(); () }
   }
 
   /** Drop all but the last `keepLast` versions: their manifests go,
     * then every bucket directory no retained manifest references.
     * Returns the deleted data directories (relative). */
   def vacuum(path: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1,
+      s"vacuum(keepLast=$keepLast) would delete the current version")
     val vs = versions(path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     val referenced = keep.flatMap(v => readManifest(path, v)._2.values).toSet
@@ -219,7 +257,7 @@ object Merge {
       Option(vdir.listFiles()).getOrElse(Array.empty).foreach { bdir =>
         val rel = s"_data/${vdir.getName}/${bdir.getName}"
         if (!referenced.contains(rel)) {
-          deleteRecursively(bdir); removed += rel
+          LocalFs.deleteRecursively(bdir); removed += rel
         }
       }
       if (Option(vdir.listFiles()).exists(_.isEmpty)) vdir.delete()

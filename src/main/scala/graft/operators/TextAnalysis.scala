@@ -89,10 +89,17 @@ object TextAnalysis {
     * training-data split must have so re-running the pipeline never
     * migrates a document across the split. Pure map work, no
     * shuffle. */
+  /** First 16 md5 bits of the key as a long in [0, 65536) — the
+    * engine/run/partitioning-stable bucketing primitive shared by
+    * [[hashSplit]] and the Corpus samplers. DuckDB twin:
+    * `CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 4)) AS
+    * INTEGER)`. Keep the two in lockstep. */
+  def md5Bucket16(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
   def hashSplit(df: DataFrame, key: Column, trainPct: Int): DataFrame =
     df.withColumn("split",
-      when(conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100 < trainPct, "train").otherwise("test"))
+      when(md5Bucket16(key) % 100 < trainPct, "train").otherwise("test"))
 
   // ------------------------------------------------------- queries //
 

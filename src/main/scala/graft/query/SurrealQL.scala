@@ -276,6 +276,14 @@ object SurrealQL {
             val aggRe = ("(?is)^(count|math::sum|math::mean|math::max|" +
               "math::min)\\s*\\(\\s*(.*?)\\s*\\)" +
               "(?:\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*))?$").r
+            // non-aggregate projections must BE group keys (they
+            // project implicitly); anything else would silently
+            // vanish from the output — error instead
+            val stray = items.filterNot(i =>
+              aggRe.unapplySeq(i).isDefined || keys.contains(i))
+            require(stray.isEmpty,
+              s"non-aggregate projections must be GROUP BY keys: " +
+                stray.mkString(", "))
             val aggs = items.collect { case aggRe(fn, arg, alias) =>
               val c = fn.toLowerCase match {
                 case "count" => count(lit(1))

@@ -75,6 +75,13 @@ class CorpusSpec extends AnyFunSuite {
     val again = Corpus.stratifiedSample(df, col("src"), col("doc_id"), cap = 20)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a null class is a class: below-cap null-source docs are kept
+    val withNull = ((301L to 303L).map(i => (i, null: String)) ++
+      (1L to 5L).map(i => (i, "s"))).toDF("doc_id", "src")
+    val keptNull = Corpus.stratifiedSample(
+        withNull, col("src"), col("doc_id"), cap = 20)
+      .filter(col("src").isNull).count()
+    assert(keptNull === 3L, "null-class docs must not be dropped")
   }
 
   test("token budget: cumsum bounded and prefix-closed in bucket order") {

@@ -401,41 +401,75 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.size === 101)
   }
 
-  test("online dedup stream: within-batch and cross-batch near-dups dropped, index grows") {
+  test("online dedup stream: near-dups dropped across batches AND across a restart") {
     import java.nio.file.{Files => JF, Paths => JP}
     val in = JF.createTempDirectory("ods_in").toString
     val out = JF.createTempDirectory("ods_out").toString + "/corpus"
+    val idx = JF.createTempDirectory("ods_idx").toString
     val cp = JF.createTempDirectory("ods_cp").toString
     def doc(id: Long, text: String) =
       s"""{"doc_id": $id, "text": "$text"}"""
     val a = "alpha beta gamma delta epsilon"
     val b = "one two three four five"
     val c = "red green blue yellow purple"
+    def stream() = spark.readStream
+      .schema("doc_id LONG, text STRING").json(in)
+    def outIds() = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
     JF.writeString(JP.get(s"$in/f1.json"),
       doc(1, a) + "\n" + doc(2, a) + "\n" + doc(5, b))
-    val stream = spark.readStream
-      .schema("doc_id LONG, text STRING").json(in)
     val q = graft.streaming.CorpusStream.onlineDedup(
-      stream, "graft_ods_idx", out, cp)
+      stream(), "graft_ods_idx", idx, out, cp)
     try {
       q.processAllAvailable()
-      val v1 = spark.read.parquet(out).select("doc_id")
-        .collect().map(_.getLong(0)).toSet
-      assert(v1 === Set(1L, 5L), s"got $v1") // 2 intra-dups 1
+      assert(outIds() === Set(1L, 5L)) // 2 intra-dups 1
       // batch 2: 7 dups batch-1's doc 1; 9 intra-dups 8; 8 is novel
       JF.writeString(JP.get(s"$in/f2.json"),
         doc(7, a) + "\n" + doc(8, c) + "\n" + doc(9, c))
       q.processAllAvailable()
-      val v2 = spark.read.parquet(out).select("doc_id")
-        .collect().map(_.getLong(0)).toSet
-      assert(v2 === Set(1L, 5L, 8L), s"got $v2")
-      // the greedy sequential fold over (batch, doc_id) order agrees
-      // by construction: 2→1, 7→1, 9→8 dropped; 1, 5, 8 kept
+      assert(outIds() === Set(1L, 5L, 8L))
+    } finally q.stop()
+    // ---- simulated process restart: the in-memory catalog forgets
+    // the (external) index tables; the directories survive
+    spark.sql("DROP TABLE IF EXISTS graft_ods_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS graft_ods_idx_sigs")
+    JF.writeString(JP.get(s"$in/f3.json"),
+      doc(11, a) + "\n" + doc(12, "six seven eight nine ten"))
+    val q2 = graft.streaming.CorpusStream.onlineDedup(
+      stream(), "graft_ods_idx", idx, out, cp)
+    try {
+      q2.processAllAvailable()
+      // 11 dups pre-restart doc 1 — only findable if the index was
+      // re-registered, not wiped; 12 is novel
+      assert(outIds() === Set(1L, 5L, 8L, 12L))
     } finally {
-      q.stop()
+      q2.stop()
       spark.sql("DROP TABLE IF EXISTS graft_ods_idx_bands")
       spark.sql("DROP TABLE IF EXISTS graft_ods_idx_sigs")
     }
+  }
+
+  test("merge swap recovery: a staged complete copy heals a crash-deleted bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("rec_spec").toString
+    val t = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+    Merge.writeTarget(t, dir, "k", nBuckets = 8)
+    // simulate a crash mid-swap: one bucket's newest copy sits in a
+    // _SUCCESS-marked staging dir and the live bucket dir is gone
+    val b = t.select(Merge.bucketOf(col("k"), 8)).limit(1)
+      .collect().head.getLong(0)
+    val staging = new java.io.File(dir + "_m_staging"); staging.mkdirs()
+    val live = new java.io.File(dir, s"_mb=$b")
+    assert(live.renameTo(new java.io.File(staging, s"_mb=$b")))
+    java.nio.file.Files.createFile(
+      new java.io.File(staging, "_SUCCESS").toPath)
+    assert(!live.exists())
+    Merge.recoverSwap(dir)
+    assert(!staging.exists(), "staging must be consumed")
+    val back = Merge.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back.size === 1000 && back(999L) === 2997L,
+      "no rows may be lost across the recovered swap")
   }
 
   test("versioned merge: every version reconstructs; vacuum drops only unreferenced dirs") {
@@ -457,6 +491,7 @@ class OperatorsSpec extends AnyFunSuite {
     // untouched buckets carry the SAME directory forward across versions
     // (immutable data files — only manifests change)
     assert(Merge.readVersioned(spark, dir).collect().length === 1001) // latest = v2
+    intercept[IllegalArgumentException](Merge.vacuum(dir, keepLast = 0))
     val removed = Merge.vacuum(dir, keepLast = 1)
     assert(removed.nonEmpty, "old bucket versions should be reclaimed")
     assert(Merge.versions(dir) === Seq(2))

@@ -88,6 +88,11 @@ class SurrealQLSpec extends AnyFunSuite {
     ).returned.get.collect().map(r => r.getString(0) -> r.getLong(1))
     assert(byLabel.toSeq === Seq("Banana Fish" -> 1L,
       "Black Clover" -> 1L, "Black Clover, season 1" -> 1L))
+    // a non-aggregate projection that is not a group key errors
+    // instead of silently vanishing from the output
+    val err = intercept[IllegalArgumentException](SurrealQL.run(tables,
+      "SELECT label, count() AS n FROM Entity GROUP ALL;"))
+    assert(err.getMessage.contains("label"))
   }
 
   test("extension: scalar arithmetic in LET/RETURN") {
