@@ -293,7 +293,20 @@ object Extended {
       ntile(4).over(w).as("quartile"))
   }
 
+  /** Distribution windows: percent_rank and cume_dist of customer
+    * balance within nation — exact small-rational divisions, so both
+    * engines agree bit-for-bit after the shared rounding. */
+  def qWindowCume(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir)("customer").select(
+      col("c_custkey"), col("c_nationkey"),
+      round(percent_rank().over(w), 4).as("pr"),
+      round(cume_dist().over(w), 4).as("cd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_window_cume" -> (qWindowCume _),
     "x_tpch_q18" -> (qTpchQ18 _),
     "x_dedup_latest" -> (qDedupLatest _),
     "x_string_agg" -> (qStringAgg _),
@@ -331,6 +344,8 @@ object Extended {
       "SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses FROM orders GROUP BY o_custkey",
     "x_ntile" ->
       "SELECT o_orderkey, o_orderstatus, CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile FROM orders",
+    "x_window_cume" ->
+      "SELECT c_custkey, c_nationkey, round((percent_rank() OVER w)*1e4)/1e4 AS pr, round((cume_dist() OVER w)*1e4)/1e4 AS cd FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)",
     "x_having" ->
       "SELECT l_partkey, count(*) AS n, round((sum(l_quantity))*1e2)/1e2 AS qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45",
     "x_window_range" ->

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.AsOfJoin
 import graft.sources.Tables
@@ -118,7 +119,51 @@ object Temporal {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Conversion funnel view → click → purchase with strictly
+    * advancing stage timestamps. Each stage is a per-user MIN
+    * aggregate joined to the previous stage's users — the stage
+    * tables shrink monotonically, so at scale each join's right side
+    * is the (small) surviving cohort. One row out. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  /** Daily resample with gap fill: the day grid spans [min, max]
+    * purchase day, missing days fill 0, and `ffill` carries the last
+    * seen total forward (the last-observation-carried-forward shape).
+    * The grid is O(days) — the single-partition ffill window is over
+    * days, not events, so the global ordering is a non-issue at any
+    * corpus size. */
+  def resampleDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(sum(col("value")).as("total"))
+    val grid = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (round(coalesce(col("total"), lit(0.0)) * 1e2) / 1e2).as("total"),
+        (round(last(col("total"), ignoreNulls = true).over(w) * 1e2) / 1e2)
+          .as("ffill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_resample" -> (resampleDaily _),
     "q_asof_join" -> (asofPurchaseSignup _),
     "q_asof_forward" -> (asofForward _),
     "q_range_join" -> (rangePairs _),
@@ -131,6 +176,18 @@ object Temporal {
     "q_sessionize" -> (sessionizeBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view, (SELECT count(*) FROM c) AS n_click, (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q_resample" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS day, sum(value) AS total FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series((SELECT min(day) FROM daily), (SELECT max(day) FROM daily), INTERVAL 1 DAY)) AS day)
+        |SELECT strftime(g.day, '%Y-%m-%d') AS day,
+        |  round((coalesce(d.total, 0))*1e2)/1e2 AS total,
+        |  round((last_value(d.total IGNORE NULLS) OVER (ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2)/1e2 AS ffill
+        |FROM grid g LEFT JOIN daily d ON g.day = d.day""".stripMargin,
     "q_asof_join" ->
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts >= l.ts",
     "q_asof_forward" ->
