@@ -198,6 +198,12 @@ object Dedup {
     location.foreach { dir =>
       graft.sources.LocalFs.deleteRecursively(new java.io.File(dir, "bands"))
       graft.sources.LocalFs.deleteRecursively(new java.io.File(dir, "sigs"))
+      // record the layout so post-restart registration cannot
+      // misdeclare the bucketing of the on-disk files
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "_index_meta.tsv").toPath,
+        s"nBuckets\t$nBuckets\nbands\t$bands\nrows\t$rows\n")
     }
     // both writes consume the signatures — compute the kernel once
     val sigd = signatures(df)
@@ -230,23 +236,35 @@ object Dedup {
 
   /** Recover the catalog entries of an external-location index after
     * a restart (the in-memory catalog forgets them; the directories
-    * don't). Returns true when the index is usable — already
-    * registered, or re-registered from `location` with its bucketing
-    * DDL intact. False means no index exists yet. */
+    * don't). The bucket count comes from the `_index_meta.tsv` the
+    * init wrote — never from a caller guess, which could misdeclare
+    * the on-disk bucketing and corrupt every probe and append after
+    * it. Returns true when the index is usable — both tables already
+    * registered, or re-registered from `location`. False means no
+    * index exists yet. */
   def ensureIndexRegistered(spark: SparkSession, table: String,
-                            location: String, nBuckets: Int = 8): Boolean = {
-    if (spark.catalog.tableExists(s"${table}_bands")) return true
+                            location: String): Boolean = {
     val bandsDir = new java.io.File(location, "bands")
     val sigsDir = new java.io.File(location, "sigs")
-    if (!bandsDir.exists() || !sigsDir.exists()) return false
-    spark.sql(
-      s"""CREATE TABLE ${table}_bands (doc_id BIGINT, bucket BIGINT)
-         |USING PARQUET
-         |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $nBuckets BUCKETS
-         |LOCATION '${bandsDir.getAbsolutePath}'""".stripMargin)
-    spark.sql(
-      s"""CREATE TABLE ${table}_sigs (doc_id BIGINT, sig ARRAY<BIGINT>)
-         |USING PARQUET LOCATION '${sigsDir.getAbsolutePath}'""".stripMargin)
+    val meta = new java.io.File(location, "_index_meta.tsv")
+    if (!bandsDir.exists() || !sigsDir.exists() || !meta.exists())
+      return spark.catalog.tableExists(s"${table}_bands") &&
+        spark.catalog.tableExists(s"${table}_sigs")
+    val nBuckets = java.nio.file.Files.readString(meta.toPath)
+      .linesIterator.map(_.split("\t", 2)).collectFirst {
+        case Array("nBuckets", n) => n.toInt
+      }.getOrElse(throw new IllegalStateException(
+        s"no nBuckets in ${meta.getPath}"))
+    if (!spark.catalog.tableExists(s"${table}_bands"))
+      spark.sql(
+        s"""CREATE TABLE ${table}_bands (doc_id BIGINT, bucket BIGINT)
+           |USING PARQUET
+           |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $nBuckets BUCKETS
+           |LOCATION '${bandsDir.getAbsolutePath}'""".stripMargin)
+    if (!spark.catalog.tableExists(s"${table}_sigs"))
+      spark.sql(
+        s"""CREATE TABLE ${table}_sigs (doc_id BIGINT, sig ARRAY<BIGINT>)
+           |USING PARQUET LOCATION '${sigsDir.getAbsolutePath}'""".stripMargin)
     true
   }
 
@@ -267,7 +285,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = bandKeys(sigNew, bands, rows)
       .select(col("doc_id").as("new_id"), col("bucket"))
+    // exclude the shard's OWN rows from the index view before the
+    // bucket counts: a replayed batch whose bands already landed then
+    // probes the exact pre-append state, so its match set — including
+    // the hot-bucket guard's verdicts — is identical across replays
+    // (the broadcast anti-join keeps the index side exchange-free;
+    // shard id-sets are micro-batch/daily-shard sized)
+    val ownIds = broadcast(sigNew.select(col("doc_id")).distinct())
     val index = spark.table(s"${table}_bands")
+      .join(ownIds, Seq("doc_id"), "left_anti")
       .withColumn("bcnt", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bcnt") <= maxBucket)
     val cand = index.join(probe, "bucket")

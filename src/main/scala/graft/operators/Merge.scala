@@ -45,17 +45,25 @@ object Merge {
 
   private def stagingDir(path: String) = path + "_m_staging"
 
+  /** Our own completion marker, written by [[into]] after the staging
+    * write returns — deliberately NOT Spark's `_SUCCESS`, which
+    * disappears when a cluster disables
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` (common on
+    * object stores); recovery must not depend on committer config. */
+  private val CompleteMarker = "_GRAFT_COMPLETE"
+
   /** Complete a crashed swap before anything reads the target. A
-    * staging dir bearing Spark's `_SUCCESS` marker holds the NEWEST
+    * staging dir bearing the completion marker holds the NEWEST
     * complete copy of every bucket it contains (the write finished;
     * only the renames were cut short) — so "staging wins": its buckets
     * move into place, replacing whatever half-state the crash left.
     * A staging dir without the marker is an aborted write and is
-    * discarded. Idempotent; [[into]] runs it on entry. */
+    * discarded (the live table was untouched at that point).
+    * Idempotent; [[into]] and [[read]] run it on entry. */
   def recoverSwap(path: String): Unit = {
     val staging = new java.io.File(stagingDir(path))
     if (!staging.exists()) return
-    if (new java.io.File(staging, "_SUCCESS").exists()) {
+    if (new java.io.File(staging, CompleteMarker).exists()) {
       Option(staging.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
         .foreach { src =>
@@ -103,6 +111,8 @@ object Merge {
       // the FileSystem API; locally java.io suffices.
       val staging = stagingDir(path)
       merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
+      java.nio.file.Files.createFile(
+        new java.io.File(staging, CompleteMarker).toPath)
       touched.foreach { b =>
         val src = new java.io.File(staging, s"_mb=$b")
         val dst = new java.io.File(path, s"_mb=$b")
@@ -114,9 +124,13 @@ object Merge {
     } finally { d.unpersist(); () }
   }
 
-  /** Read a merge target (drops the layout column). */
-  def read(spark: SparkSession, path: String): DataFrame =
+  /** Read a merge target (drops the layout column). Heals a crashed
+    * swap first — without this, a reader between crash and next merge
+    * would silently miss the mid-swap bucket. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recoverSwap(path)
     spark.read.parquet(path).drop("_mb")
+  }
 
   // ---------------------------------------- versioned (time travel) //
   //
@@ -163,7 +177,7 @@ object Merge {
 
   private def readManifest(path: String, version: Int): (Int, Map[Long, String]) = {
     val f = new java.io.File(manifestDir(path), s"v$version.tsv")
-    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+    val lines = java.nio.file.Files.readString(f.toPath).linesIterator.toList
     val nBuckets = lines.head.stripPrefix("#nBuckets=").toInt
     val entries = lines.tail.filter(_.nonEmpty).map { l =>
       val Array(b, rel) = l.split("\t", 2); b.toLong -> rel
@@ -251,6 +265,11 @@ object Merge {
     val vs = versions(path)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     val referenced = keep.flatMap(v => readManifest(path, v)._2.values).toSet
+    // manifests FIRST: a crash mid-vacuum then leaves only harmless
+    // unreferenced data (re-vacuumable), never a manifest whose data
+    // is gone
+    drop.foreach(v =>
+      new java.io.File(manifestDir(path), s"v$v.tsv").delete())
     val removed = scala.collection.mutable.ArrayBuffer[String]()
     val dataRoot = new java.io.File(path, "_data")
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { vdir =>
@@ -262,8 +281,6 @@ object Merge {
       }
       if (Option(vdir.listFiles()).exists(_.isEmpty)) vdir.delete()
     }
-    drop.foreach(v =>
-      new java.io.File(manifestDir(path), s"v$v.tsv").delete())
     removed.toSeq
   }
 

@@ -83,12 +83,6 @@ object TextAnalysis {
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
 
-  /** Deterministic train/test split: bucket = first 16 md5 bits of
-    * the key, mod 100. Stable across runs, partitionings, cluster
-    * sizes AND engines (md5 is md5 everywhere) — the property a
-    * training-data split must have so re-running the pipeline never
-    * migrates a document across the split. Pure map work, no
-    * shuffle. */
   /** First 16 md5 bits of the key as a long in [0, 65536) — the
     * engine/run/partitioning-stable bucketing primitive shared by
     * [[hashSplit]] and the Corpus samplers. DuckDB twin:
@@ -97,6 +91,12 @@ object TextAnalysis {
   def md5Bucket16(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Deterministic train/test split: bucket = first 16 md5 bits of
+    * the key, mod 100. Stable across runs, partitionings, cluster
+    * sizes AND engines (md5 is md5 everywhere) — the property a
+    * training-data split must have so re-running the pipeline never
+    * migrates a document across the split. Pure map work, no
+    * shuffle. */
   def hashSplit(df: DataFrame, key: Column, trainPct: Int): DataFrame =
     df.withColumn("split",
       when(md5Bucket16(key) % 100 < trainPct, "train").otherwise("test"))

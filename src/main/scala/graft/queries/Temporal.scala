@@ -126,11 +126,15 @@ object Temporal {
     * is the (small) surviving cohort. One row out. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
+    // v feeds c AND its own count, c feeds p AND its count — cache
+    // the cohorts so each stage aggregation runs once
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c = ev.filter(col("event_type") === "click")
       .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p = ev.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))

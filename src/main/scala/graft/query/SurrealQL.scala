@@ -276,27 +276,36 @@ object SurrealQL {
             val aggRe = ("(?is)^(count|math::sum|math::mean|math::max|" +
               "math::min)\\s*\\(\\s*(.*?)\\s*\\)" +
               "(?:\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*))?$").r
-            // non-aggregate projections must BE group keys (they
-            // project implicitly); anything else would silently
+            // each projection is an aggregate call or a group key
+            // (optionally aliased); anything else would silently
             // vanish from the output — error instead
-            val stray = items.filterNot(i =>
-              aggRe.unapplySeq(i).isDefined || keys.contains(i))
-            require(stray.isEmpty,
-              s"non-aggregate projections must be GROUP BY keys: " +
-                stray.mkString(", "))
-            val aggs = items.collect { case aggRe(fn, arg, alias) =>
-              val c = fn.toLowerCase match {
-                case "count" => count(lit(1))
-                case "math::sum" => sum(compileProj(arg))
-                case "math::mean" => avg(compileProj(arg))
-                case "math::max" => max(compileProj(arg))
-                case "math::min" => min(compileProj(arg))
+            val parsed: Seq[Either[(String, String), (Column, String)]] =
+              items.map {
+                case aggRe(fn, arg, alias) =>
+                  val c = fn.toLowerCase match {
+                    case "count" => count(lit(1))
+                    case "math::sum" => sum(compileProj(arg))
+                    case "math::mean" => avg(compileProj(arg))
+                    case "math::max" => max(compileProj(arg))
+                    case "math::min" => min(compileProj(arg))
+                  }
+                  val name = Option(alias).getOrElse(fn.replace("::", "_"))
+                  Right(c.as(name) -> name)
+                case asRe(p, alias) if keys.contains(p.trim) =>
+                  Left(p.trim -> alias)
+                case i if keys.contains(i) => Left(i -> i)
+                case i => throw new IllegalArgumentException(
+                  s"non-aggregate projections must be GROUP BY keys: $i")
               }
-              c.as(Option(alias).getOrElse(fn.replace("::", "_")))
-            }
+            val aggs = parsed.collect { case Right((c, _)) => c }
             require(aggs.nonEmpty, s"GROUP without aggregates: $sql")
-            filtered.groupBy(keys.map(col): _*)
+            val agged = filtered.groupBy(keys.map(col): _*)
               .agg(aggs.head, aggs.tail: _*)
+            // output columns in projection order, key aliases honored
+            agged.select(parsed.map {
+              case Left((k, a)) => col(k).as(a)
+              case Right((_, name)) => col(name)
+            }: _*)
           case None => filtered.select(withProv: _*)
         }
         // ORDER BY names output fields (aliases included), SurrealQL

@@ -455,21 +455,21 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("id").as("k"), (col("id") * 3).as("v"))
     Merge.writeTarget(t, dir, "k", nBuckets = 8)
     // simulate a crash mid-swap: one bucket's newest copy sits in a
-    // _SUCCESS-marked staging dir and the live bucket dir is gone
+    // completion-marked staging dir and the live bucket dir is gone
     val b = t.select(Merge.bucketOf(col("k"), 8)).limit(1)
       .collect().head.getLong(0)
     val staging = new java.io.File(dir + "_m_staging"); staging.mkdirs()
     val live = new java.io.File(dir, s"_mb=$b")
     assert(live.renameTo(new java.io.File(staging, s"_mb=$b")))
     java.nio.file.Files.createFile(
-      new java.io.File(staging, "_SUCCESS").toPath)
+      new java.io.File(staging, "_GRAFT_COMPLETE").toPath)
     assert(!live.exists())
-    Merge.recoverSwap(dir)
-    assert(!staging.exists(), "staging must be consumed")
+    // read() itself heals — no merge needed between crash and read
     val back = Merge.read(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(back.size === 1000 && back(999L) === 2997L,
       "no rows may be lost across the recovered swap")
+    assert(!staging.exists(), "staging must be consumed")
   }
 
   test("versioned merge: every version reconstructs; vacuum drops only unreferenced dirs") {

@@ -93,6 +93,12 @@ class SurrealQLSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](SurrealQL.run(tables,
       "SELECT label, count() AS n FROM Entity GROUP ALL;"))
     assert(err.getMessage.contains("label"))
+    // aliased group keys project under the alias, projection order kept
+    val aliased = SurrealQL.run(tables,
+      "SELECT count() AS n, label AS l FROM Entity GROUP BY label ORDER BY l LIMIT 1;"
+    ).returned.get
+    assert(aliased.columns.toSeq === Seq("n", "l"))
+    assert(aliased.collect().head.getString(1) === "Banana Fish")
   }
 
   test("extension: scalar arithmetic in LET/RETURN") {
