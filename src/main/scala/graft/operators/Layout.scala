@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Output-layout control for large writes: range-clustered files with
+  * bounded row counts.
+  *
+  * At 100 TB the two file-layout failure modes are (a) too-few giant
+  * files (no read parallelism, OOM-ing readers) or a long tail of tiny
+  * ones (listing/open overhead), and (b) rows scattered so every file
+  * spans the whole key range (parquet row-group min/max stats prune
+  * nothing). [[writeSized]] addresses both: `repartitionByRange` over
+  * the cluster keys gives each output file a narrow, disjoint key
+  * range (so a selective reader's predicate skips whole files on
+  * footer stats), `sortWithinPartitions` keeps row groups internally
+  * clustered, and `maxRecordsPerFile` hard-caps file size regardless
+  * of range skew. The row-count pre-pass is one cheap count job — the
+  * same planning statistic AQE gathers — and at a known scale the
+  * caller can pass `rows` to skip it.
+  */
+object Layout {
+
+  /** Write `df` as ~`targetRowsPerFile`-row files range-clustered on
+    * `keys`. Returns the file count written. */
+  def writeSized(df: DataFrame, path: String, keys: Seq[Column],
+                 targetRowsPerFile: Long, rows: Long = -1L): Int = {
+    val n = if (rows >= 0) rows else df.count()
+    val nParts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    df.repartitionByRange(nParts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+  }
+
+  // ------------------------------------------------------- queries //
+
+  /** Round-trip through the sized layout: orders written as bounded
+    * range-clustered files, read back. The DuckDB oracle is the bare
+    * projection — hash equality proves the layout machinery loses and
+    * reorders nothing; the layout properties themselves (file bounds,
+    * disjoint ranges) are pinned in LayoutSpec. */
+  def sizedRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_layout").toString + "/orders"
+    writeSized(o, path, Seq(col("o_orderkey")), targetRowsPerFile = 4000L)
+    s.read.parquet(path)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_sized_roundtrip" -> (sizedRoundTrip _))
+
+  val oracle: Map[String, String] = Map(
+    "w_sized_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+}

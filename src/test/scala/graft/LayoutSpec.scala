@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+
+/** Pins the file-layout properties [[Layout.writeSized]] promises:
+  * hard row-count bound per file and pairwise-disjoint key ranges
+  * (the property parquet footer stats need to prune whole files). */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("writeSized: bounded files, disjoint sorted key ranges, lossless") {
+    val s = spark; import s.implicits._
+    val df = (1L to 1500L).map(k => (k, k % 7)).toDF("k", "grp")
+    val path = java.nio.file.Files
+      .createTempDirectory("layout_spec").toString + "/t"
+    val nFiles = Layout.writeSized(df, path, Seq(col("k")),
+      targetRowsPerFile = 400L)
+    assert(nFiles >= 4 && nFiles <= 8, s"nFiles=$nFiles")
+    val files = Option(new java.io.File(path).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length === nFiles)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("k")), max(col("k")), count(lit(1))).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // hard cap holds for every file
+    ranges.foreach { case (_, _, n) => assert(n <= 400L, s"file has $n rows") }
+    // pairwise-disjoint ranges: sorted by min, each file starts after
+    // the previous one ends (unique keys) — the file-skipping property
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi, _), (lo2, _, _)) => assert(lo2 > hi, s"overlap: $hi/$lo2")
+      case _ =>
+    }
+    // lossless
+    assert(spark.read.parquet(path).count() === 1500L)
+    assert(spark.read.parquet(path).agg(sum(col("k"))).collect()
+      .head.getLong(0) === 1500L * 1501L / 2)
+  }
+}
