@@ -305,7 +305,25 @@ object Extended {
       round(cume_dist().over(w), 4).as("cd"))
   }
 
+  /** Semi-structured extraction: the events `props` column is a JSON
+    * string; parse it ONCE per row with an explicit schema (from_json
+    * — codegen'd, no inference pass over 100 TB) and aggregate the
+    * extracted field. The DuckDB oracle states the same extraction
+    * with a regex, so the gate pins the parsed VALUES, not a parser
+    * implementation. */
+  def qJsonProps(s: SparkSession, dir: String): DataFrame = {
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      .getField("k")
+    t(s, dir)("events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_json_props" -> (qJsonProps _),
     "x_window_cume" -> (qWindowCume _),
     "x_tpch_q18" -> (qTpchQ18 _),
     "x_dedup_latest" -> (qDedupLatest _),
@@ -346,6 +364,8 @@ object Extended {
       "SELECT o_orderkey, o_orderstatus, CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile FROM orders",
     "x_window_cume" ->
       "SELECT c_custkey, c_nationkey, round((percent_rank() OVER w)*1e4)/1e4 AS pr, round((cume_dist() OVER w)*1e4)/1e4 AS cd FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)",
+    "x_json_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k, CAST(max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k FROM events GROUP BY event_type""",
     "x_having" ->
       "SELECT l_partkey, count(*) AS n, round((sum(l_quantity))*1e2)/1e2 AS qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45",
     "x_window_range" ->
