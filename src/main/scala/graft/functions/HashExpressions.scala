@@ -126,6 +126,33 @@ object HashExpressions {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** Morton/Z-order interleave of the low `bits` of two non-negative
+    * longs: x occupies even bit positions, y odd. Sorting by the
+    * z-value clusters rows that are close in BOTH dimensions — the
+    * multi-column data-skipping layout ([[graft.operators.Layout]]
+    * writes it; parquet footer min/max then prune on either column).
+    * Negative inputs are masked like any other value (callers bucket/
+    * offset first — documented at the Layout call site). */
+  case class ZOrder2(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val mask = (1L << bits) - 1
+      val a = l.asInstanceOf[Long] & mask
+      val b = r.asInstanceOf[Long] & mask
+      var z = 0L; var i = 0
+      while (i < bits) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      java.lang.Long.valueOf(z)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "z_order_2"
+  }
+
   /** Sign-random-projection LSH bucket: float vector → `bits`-bit
     * bucket for hash table `table` (hyperplane components ±1 from a
     * splitmix of (plane, dim) — matches Similarity.srpBucket's
@@ -229,6 +256,8 @@ object HashExpressions {
       exprs => WordNgrams(exprs.head, 3), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams_2",
       exprs => WordNgrams(exprs.head, 2), "built-in")
+    reg.createOrReplaceTempFunction("z_order_16",
+      exprs => ZOrder2(exprs(0), exprs(1), 16), "built-in")
   }
 
   def minhash_signature(c: Column): Column = call_function("minhash_signature", c)
@@ -239,6 +268,8 @@ object HashExpressions {
     call_function("sig_agreement", a, b)
   def word_ngrams3(c: Column): Column = call_function("word_ngrams_3", c)
   def word_ngrams2(c: Column): Column = call_function("word_ngrams_2", c)
+  def z_order16(a: Column, b: Column): Column =
+    call_function("z_order_16", a, b)
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

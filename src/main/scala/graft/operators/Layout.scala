@@ -37,6 +37,30 @@ object Layout {
       .count(_.getName.endsWith(".parquet"))
   }
 
+  /** Write `df` z-order-clustered on two non-negative long-valued
+    * columns: rows are sorted by the Morton interleave of (x, y), so
+    * each output file covers a small tile in BOTH dimensions and
+    * parquet footer min/max prune files for predicates on EITHER
+    * column — the multi-dimensional layout a single-key sort cannot
+    * give. Callers with negative/unbounded domains bucket or offset
+    * into [0, 2^16) first (the same contract as any Z-order index).
+    * The interleave column is dropped before writing. */
+  def writeZOrdered(df: DataFrame, path: String, x: Column, y: Column,
+                    targetRowsPerFile: Long, rows: Long = -1L): Int = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val n = if (rows >= 0) rows else df.count()
+    val nParts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    df.withColumn("_z", graft.functions.HashExpressions.z_order16(x, y))
+      .repartitionByRange(nParts, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+  }
+
   // ------------------------------------------------------- queries //
 
   /** Round-trip through the sized layout: orders written as bounded

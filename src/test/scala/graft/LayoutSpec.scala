@@ -46,4 +46,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).agg(sum(col("k"))).collect()
       .head.getLong(0) === 1500L * 1501L / 2)
   }
+
+  test("z-order interleave: hand-computed bits; files tile BOTH dimensions") {
+    val s = spark; import s.implicits._
+    graft.functions.HashExpressions.register(spark)
+    // z(5=101b, 3=011b) = a bits at even, b at odd positions = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.functions.HashExpressions.z_order16(col("a"), col("b")))
+      .collect().head.getLong(0)
+    assert(z === 27L)
+    // 64x64 grid, 256-row files: z-order gives each file a small tile
+    // in BOTH x and y; an x-sorted layout would span all of y (63)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val path = java.nio.file.Files
+      .createTempDirectory("layout_z").toString + "/grid"
+    val nFiles = graft.operators.Layout.writeZOrdered(
+      grid, path, col("x"), col("y"), targetRowsPerFile = 256L)
+    assert(nFiles >= 16, s"nFiles=$nFiles")
+    val spans = Option(new java.io.File(path).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(max(col("x")) - min(col("x")),
+            max(col("y")) - min(col("y"))).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+    // a perfect 256-row z-tile is 16x16 (span 15); range-partition
+    // boundaries can straddle tiles, so allow double
+    spans.foreach { case (sx, sy) =>
+      assert(sx <= 32 && sy <= 32, s"file spans ($sx, $sy) — not tiled")
+    }
+  }
 }
