@@ -369,19 +369,42 @@ object SurrealQL {
   }
 
   /** cond := label = "..." | <path> == [] | != [] | cond AND cond */
+  /** cond := cond OR cond | cond AND cond | ( cond )
+    *        | field =|!= "str" | path ==|!= [] | path cmp number
+    * — OR binds loosest, AND next, parens group (the split helpers
+    * are quote- and paren-aware, so labels containing AND/OR and
+    * bracketed paths never confuse precedence). */
   private[query] def compileCond(cond: String): Column = {
-    splitTopWord(cond, "AND").map(_.trim).map { c =>
-      val eqStrRe = "(?is)^([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*\"(.*)\"$".r
-      val emptyRe = "(?is)^(.+?)\\s*(==|!=)\\s*\\[\\]$".r
-      c match {
-        case eqStrRe(field, value) => col(field) === lit(value)
-        case emptyRe(path, op) =>
-          val arr = compilePath(path.trim)
-          if (op == "==") size(arr) === 0 else size(arr) > 0
-        case other => throw new IllegalArgumentException(
-          s"cannot parse condition: $other")
-      }
-    }.reduce(_ && _)
+    val ors = splitTopWord(cond, "OR")
+    if (ors.length > 1) return ors.map(c => compileCond(c.trim)).reduce(_ || _)
+    val ands = splitTopWord(cond, "AND")
+    if (ands.length > 1) return ands.map(c => compileCond(c.trim)).reduce(_ && _)
+    val c = cond.trim
+    if (c.startsWith("(") && c.endsWith(")") &&
+        balanced(c.substring(1, c.length - 1)))
+      return compileCond(c.substring(1, c.length - 1))
+    val eqStrRe = "(?is)^([a-zA-Z_][a-zA-Z0-9_]*)\\s*(=|!=)\\s*\"(.*)\"$".r
+    val emptyRe = "(?is)^(.+?)\\s*(==|!=)\\s*\\[\\]$".r
+    val numRe = "(?is)^(.+?)\\s*(==|!=|>=|<=|>|<|=)\\s*([0-9]+(?:\\.[0-9]+)?)$".r
+    c match {
+      case eqStrRe(field, op, value) =>
+        if (op == "=") col(field) === lit(value) else col(field) =!= lit(value)
+      case emptyRe(path, op) =>
+        val arr = compilePath(path.trim)
+        if (op == "==") size(arr) === 0 else size(arr) > 0
+      case numRe(path, op, num) =>
+        val l = compilePath(path.trim); val r = lit(num.toDouble)
+        op match {
+          case "=" | "==" => l === r
+          case "!=" => l =!= r
+          case ">=" => l >= r
+          case "<=" => l <= r
+          case ">" => l > r
+          case "<" => l < r
+        }
+      case other => throw new IllegalArgumentException(
+        s"cannot parse condition: $other")
+    }
   }
 
   // ------------------------------------------------------ helpers //

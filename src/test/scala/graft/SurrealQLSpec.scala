@@ -101,6 +101,27 @@ class SurrealQLSpec extends AnyFunSuite {
     assert(aliased.collect().head.getString(1) === "Banana Fish")
   }
 
+  test("extension: OR / parens / numeric comparisons in WHERE") {
+    def labels(script: String): Seq[String] =
+      SurrealQL.run(tables, script).returned.get
+        .collect().map(_.getString(0)).sorted.toSeq
+    assert(labels(
+      """SELECT label FROM Entity WHERE label = "Black Clover" OR label = "Banana Fish";"""
+    ) === Seq("Banana Fish", "Black Clover"))
+    // parens group; AND binds tighter than OR
+    assert(labels(
+      """SELECT label FROM Entity WHERE (label = "Black Clover" OR label = "Banana Fish") AND claims.claims[WHERE id = Property:1113] != [];"""
+    ) === Seq("Banana Fish", "Black Clover"))
+    // numeric comparison on a claims path: episodes > 50 → 170 and 51
+    assert(labels(
+      """SELECT label FROM Entity WHERE claims.claims[WHERE id = Property:1113][0].value.ClaimValueData.Quantity.amount > 50;"""
+    ) === Seq("Black Clover", "Black Clover, season 1"))
+    // != on a string field
+    assert(labels(
+      """SELECT label FROM Entity WHERE label != "Black Clover";"""
+    ) === Seq("Banana Fish", "Black Clover, season 1"))
+  }
+
   test("extension: scalar arithmetic in LET/RETURN") {
     val script =
       """let $eps = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as eps from Entity where label = "Black Clover, season 1")[0].eps;
