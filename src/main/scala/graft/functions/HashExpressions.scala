@@ -153,6 +153,42 @@ object HashExpressions {
     override def prettyName: String = "z_order_2"
   }
 
+  /** N-column Morton interleave: bit j of column c lands at position
+    * j*N + c, so sorting by the z-value tiles ALL N dimensions at
+    * once (the 2-column [[ZOrder2]] is the N=2 special case with the
+    * same bit placement). `bits * N` must fit 63 — callers take
+    * bits = 63/N, the widest per-dimension domain a single long key
+    * admits. Any null input → null. */
+  case class ZOrderN(children: Seq[Expression], bits: Int)
+      extends Expression with CodegenFallback {
+    require(bits * children.length <= 63,
+      s"z-order overflow: $bits bits x ${children.length} columns")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val n = children.length
+      val mask = (1L << bits) - 1
+      var z = 0L
+      var c = 0
+      while (c < n) {
+        val v = children(c).eval(input)
+        if (v == null) return null
+        val a = v.asInstanceOf[Long] & mask
+        var i = 0
+        while (i < bits) {
+          z |= ((a >> i) & 1L) << (i * n + c)
+          i += 1
+        }
+        c += 1
+      }
+      java.lang.Long.valueOf(z)
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): ZOrderN =
+      copy(children = newChildren)
+    override def prettyName: String = "z_order_n"
+  }
+
   /** Sign-random-projection LSH bucket: float vector → `bits`-bit
     * bucket for hash table `table` (hyperplane components ±1 from a
     * splitmix of (plane, dim) — matches Similarity.srpBucket's
@@ -258,6 +294,9 @@ object HashExpressions {
       exprs => WordNgrams(exprs.head, 2), "built-in")
     reg.createOrReplaceTempFunction("z_order_16",
       exprs => ZOrder2(exprs(0), exprs(1), 16), "built-in")
+    // N-ary form: per-dimension width is the widest a long key admits
+    reg.createOrReplaceTempFunction("z_order_n",
+      exprs => ZOrderN(exprs, 63 / exprs.length), "built-in")
   }
 
   def minhash_signature(c: Column): Column = call_function("minhash_signature", c)
@@ -270,6 +309,8 @@ object HashExpressions {
   def word_ngrams2(c: Column): Column = call_function("word_ngrams_2", c)
   def z_order16(a: Column, b: Column): Column =
     call_function("z_order_16", a, b)
+  def z_orderN(cols: Seq[Column]): Column =
+    call_function("z_order_n", cols: _*)
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

@@ -58,22 +58,36 @@ object Corpus {
     * it is made of them. The boilerplate set is frequent-only, hence
     * small, hence broadcast — the corpus-side explode is never
     * re-shuffled for the membership join. */
-  def boilerplateSignals(df: DataFrame, text: Column,
-                         minDocs: Int = 5): DataFrame = {
+  /** Per-document distinct 3-gram shingles — the shared input of the
+    * docfreq aggregation and the membership scoring. */
+  def shingleSet(df: DataFrame, text: Column): DataFrame = {
     HashExpressions.register(df.sparkSession)
-    val sh = df.select(col("doc_id"),
+    df.select(col("doc_id"),
       explode(array_distinct(HashExpressions.word_ngrams3(tokens(text))))
         .as("sh"))
-    val boiler = sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("docfreq"))
-      .filter(col("docfreq") >= minDocs)
-      .select(col("sh"), lit(1).as("isb"))
-    sh.join(broadcast(boiler), Seq("sh"), "left")
+  }
+
+  /** Score each document's shingles against a boilerplate set
+    * (`boiler`: one `sh` column, frequent-only hence small hence
+    * broadcast). Shared by the batch operator and the streaming stage
+    * ([[graft.streaming.CorpusStream.curationStage]]) so batch ≡
+    * stream holds by construction. */
+  def boilerplateScore(sh: DataFrame, boiler: DataFrame): DataFrame =
+    sh.join(broadcast(boiler.select(col("sh"), lit(1).as("isb"))),
+        Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("isb")).as("n_boiler"))
       .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
         r4(col("n_boiler").cast("double") / col("n_shingles").cast("double"))
           .as("boiler_frac"))
+
+  def boilerplateSignals(df: DataFrame, text: Column,
+                         minDocs: Int = 5): DataFrame = {
+    val sh = shingleSet(df, text)
+    val boiler = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("docfreq"))
+      .filter(col("docfreq") >= minDocs)
+    boilerplateScore(sh, boiler)
   }
 
   /** Conservative ASCII patterns shared with the DuckDB oracle (RE2 ∩

@@ -36,6 +36,21 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Write-and-readback snapshot of a SMALL intermediate (candidate
+    * pairs, shard signatures): the DAG above it runs exactly once and
+    * nothing lingers in storage memory after the returned plan is
+    * consumed — unlike persist(), whose blocks a lazily-returned
+    * DataFrame can never safely unpersist. At 100 TB this is the same
+    * move as checkpointing a candidate list to the lake between the
+    * discovery and verify stages. Schema is pinned on read so an empty
+    * snapshot round-trips. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapshot_").toString
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    df.sparkSession.read.schema(df.schema).parquet(dir)
+  }
+
   /** Canonical text normalization for near-exact dedup. */
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -280,9 +295,9 @@ object Dedup {
                         maxBucket: Int = 64, bands: Int = 16,
                         rows: Int = 4): DataFrame = {
     // the shard's signatures feed the probe AND the verify join —
-    // shard-sized, so caching is cheap and halves the kernel work
-    val sigNew = signatures(newDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shard-sized; snapshot them so the kernel runs once WITHOUT a
+    // persist() whose blocks would outlive the returned lazy plan
+    val sigNew = materialize(signatures(newDocs))
     val probe = bandKeys(sigNew, bands, rows)
       .select(col("doc_id").as("new_id"), col("bucket"))
     // exclude the shard's OWN rows from the index view before the
@@ -367,10 +382,10 @@ object Dedup {
     * deterministic so the result is reproducible bit-for-bit). */
   def minhashVerifiedPairs(df: DataFrame, minJaccard: Double = 0.8): DataFrame = {
     // the pair list feeds BOTH the candidate-doc set and the final
-    // join — persist it (it's O(near-dup pairs), tiny next to the
-    // corpus) so the LSH discovery DAG runs once, not twice
-    val pairs = minhashPairs(df).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join — snapshot it (O(near-dup pairs), tiny next to the corpus)
+    // so the LSH discovery DAG runs once with no lingering persist()
+    val pairs = materialize(
+      minhashPairs(df).select(col("doc_a"), col("doc_b")))
     // exact-rerank only the docs LSH surfaced — per-doc shingle sets
     // are independent, so per-pair Jaccard is unchanged, and the
     // quadratic kernel never sees the full corpus (the discovery/
@@ -396,11 +411,11 @@ object Dedup {
     val shard = df.filter(col("doc_id") % 5 === 0)
     val corpus = df.filter(col("doc_id") % 5 =!= 0)
     initLshIndex(corpus, "graft_inc_idx")
-    val cand = dedupAgainstIndex(s, shard, "graft_inc_idx")
-      .select(col("new_id"), col("dup_of"),
-        least(col("new_id"), col("dup_of")).as("doc_a"),
-        greatest(col("new_id"), col("dup_of")).as("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = materialize(
+      dedupAgainstIndex(s, shard, "graft_inc_idx")
+        .select(col("new_id"), col("dup_of"),
+          least(col("new_id"), col("dup_of")).as("doc_a"),
+          greatest(col("new_id"), col("dup_of")).as("doc_b")))
     val ids = cand.select(col("new_id").as("doc_id"))
       .union(cand.select(col("dup_of").as("doc_id"))).distinct()
     cand.join(

@@ -61,6 +61,29 @@ object Layout {
       .count(_.getName.endsWith(".parquet"))
   }
 
+  /** N-column generalization of [[writeZOrdered]]: rows sort by the
+    * N-ary Morton interleave, so each output file is a small
+    * hyper-tile — parquet footer stats prune files for a predicate on
+    * ANY of the `keys`. Per-dimension domain is [0, 2^(63/N)) (the
+    * widest a single long key admits); callers bucket/offset wider or
+    * negative domains first, as with the 2-D form. */
+  def writeZOrderedN(df: DataFrame, path: String, keys: Seq[Column],
+                     targetRowsPerFile: Long, rows: Long = -1L): Int = {
+    require(keys.size >= 2, "z-order needs at least 2 columns")
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val n = if (rows >= 0) rows else df.count()
+    val nParts = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    df.withColumn("_z", graft.functions.HashExpressions.z_orderN(keys))
+      .repartitionByRange(nParts, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+  }
+
   // ------------------------------------------------------- queries //
 
   /** Round-trip through the sized layout: orders written as bounded

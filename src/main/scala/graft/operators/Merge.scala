@@ -273,13 +273,20 @@ object Merge {
     val removed = scala.collection.mutable.ArrayBuffer[String]()
     val dataRoot = new java.io.File(path, "_data")
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { vdir =>
-      Option(vdir.listFiles()).getOrElse(Array.empty).foreach { bdir =>
-        val rel = s"_data/${vdir.getName}/${bdir.getName}"
-        if (!referenced.contains(rel)) {
-          LocalFs.deleteRecursively(bdir); removed += rel
+      // only `_mb=` bucket directories are DATA; committer markers
+      // (_SUCCESS and friends) ride along until the whole version
+      // directory empties of buckets
+      Option(vdir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
+        .foreach { bdir =>
+          val rel = s"_data/${vdir.getName}/${bdir.getName}"
+          if (!referenced.contains(rel)) {
+            LocalFs.deleteRecursively(bdir); removed += rel
+          }
         }
-      }
-      if (Option(vdir.listFiles()).exists(_.isEmpty)) vdir.delete()
+      if (!Option(vdir.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.startsWith("_mb=")))
+        LocalFs.deleteRecursively(vdir)
     }
     removed.toSeq
   }

@@ -313,19 +313,61 @@ object Similarity {
         (round(col("sim") * 1e4) / 1e4).as("sim"))
   }
 
+  /** Per-query recall@k of an ANN result against the exact top-k:
+    * the hits are the exact rows the ANN search also produced. With
+    * parameters that achieve recall 1 this emits (qid, 1.0) per query
+    * — and because every hash/centroid is deterministic and the
+    * corpus fixed, a DuckDB oracle that computes recall of the exact
+    * top-k against itself (trivially 1) hash-matches IFF the ANN
+    * search recovered the entire exact top-k. Same proof shape as
+    * `d_minhash_exact`: the oracle has no ANN in it at all. A missed
+    * neighbor surfaces as a fractional recall (or a missing qid row)
+    * and fails the driver compare. */
+  def annRecall(ann: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    exact.select(col("qid"), col("nid"))
+      .join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"),
+        "left_semi")
+      .groupBy(col("qid"))
+      .agg((count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
-    "s_lsh_ann" -> ((s, dir) => lshCosineTopK(emb(s, dir), 10, 5)),
+    // oracled recall-1 proof of the multi-table SRP-LSH search: 3-bit
+    // × 24-table banding recovers the exact top-5 of every query on
+    // this corpus (verified at sf0.01 and sf0.1 — deterministic
+    // hyperplanes, so the driver sees exactly this recall)
+    "s_lsh_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      annRecall(lshCosineTopK(e, 10, 5, bits = 3, tables = 24),
+        cosineTopK(e, 10, 5), 5)
+    }),
     // 0.4: the tail of this corpus's cosine distribution (max pairwise
     // ≈ 0.5 — the generator plants no true embedding duplicates).
-    // maxBucket sized for the 2000-vector corpus at bits=4 (mean
-    // bucket ≈ 125): the cap still trips on a degenerate bucket while
-    // leaving the ordinary SRP spread intact
+    // bits ~ log2(N) for the 2000-vector corpus: 8 bits → 256 buckets
+    // per table, mean bucket ≈ 8, so the bucket join probes ~8-row
+    // buckets instead of expanding ~125-row ones into a near-complete
+    // cross product (the bits=4 parameterization was brute force in an
+    // LSH costume). maxBucket=64 (8× the mean) trips only on a
+    // degenerate bucket. At this weak threshold (0.4 ≈ 66°) the
+    // banding trades recall for pruning — the operator's recall and
+    // no-false-positive behavior are pinned by OperatorsSpec at its
+    // recall-oriented defaults; this query is the at-scale
+    // parameterization, rows-only checked (deterministic hashing)
     "s_embed_neardup" -> ((s, dir) =>
-      embeddingNearDups(emb(s, dir), 0.4, maxBucket = 1024)),
-    "s_ivf_ann" -> ((s, dir) => ivfCosineTopK(emb(s, dir), 10, 5)))
+      embeddingNearDups(emb(s, dir), 0.4, bits = 8, maxBucket = 64)),
+    // oracled recall-1 proof of the IVF probe. The near-random corpus
+    // has almost no cell structure at this size, so exact recovery
+    // takes a wide probe (12/16 cells, k-means-refined centroids) —
+    // the honest small-corpus price; pruning economics only appear
+    // when cells outnumber sqrt(N) at real scale. The probe/rerank
+    // MECHANISM is what the hash match certifies.
+    "s_ivf_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      annRecall(ivfCosineTopK(e, 10, 5, nCells = 16, nProbe = 12,
+        refineIters = 2), cosineTopK(e, 10, 5), 5)
+    }))
 
   // DuckDB-side double fold, bit-identical to the Spark expressions.
   private val dotSql =
@@ -333,9 +375,20 @@ object Similarity {
   private def normSql(v: String) =
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
 
+  private val exactTop5Sql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored)"""
+
+  // the ANN oracles have NO LSH/IVF in them: they compute recall of
+  // the exact top-5 against itself (= 1.0 per query). Hash equality
+  // therefore PROVES the deterministic ANN search recovered the full
+  // exact top-5 for every query — the d_minhash_exact proof shape.
   val oracle: Map[String, String] = Map(
     "s_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored) SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5""")
-  // s_lsh_ann: not SQL-expressible (xxhash64 hyperplanes) — rows-only
-  // driver check; recall pinned by SimilaritySpec against cosineTopK.
+      s"""$exactTop5Sql SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5""",
+    "s_lsh_ann" ->
+      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    "s_ivf_ann" ->
+      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""")
+  // s_embed_neardup: not SQL-expressible (xxhash64 hyperplanes) —
+  // rows-only driver check; recall/no-FP pinned by OperatorsSpec.
 }

@@ -32,12 +32,14 @@ object Temporal {
       .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
-  /** Range self-join: ordered same-user event pairs ≤ 5 minutes
+  /** Naive range self-join: ordered same-user event pairs ≤ 5 minutes
     * apart. The equi-key (user_id) carries the shuffle; the range
-    * predicate filters inside the join — at scale, skew on hot users
-    * is the hazard, handled by AQE skew splitting (the per-user
-    * time-bucket bucketing variant trades a 2× bucket explosion for
-    * a hard cap on pair fan-out; not needed at current skew). */
+    * predicate filters AFTER the per-user cross product materializes —
+    * quadratic in a hot user's history, and AQE splits partitions, not
+    * a single key's pairs, so it cannot save this plan. Kept ONLY as
+    * the spec-checked exact twin of [[rangePairsBucketed]] (the
+    * headline `q_range_join` plan, which bounds fan-out to two
+    * time buckets per row regardless of history length). */
   def rangePairs(s: SparkSession, dir: String): DataFrame = {
     val a = events(s, dir).select(col("user_id"),
       col("event_id").as("a_id"), col("ts").as("a_ts"))
@@ -127,20 +129,30 @@ object Temporal {
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     // v feeds c AND its own count, c feeds p AND its count — cache
-    // the cohorts so each stage aggregation runs once
+    // the cohorts so each stage aggregation runs once. The output is
+    // three scalars, so the stage counts are computed EAGERLY while
+    // the caches are live and both cohorts unpersist before return —
+    // no storage-memory blocks outlive the call (the round-2 leak)
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val p = ev.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    try {
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val nPurchase = p.count() // populates both caches en route
+        val nView = v.count()
+        val nClick = c.count()
+        import s.implicits._
+        Seq((nView, nClick, nPurchase))
+          .toDF("n_view", "n_click", "n_purchase")
+      } finally { c.unpersist(blocking = true); () }
+    } finally { v.unpersist(blocking = true); () }
   }
 
   /** Daily resample with gap fill: the day grid spans [min, max]
@@ -170,8 +182,11 @@ object Temporal {
     "q_resample" -> (resampleDaily _),
     "q_asof_join" -> (asofPurchaseSignup _),
     "q_asof_forward" -> (asofForward _),
-    "q_range_join" -> (rangePairs _),
-    "q_range_join_bucketed" -> (rangePairsBucketed _),
+    // the headline range join runs the bounded-fan-out bucketed plan
+    // (the one you'd ship at 100×); the naive per-user-cross-product
+    // formulation survives as rangePairs, pinned identical by
+    // TemporalSpec — the oracle is plan-agnostic SQL either way
+    "q_range_join" -> (rangePairsBucketed _),
     "q_stream_window" -> (hourlyRollup _),
     // the literal streaming definition run in batch mode (watermarks
     // no-op) — the stream-stream interval join's oracled twin
@@ -197,8 +212,6 @@ object Temporal {
     "q_asof_forward" ->
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts <= l.ts",
     "q_range_join" ->
-      "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
-    "q_range_join_bucketed" ->
       "SELECT a.event_id AS a_id, b.event_id AS b_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE",
     "q_stream_window" ->
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, count(*) AS n, round((sum(value))*1e2)/1e2 AS total_value FROM events GROUP BY 1, 2",

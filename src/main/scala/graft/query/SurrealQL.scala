@@ -233,7 +233,7 @@ object SurrealQL {
             s"unknown source '$other'")
         }
         val filtered = Option(cond) match {
-          case Some(c) => base.filter(compileCond(c.trim))
+          case Some(c) => applyWhere(base, c.trim, t, vars)
           case None => base
         }
         val items = splitTop(projs, ',').map(_.trim).filter(_.nonEmpty)
@@ -365,6 +365,33 @@ object SurrealQL {
             transform(filtered, project(_))
         }
       case _ => throw new IllegalArgumentException(s"cannot parse path: $path")
+    }
+  }
+
+  /** WHERE application. Subselect membership — `f IN (SELECT ...)`,
+    * `f INSIDE (...)`, `f NOT IN (...)` (extension beyond the
+    * documented reference surface; SurrealQL's own operator is
+    * INSIDE) — compiles to a left-semi/anti join against the
+    * subquery's first column: set membership stays distributed, no
+    * value list ever collects to the driver. Subselect conjuncts join
+    * at the top-level AND chain; any other condition (including
+    * everything under an OR) compiles to a predicate Column via
+    * [[compileCond]] as before. */
+  private def applyWhere(base: DataFrame, cond: String, t: WikiTables,
+                         vars: Map[String, DataFrame]): DataFrame = {
+    val inRe = ("(?is)^([a-zA-Z_][a-zA-Z0-9_]*)\\s+(NOT\\s+)?" +
+      "(?:IN|INSIDE)\\s*\\((.+)\\)$").r
+    if (splitTopWord(cond, "OR").length > 1) base.filter(compileCond(cond))
+    else splitTopWord(cond, "AND").map(_.trim).foldLeft(base) { (df, c) =>
+      c match {
+        case inRe(field, not, sub) if balanced(sub) =>
+          val subDf = evalExpr(sub.trim, t, vars)
+          val key = subDf.columns.filterNot(_ == "_claims_src_tb").head
+          df.join(subDf.select(col(key).as("_in_key")).distinct(),
+            df(field) === col("_in_key"),
+            if (not != null) "left_anti" else "left_semi")
+        case other => df.filter(compileCond(other))
+      }
     }
   }
 

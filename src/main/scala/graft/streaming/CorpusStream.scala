@@ -34,6 +34,57 @@ import graft.operators.Dedup
   */
 object CorpusStream {
 
+  /** One micro-batch of the streaming curation pipeline — the stream
+    * twin of [[graft.operators.Corpus]]'s repetition / PII /
+    * boilerplate stages. Exposed (not private) so the spec can drive
+    * batches deterministically; [[curationStream]] wires it to
+    * foreachBatch.
+    *
+    * Per-document signals (repetition, PII audit) are batch-local, so
+    * they equal the batch operators verbatim. Boilerplate needs the
+    * CORPUS-level shingle doc-frequency: the stream keeps it as
+    * per-batch docfreq partials at `statePath/batch=<id>` — a doc's
+    * shingles live in exactly one batch, so the summed partials equal
+    * the batch-mode docfreq over everything ingested so far, and each
+    * batch is scored against that accumulated set (early docs see
+    * less state; that is the inherent streaming semantics, same as a
+    * growing LSH index). Replay safety: a replayed batch overwrites
+    * ITS OWN partial and output directory, so every effect converges
+    * (same at-least-once protocol as [[onlineDedup]]). */
+  def curationStage(batch: DataFrame, batchId: Long, statePath: String,
+                    outDir: String, minDocs: Int = 5): Unit = {
+    import graft.operators.Corpus
+    val s = batch.sparkSession
+    val sh = Corpus.shingleSet(batch, col("text"))
+    sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df_part"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    val boiler = s.read
+      .schema("sh STRING, df_part BIGINT") // pinned: empty-dir safe
+      .parquet(s"$statePath")
+      .groupBy(col("sh")).agg(sum(col("df_part")).as("docfreq"))
+      .filter(col("docfreq") >= minDocs)
+    Corpus.repetitionSignals(batch, col("text"))
+      .join(Corpus.boilerplateScore(sh, boiler), Seq("doc_id"))
+      .join(Corpus.piiAudit(batch, col("text")), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Start the curation stream: every micro-batch runs
+    * [[curationStage]] — repetition + PII per doc, boilerplate vs the
+    * accumulated docfreq state. */
+  def curationStream(docsStream: DataFrame, statePath: String,
+                     outDir: String, checkpoint: String,
+                     minDocs: Int = 5): StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationStage(batch, batchId, statePath, outDir, minDocs)
+      }
+      .start()
+
   /** Start the online-dedup stream over `docsStream` (doc_id, text).
     * Survivors append to `outDir`; the index lives at `indexDir`
     * under the `table` catalog names. */

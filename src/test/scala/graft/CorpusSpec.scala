@@ -84,6 +84,86 @@ class CorpusSpec extends AnyFunSuite {
     assert(keptNull === 3L, "null-class docs must not be dropped")
   }
 
+  test("curation stream: one-batch stream equals the batch operators") {
+    val base = java.nio.file.Files.createTempDirectory("curation_one").toString
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    // the whole corpus in a single micro-batch ⇒ the accumulated
+    // docfreq IS the batch docfreq ⇒ stream output ≡ batch operators
+    graft.streaming.CorpusStream.curationStage(
+      docs, 0L, s"$base/state", s"$base/out", minDocs = 5)
+    val streamed = spark.read.parquet(s"$base/out/batch=0")
+    val batch = Corpus.repetitionSignals(docs, col("text"))
+      .join(Corpus.boilerplateSignals(docs, col("text"), minDocs = 5),
+        Seq("doc_id"))
+      .join(Corpus.piiAudit(docs, col("text")), Seq("doc_id"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch.select(streamed.columns.map(col): _*))
+      .count() === 0L)
+  }
+
+  test("curation stream: docfreq accumulates across batches; replay is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("curation_two").toString
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    graft.streaming.CorpusStream.curationStage(
+      b1, 0L, s"$base/state", s"$base/out", minDocs = 5)
+    graft.streaming.CorpusStream.curationStage(
+      b2, 1L, s"$base/state", s"$base/out", minDocs = 5)
+    // state after both batches = the batch-mode docfreq (each doc's
+    // shingles land in exactly one partial)
+    val stateDf = spark.read.parquet(s"$base/state")
+      .groupBy("sh").agg(sum("df_part").as("docfreq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchDf = Corpus.shingleSet(docs, col("text"))
+      .groupBy("sh").agg(countDistinct("doc_id").as("docfreq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stateDf === batchDf)
+    // batch 2 is scored against state from BOTH batches ⇒ its rows
+    // match the all-docs batch scoring restricted to batch-2 ids
+    val streamed2 = spark.read.parquet(s"$base/out/batch=1")
+    val batchAll = Corpus.repetitionSignals(docs, col("text"))
+      .join(Corpus.boilerplateSignals(docs, col("text"), minDocs = 5),
+        Seq("doc_id"))
+      .join(Corpus.piiAudit(docs, col("text")), Seq("doc_id"))
+      .filter(col("doc_id") % 2 === 1)
+    assert(streamed2.exceptAll(
+      batchAll.select(streamed2.columns.map(col): _*)).count() === 0L)
+    // at-least-once replay of batch 1: partials/outputs overwrite in
+    // place — nothing double-counts, outputs unchanged
+    val before = streamed2.collect().map(_.toString).sorted
+    graft.streaming.CorpusStream.curationStage(
+      b2, 1L, s"$base/state", s"$base/out", minDocs = 5)
+    val after = spark.read.parquet(s"$base/out/batch=1")
+      .collect().map(_.toString).sorted
+    assert(after === before)
+    assert(spark.read.parquet(s"$base/state")
+      .groupBy("sh").agg(sum("df_part").as("docfreq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === batchDf)
+  }
+
+  test("curation stream: end-to-end via foreachBatch plumbing") {
+    val base = java.nio.file.Files.createTempDirectory("curation_e2e").toString
+    import java.nio.file.{Files => JF, Paths => JP}
+    JF.createDirectories(JP.get(s"$base/in"))
+    JF.writeString(JP.get(s"$base/in/f1.json"),
+      """{"doc_id": 1, "text": "alpha beta gamma delta epsilon"}""" + "\n" +
+        """{"doc_id": 2, "text": "mail jo@x.io or 555-0000 fast"}""")
+    val q = graft.streaming.CorpusStream.curationStream(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .json(s"$base/in"),
+      s"$base/state", s"$base/out", s"$base/cp", minDocs = 2)
+    try {
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Int]("n_emails")).toMap
+      assert(out === Map(1L -> 0, 2L -> 1))
+    } finally { q.stop() }
+  }
+
   test("token budget: cumsum bounded and prefix-closed in bucket order") {
     val s = spark; import s.implicits._
     val df = (1L to 100L).map(i => (i, "cls", 10L)).toDF("doc_id", "src", "est")

@@ -77,4 +77,50 @@ class LayoutSpec extends AnyFunSuite {
       assert(sx <= 32 && sy <= 32, s"file spans ($sx, $sy) — not tiled")
     }
   }
+
+  test("z-order N=3: hand-computed interleave; files tile ALL THREE dimensions") {
+    val s = spark; import s.implicits._
+    graft.functions.HashExpressions.register(spark)
+    // bit j of column c at position j*3 + c:
+    // (1, 1, 1) -> bits 0,1,2 set = 7; (2, 0, 0) -> bit 1*3+0 = 8
+    val z = Seq((1L, 1L, 1L, 2L, 0L, 0L)).toDF("a", "b", "c", "d", "e", "f")
+      .select(
+        graft.functions.HashExpressions.z_orderN(Seq(col("a"), col("b"), col("c"))),
+        graft.functions.HashExpressions.z_orderN(Seq(col("d"), col("e"), col("f"))))
+      .collect().head
+    assert(z.getLong(0) === 7L)
+    assert(z.getLong(1) === 8L)
+    // 32^3 cube, 512-row files: each file must tile x, y AND w — a
+    // single-key sort would span the full 31 in two of the three
+    val cube = (for (x <- 0L until 32L; y <- 0L until 32L; w <- 0L until 32L)
+      yield (x, y, w)).toDF("x", "y", "w")
+    val path = java.nio.file.Files
+      .createTempDirectory("layout_z3").toString + "/cube"
+    val nFiles = Layout.writeZOrderedN(cube, path,
+      Seq(col("x"), col("y"), col("w")), targetRowsPerFile = 512L)
+    assert(nFiles >= 32, s"nFiles=$nFiles")
+    val spans = Option(new java.io.File(path).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(max(col("x")) - min(col("x")),
+            max(col("y")) - min(col("y")),
+            max(col("w")) - min(col("w"))).collect().head
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    // a perfect 512-row z-tile is 8x8x8 (span 7). Files whose range
+    // straddles a z carry boundary (e.g. crossing 2^13 flips every
+    // lower x/y/w bit at once) legitimately span wide — the standard
+    // z-order boundary artifact, a few files at most. The LAYOUT
+    // property is aggregate: the vast majority of files are tight
+    // tiles, and mean spans sit near the perfect tile, nowhere near
+    // the 31 a single-key sort leaves in its two non-sort dimensions.
+    val tiled = spans.count { case (sx, sy, sw) =>
+      sx <= 15 && sy <= 15 && sw <= 15 }
+    assert(tiled.toDouble / spans.length >= 0.8,
+      s"only $tiled/${spans.length} files are tiled: ${spans.mkString(",")}")
+    def mean(f: ((Long, Long, Long)) => Long) =
+      spans.map(f).sum.toDouble / spans.length
+    assert(mean(_._1) <= 12 && mean(_._2) <= 12 && mean(_._3) <= 12,
+      s"mean spans (${mean(_._1)}, ${mean(_._2)}, ${mean(_._3)})")
+  }
 }

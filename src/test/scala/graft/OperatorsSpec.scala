@@ -279,6 +279,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batchClosed)
   }
 
+  test("bucketed range join is the exact twin of the naive formulation") {
+    // q_range_join ships the bounded-fan-out bucketed plan; the naive
+    // per-user cross product is kept only as this exactness witness
+    val naive = graft.queries.Temporal.rangePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = graft.queries.Temporal.rangePairsBucketed(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(bucketed === naive)
+  }
+
   test("embedding near-dup: no false positives, recall >= 0.8 of brute force") {
     // max pairwise cosine in this corpus ≈ 0.5 — threshold 0.4 hits
     // the tail; at that angle (≈66°) 16-table/4-bit SRP recall is ~0.94
@@ -496,6 +507,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(removed.nonEmpty, "old bucket versions should be reclaimed")
     assert(Merge.versions(dir) === Seq(2))
     assert(state(2) === v2, "latest version must survive vacuum intact")
+  }
+
+  test("vacuum under a live reader: retained versions read on, carried-forward dirs survive") {
+    val dir = java.nio.file.Files.createTempDirectory("vac_spec").toString
+    val t = spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    Merge.writeVersioned(t, dir, "k", nBuckets = 8)
+    Merge.mergeVersioned(spark, dir,
+      spark.createDataFrame(Seq(1L -> -1L)).toDF("k", "v"), "k")
+    Merge.mergeVersioned(spark, dir,
+      spark.createDataFrame(Seq(2L -> -2L)).toDF("k", "v"), "k")
+    // live readers resolve their manifests BEFORE the vacuum runs
+    val liveLatest = Merge.readVersioned(spark, dir)       // v2
+    val liveRetained = Merge.readVersioned(spark, dir, 1)  // v1, kept
+    val removed = Merge.vacuum(dir, keepLast = 2)
+    // retention contract: v1/v2 manifests mostly reference v0's
+    // immutable bucket dirs (untouched buckets carry forward) — only
+    // v0's superseded copy of the delta-1 bucket is reclaimable
+    val b1 = spark.range(1).select(Merge.bucketOf(lit(1L), 8))
+      .collect().head.getLong(0)
+    assert(removed === Seq(s"_data/v0/_mb=$b1"), removed.toString)
+    assert(Merge.versions(dir) === Seq(1, 2))
+    // both live plans still execute fully after the vacuum
+    val m2 = liveLatest.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2.size === 1000 && m2(1L) === -1L && m2(2L) === -2L)
+    val m1 = liveRetained.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1.size === 1000 && m1(1L) === -1L && m1(2L) === 4L)
+    // the dropped version is gone for NEW readers — the retention
+    // window, not reader luck, is the consistency contract
+    intercept[Exception](Merge.readVersioned(spark, dir, 0).collect())
   }
 
   test("approx aggregates within tolerance of exact") {

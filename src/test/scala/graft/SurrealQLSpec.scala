@@ -122,6 +122,24 @@ class SurrealQLSpec extends AnyFunSuite {
     ) === Seq("Banana Fish", "Black Clover, season 1"))
   }
 
+  test("extension: IN / INSIDE / NOT IN subselects in WHERE") {
+    val one = SurrealQL.run(tables,
+      """select label from Entity where label INSIDE (select label from Entity where label = "Black Clover, season 1");""")
+    assert(one.returned.get.collect().map(_.getString(0)).toSeq ===
+      Seq("Black Clover, season 1"))
+    // IN is accepted as a synonym, and a $var works as the subquery
+    val viaVar = SurrealQL.run(tables,
+      """let $picked = select label from Entity where label = "Black Clover, season 1";
+        |select label from Entity where label IN (select label from $picked);""".stripMargin)
+    assert(viaVar.returned.get.count() === 1)
+    // NOT IN anti-joins; composes with an ordinary conjunct
+    val rest = SurrealQL.run(tables,
+      """select label from Entity where label NOT IN (select label from Entity where label = "Black Clover, season 1") AND claims.claims[where id = Property:1113] != [];""")
+    val labels = rest.returned.get.collect().map(_.getString(0)).toSet
+    assert(rest.returned.get.count() === 2)
+    assert(!labels.contains("Black Clover, season 1"))
+  }
+
   test("extension: scalar arithmetic in LET/RETURN") {
     val script =
       """let $eps = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as eps from Entity where label = "Black Clover, season 1")[0].eps;
