@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** The single catalog of graft's Catalyst kernels by SQL name.
+  *
+  * Both registration surfaces draw from this table, so the DataFrame
+  * helpers, ad-hoc `register(spark)` calls, and the
+  * [[graft.GraftExtensions]] session-extension injector can never
+  * disagree about what a name means:
+  *
+  *   - [[register]] installs every kernel into a live session's
+  *     function registry (what the query builders call);
+  *   - `GraftExtensions` injects the same builders at session build
+  *     time (`spark.sql.extensions=graft.GraftExtensions`), the
+  *     deployment path for clusters where user code never gets a
+  *     chance to call register() — SQL-only clients, Thrift server,
+  *     notebook gateways.
+  */
+object GraftRegistry {
+
+  import HashExpressions._
+  import TextFunctions.{AsciiFold, SnowballStem}
+
+  /** Evaluate a foldable argument to an Int at plan-build time (the
+    * SQL surface of the parameterized kernels: static config args are
+    * literals). */
+  private def staticInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got: $other")
+    }
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> (es => MinHashSignature(es.head, 64)),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
+    "word_ngrams_3" -> (es => WordNgrams(es.head, 3)),
+    "word_ngrams_2" -> (es => WordNgrams(es.head, 2)),
+    "z_order_16" -> (es => ZOrder2(es(0), es(1), 16)),
+    // N-ary form: per-dimension width is the widest a long key admits
+    "z_order_n" -> (es => ZOrderN(es, 63 / es.length)),
+    // srp_bucket(vec, bits, table) — bits/table are static literals
+    "srp_bucket" -> (es => SrpBucket(es(0),
+      staticInt(es(1), "srp_bucket bits"),
+      staticInt(es(2), "srp_bucket table"))),
+    "ascii_fold" -> (es => AsciiFold(es.head)),
+    "snowball_stem" -> (es => SnowballStem(es.head)))
+
+  /** Install every kernel on a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}

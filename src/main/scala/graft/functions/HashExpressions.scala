@@ -277,27 +277,10 @@ object HashExpressions {
   }
 
   /** Register all kernels; Column helpers resolve through the
-    * registry (the Column↔Expression bridge is private in Spark 4). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs.head, 64), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("sig_agreement",
-      exprs => SigAgreement(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("word_ngrams_3",
-      exprs => WordNgrams(exprs.head, 3), "built-in")
-    reg.createOrReplaceTempFunction("word_ngrams_2",
-      exprs => WordNgrams(exprs.head, 2), "built-in")
-    reg.createOrReplaceTempFunction("z_order_16",
-      exprs => ZOrder2(exprs(0), exprs(1), 16), "built-in")
-    // N-ary form: per-dimension width is the widest a long key admits
-    reg.createOrReplaceTempFunction("z_order_n",
-      exprs => ZOrderN(exprs, 63 / exprs.length), "built-in")
-  }
+    * registry (the Column↔Expression bridge is private in Spark 4).
+    * Delegates to the shared name→builder table so this path and the
+    * [[graft.GraftExtensions]] injector cannot drift. */
+  def register(spark: SparkSession): Unit = GraftRegistry.register(spark)
 
   def minhash_signature(c: Column): Column = call_function("minhash_signature", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)

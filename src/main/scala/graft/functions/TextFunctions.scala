@@ -54,14 +54,9 @@ object TextFunctions {
   def ascii_fold(c: Column): Column = call_function("ascii_fold", c)
   def snowball_stem(c: Column): Column = call_function("snowball_stem", c)
 
-  /** Register on the session (DataFrame + SQL surface). */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "ascii_fold", exprs => AsciiFold(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "snowball_stem", exprs => SnowballStem(exprs.head), "built-in")
-  }
+  /** Register on the session (DataFrame + SQL surface) — delegates to
+    * the shared table ([[GraftRegistry]]). */
+  def register(spark: SparkSession): Unit = GraftRegistry.register(spark)
 
   /** The full blank_english analyzer: text → array of normalized,
     * folded, stemmed tokens. */

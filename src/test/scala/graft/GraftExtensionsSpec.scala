@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftRegistry
+
+/** The session-extension surface: one builder table feeds both the
+  * live-session register() path and the `spark.sql.extensions`
+  * injector, so these tests pin (a) the table covers every kernel,
+  * (b) each injected builder constructs a correctly-evaluating
+  * expression, and (c) the SQL names resolve end-to-end. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def b(name: String) = GraftRegistry.builders.toMap.apply(name)
+
+  test("builder table covers the full kernel surface") {
+    assert(GraftRegistry.builders.map(_._1).toSet === Set(
+      "minhash_signature", "simhash64", "cosine_similarity",
+      "sig_agreement", "word_ngrams_3", "word_ngrams_2",
+      "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
+      "snowball_stem"))
+  }
+
+  test("every injected builder evaluates correctly on literal input") {
+    val vec = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
+    assert(b("cosine_similarity")(Seq(vec, vec)).eval() === 1.0)
+    val toks = Literal.create(Seq("a", "b", "c", "d"), ArrayType(StringType))
+    assert(b("word_ngrams_3")(Seq(toks)).eval()
+      .asInstanceOf[ArrayData].numElements() === 2)
+    assert(b("word_ngrams_2")(Seq(toks)).eval()
+      .asInstanceOf[ArrayData].numElements() === 3)
+    // hand-computed interleaves (same goldens as LayoutSpec)
+    assert(b("z_order_16")(Seq(Literal(5L), Literal(3L))).eval() === 27L)
+    assert(b("z_order_n")(
+      Seq(Literal(1L), Literal(1L), Literal(1L))).eval() === 7L)
+    assert(b("ascii_fold")(Seq(Literal("café"))).eval().toString === "cafe")
+    assert(b("snowball_stem")(Seq(Literal("running"))).eval().toString === "run")
+    val sig = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))
+    assert(b("sig_agreement")(Seq(sig, sig)).eval() === 1.0)
+    assert(b("minhash_signature")(Seq(toks)).eval()
+      .asInstanceOf[ArrayData].numElements() === 64)
+    assert(b("simhash64")(Seq(toks)).eval() ===
+      b("simhash64")(Seq(toks)).eval())
+    // parameterized kernel: static args must be literals
+    assert(b("srp_bucket")(Seq(vec, Literal(4), Literal(0))).eval() != null)
+    intercept[IllegalArgumentException](
+      b("srp_bucket")(Seq(vec, vec, Literal(0))))
+  }
+
+  test("SQL surface resolves every name after register") {
+    GraftRegistry.register(spark)
+    val r = spark.sql(
+      """SELECT snowball_stem('running') AS s, ascii_fold('café') AS f,
+        |  cosine_similarity(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c,
+        |  z_order_n(1L, 1L, 1L) AS z,
+        |  srp_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4, 0) AS sb""".stripMargin)
+      .collect().head
+    assert(r.getString(0) === "run")
+    assert(r.getString(1) === "cafe")
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getLong(3) === 7L)
+  }
+
+  test("GraftExtensions injects the whole table at session-build time") {
+    // the config path (spark.sql.extensions) can only apply to a
+    // freshly-built session — here we pin that the injector accepts
+    // every builder without error; name/semantics coverage is the
+    // two tests above, which exercise the SAME table
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files => JF, Paths => JP}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Merge
+import graft.streaming.MergeStream
+
+/** The CDC-apply stream over the versioned merge target: stream
+  * progress publishes versions, readers time-travel across them, and
+  * at-least-once redelivery converges (skip at the high-water mark;
+  * idempotent re-merge inside the crash window). */
+class MergeStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def state(path: String, v: Int = -1): Map[Long, Long] =
+    Merge.readVersioned(spark, path, v).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("end-to-end stream: each file batch publishes a version; latest state correct") {
+    val base = JF.createTempDirectory("ms_e2e").toString
+    val t = spark.range(0, 100).select(col("id").as("k"), lit(0L).as("v"))
+    Merge.writeVersioned(t, s"$base/target", "k", nBuckets = 4)
+    JF.createDirectories(JP.get(s"$base/in"))
+    JF.writeString(JP.get(s"$base/in/d1.json"),
+      """{"k": 1, "v": 11}""" + "\n" + """{"k": 500, "v": 55}""")
+    val q = MergeStream.upsertStream(
+      spark.readStream.schema("k LONG, v LONG").json(s"$base/in"),
+      s"$base/target", "k", s"$base/cp")
+    try {
+      q.processAllAvailable()
+      val s1 = state(s"$base/target")
+      assert(s1.size === 101 && s1(1L) === 11L && s1(500L) === 55L)
+      // second file → second batch → next version
+      JF.writeString(JP.get(s"$base/in/d2.json"), """{"k": 1, "v": 12}""")
+      q.processAllAvailable()
+      val s2 = state(s"$base/target")
+      assert(s2.size === 101 && s2(1L) === 12L && s2(500L) === 55L)
+      // time travel: the pre-batch-2 state is still addressable
+      val versions = Merge.versions(s"$base/target")
+      assert(versions.size === 3) // v0 + one per batch
+      assert(state(s"$base/target", versions(1))(1L) === 11L)
+    } finally q.stop()
+  }
+
+  test("redelivered batch at the high-water mark is skipped; crash-window replay converges") {
+    val base = JF.createTempDirectory("ms_replay").toString
+    val t = spark.range(0, 50).select(col("id").as("k"), lit(0L).as("v"))
+    Merge.writeVersioned(t, s"$base/t", "k", nBuckets = 4)
+    val d1 = spark.createDataFrame(Seq(1L -> 10L)).toDF("k", "v")
+    MergeStream.applyBatch(spark, s"$base/t", "k", d1, 0L)
+    assert(MergeStream.lastApplied(s"$base/t") === 0L)
+    val versionsAfter = Merge.versions(s"$base/t")
+    // clean redelivery: same batchId → no new version, state unchanged
+    MergeStream.applyBatch(spark, s"$base/t", "k", d1, 0L)
+    assert(Merge.versions(s"$base/t") === versionsAfter)
+    assert(state(s"$base/t")(1L) === 10L)
+    // crash window: manifest published but hwm write lost — simulate
+    // by re-merging the delta directly, as the replay would
+    Merge.mergeVersioned(spark, s"$base/t", d1, "k")
+    val sExtra = state(s"$base/t")
+    assert(sExtra.size === 50 && sExtra(1L) === 10L,
+      "replayed merge must carry an identical state (idempotent upsert)")
+    // and the next batch proceeds normally on top
+    MergeStream.applyBatch(spark, s"$base/t", "k",
+      spark.createDataFrame(Seq(2L -> 20L)).toDF("k", "v"), 1L)
+    val s2 = state(s"$base/t")
+    assert(s2(1L) === 10L && s2(2L) === 20L)
+    assert(MergeStream.lastApplied(s"$base/t") === 1L)
+  }
+}
