@@ -22,6 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     graft.functions.GraftRegistry.builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.HashExpressions", name), b))
+        new ExpressionInfo("graft.functions.GraftRegistry", name), b))
     }
 }

@@ -44,7 +44,10 @@ object GraftRegistry {
     "word_ngrams_2" -> (es => WordNgrams(es.head, 2)),
     "z_order_16" -> (es => ZOrder2(es(0), es(1), 16)),
     // N-ary form: per-dimension width is the widest a long key admits
-    "z_order_n" -> (es => ZOrderN(es, 63 / es.length)),
+    "z_order_n" -> (es => {
+      require(es.nonEmpty, "z_order_n needs at least one column")
+      ZOrderN(es, 63 / es.length)
+    }),
     // srp_bucket(vec, bits, table) — bits/table are static literals
     "srp_bucket" -> (es => SrpBucket(es(0),
       staticInt(es(1), "srp_bucket bits"),

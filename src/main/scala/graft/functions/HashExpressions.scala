@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -31,7 +31,8 @@ object HashExpressions {
     * (a_i * h + b_i mod 2^64) to the base xxHash of each shingle —
     * one string hash per shingle total, then cheap long ops. */
   case class MinHashSignature(child: Expression, perms: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     // deterministic odd multipliers / offsets (splitmix-style)
@@ -74,7 +75,8 @@ object HashExpressions {
 
   /** SimHash: array<string> tokens → 64-bit signature long. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -103,7 +105,9 @@ object HashExpressions {
     * the DuckDB-oracle formulation: per-index float→double casts, one
     * sequential left-fold per accumulator — bit-identical results. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -134,7 +138,8 @@ object HashExpressions {
     * Negative inputs are masked like any other value (callers bucket/
     * offset first — documented at the Layout call site). */
   case class ZOrder2(left: Expression, right: Expression, bits: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
     override def dataType: DataType = LongType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val mask = (1L << bits) - 1
@@ -160,9 +165,12 @@ object HashExpressions {
     * bits = 63/N, the widest per-dimension domain a single long key
     * admits. Any null input → null. */
   case class ZOrderN(children: Seq[Expression], bits: Int)
-      extends Expression with CodegenFallback {
+      extends Expression with ImplicitCastInputTypes with CodegenFallback {
+    require(children.nonEmpty, "z_order_n needs at least one column")
     require(bits * children.length <= 63,
       s"z-order overflow: $bits bits x ${children.length} columns")
+    override def inputTypes: Seq[DataType] =
+      Seq.fill(children.length)(LongType)
     override def dataType: DataType = LongType
     override def nullable: Boolean = children.exists(_.nullable)
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -194,7 +202,8 @@ object HashExpressions {
     * splitmix of (plane, dim) — matches Similarity.srpBucket's
     * xxhash64-sign contract in spirit; compiled loop in practice). */
   case class SrpBucket(child: Expression, bits: Int, table: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
@@ -225,7 +234,9 @@ object HashExpressions {
   /** Fraction of equal positions in two long signatures (MinHash
     * Jaccard estimate). */
   case class SigAgreement(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -248,7 +259,8 @@ object HashExpressions {
     * transform+element_at+concat_ws formulation evaluates interpreted
     * per window — the dominant cost of the shingling stage). */
   case class WordNgrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]

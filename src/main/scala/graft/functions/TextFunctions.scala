@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -26,7 +26,8 @@ import graft.sources.Tables
 object TextFunctions {
 
   case class AsciiFold(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
@@ -40,7 +41,8 @@ object TextFunctions {
   }
 
   case class SnowballStem(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
       UTF8String.fromString(Porter2.stem(v.asInstanceOf[UTF8String].toString))

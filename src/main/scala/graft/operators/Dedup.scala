@@ -36,6 +36,18 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Per-JVM snapshot root: one directory per call site, overwritten
+    * on each call, deleted at JVM exit — disk stays bounded at "one
+    * latest snapshot per site" no matter how many queries a
+    * long-lived session runs. */
+  private lazy val snapshotBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_snapshots_")
+    sys.addShutdownHook {
+      graft.sources.LocalFs.deleteRecursively(p.toFile)
+    }
+    p
+  }
+
   /** Write-and-readback snapshot of a SMALL intermediate (candidate
     * pairs, shard signatures): the DAG above it runs exactly once and
     * nothing lingers in storage memory after the returned plan is
@@ -43,10 +55,14 @@ object Dedup {
     * DataFrame can never safely unpersist. At 100 TB this is the same
     * move as checkpointing a candidate list to the lake between the
     * discovery and verify stages. Schema is pinned on read so an empty
-    * snapshot round-trips. */
-  private def materialize(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_snapshot_").toString
+    * snapshot round-trips. `site` names the call site: each
+    * (site, caller thread) keeps ONE live snapshot, overwritten by
+    * the next call from that thread — so disk stays bounded while
+    * concurrent callers (Verify's query pool, parallel test suites)
+    * never clobber each other mid-read. */
+  private def materialize(df: DataFrame, site: String): DataFrame = {
+    val dir = snapshotBase
+      .resolve(s"${site}_t${Thread.currentThread().getId}").toString
     df.write.mode(SaveMode.Overwrite).parquet(dir)
     df.sparkSession.read.schema(df.schema).parquet(dir)
   }
@@ -297,7 +313,7 @@ object Dedup {
     // the shard's signatures feed the probe AND the verify join —
     // shard-sized; snapshot them so the kernel runs once WITHOUT a
     // persist() whose blocks would outlive the returned lazy plan
-    val sigNew = materialize(signatures(newDocs))
+    val sigNew = materialize(signatures(newDocs), "probe_sigs")
     val probe = bandKeys(sigNew, bands, rows)
       .select(col("doc_id").as("new_id"), col("bucket"))
     // exclude the shard's OWN rows from the index view before the
@@ -385,7 +401,8 @@ object Dedup {
     // join — snapshot it (O(near-dup pairs), tiny next to the corpus)
     // so the LSH discovery DAG runs once with no lingering persist()
     val pairs = materialize(
-      minhashPairs(df).select(col("doc_a"), col("doc_b")))
+      minhashPairs(df).select(col("doc_a"), col("doc_b")),
+      "minhash_pairs")
     // exact-rerank only the docs LSH surfaced — per-doc shingle sets
     // are independent, so per-pair Jaccard is unchanged, and the
     // quadratic kernel never sees the full corpus (the discovery/
@@ -415,7 +432,8 @@ object Dedup {
       dedupAgainstIndex(s, shard, "graft_inc_idx")
         .select(col("new_id"), col("dup_of"),
           least(col("new_id"), col("dup_of")).as("doc_a"),
-          greatest(col("new_id"), col("dup_of")).as("doc_b")))
+          greatest(col("new_id"), col("dup_of")).as("doc_b")),
+      "incremental_cand")
     val ids = cand.select(col("new_id").as("doc_id"))
       .union(cand.select(col("dup_of").as("doc_id"))).distinct()
     cand.join(

@@ -272,21 +272,34 @@ object Merge {
       new java.io.File(manifestDir(path), s"v$v.tsv").delete())
     val removed = scala.collection.mutable.ArrayBuffer[String]()
     val dataRoot = new java.io.File(path, "_data")
+    val latest = keep.lastOption.getOrElse(-1)
     Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { vdir =>
-      // only `_mb=` bucket directories are DATA; committer markers
-      // (_SUCCESS and friends) ride along until the whole version
-      // directory empties of buckets
-      Option(vdir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
-        .foreach { bdir =>
-          val rel = s"_data/${vdir.getName}/${bdir.getName}"
-          if (!referenced.contains(rel)) {
-            LocalFs.deleteRecursively(bdir); removed += rel
+      // NEVER touch version dirs above the latest PUBLISHED manifest:
+      // they belong to an in-flight merge that has moved its buckets
+      // but not yet published — deleting them here would make that
+      // merge publish a manifest silently missing its delta (lost
+      // update). Unpublished leftovers of a genuinely crashed merge
+      // are reclaimed by a later vacuum, once a manifest at-or-above
+      // their number exists.
+      val vNum = vdir.getName.stripPrefix("v")
+      val inFlight = vdir.getName.startsWith("v") &&
+        vNum.forall(_.isDigit) && vNum.nonEmpty && vNum.toInt > latest
+      if (!inFlight) {
+        // only `_mb=` bucket directories are DATA; committer markers
+        // (_SUCCESS and friends) ride along until the whole version
+        // directory empties of buckets
+        Option(vdir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
+          .foreach { bdir =>
+            val rel = s"_data/${vdir.getName}/${bdir.getName}"
+            if (!referenced.contains(rel)) {
+              LocalFs.deleteRecursively(bdir); removed += rel
+            }
           }
-        }
-      if (!Option(vdir.listFiles()).getOrElse(Array.empty)
-          .exists(_.getName.startsWith("_mb=")))
-        LocalFs.deleteRecursively(vdir)
+        if (!Option(vdir.listFiles()).getOrElse(Array.empty)
+            .exists(_.getName.startsWith("_mb=")))
+          LocalFs.deleteRecursively(vdir)
+      }
     }
     removed.toSeq
   }

@@ -377,12 +377,25 @@ object SurrealQL {
     * at the top-level AND chain; any other condition (including
     * everything under an OR) compiles to a predicate Column via
     * [[compileCond]] as before. */
-  private def applyWhere(base: DataFrame, cond: String, t: WikiTables,
+  private def applyWhere(base: DataFrame, cond0: String, t: WikiTables,
                          vars: Map[String, DataFrame]): DataFrame = {
     val inRe = ("(?is)^([a-zA-Z_][a-zA-Z0-9_]*)\\s+(NOT\\s+)?" +
       "(?:IN|INSIDE)\\s*\\((.+)\\)$").r
-    if (splitTopWord(cond, "OR").length > 1) base.filter(compileCond(cond))
-    else splitTopWord(cond, "AND").map(_.trim).foldLeft(base) { (df, c) =>
+    // a fully-parenthesized condition is the same condition
+    var cond = cond0.trim
+    while (cond.startsWith("(") && cond.endsWith(")") &&
+        balanced(cond.substring(1, cond.length - 1)))
+      cond = cond.substring(1, cond.length - 1).trim
+    val ors = splitTopWord(cond, "OR")
+    if (ors.length > 1) {
+      // subselects rewrite to joins, which have no disjunctive form
+      // here — fail with the real reason, not a generic parse error
+      val inDisjunct = ors.exists(o =>
+        splitTopWord(o, "AND").exists(c => inRe.findFirstIn(c.trim).isDefined))
+      if (inDisjunct) throw new IllegalArgumentException(
+        "IN/INSIDE subselects are supported in top-level AND chains, not under OR")
+      base.filter(compileCond(cond))
+    } else splitTopWord(cond, "AND").map(_.trim).foldLeft(base) { (df, c) =>
       c match {
         case inRe(field, not, sub) if balanced(sub) =>
           val subDf = evalExpr(sub.trim, t, vars)

@@ -55,19 +55,26 @@ object CorpusStream {
                     outDir: String, minDocs: Int = 5): Unit = {
     import graft.operators.Corpus
     val s = batch.sparkSession
+    // the shingle set feeds the docfreq partial AND the scoring join —
+    // cache for the stage's two actions, release before returning
+    // (a foreachBatch stage is an eager scope, so the try/finally
+    // lifecycle works here where it can't in a lazy query builder)
     val sh = Corpus.shingleSet(batch, col("text"))
-    sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("df_part"))
-      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
-    val boiler = s.read
-      .schema("sh STRING, df_part BIGINT") // pinned: empty-dir safe
-      .parquet(s"$statePath")
-      .groupBy(col("sh")).agg(sum(col("df_part")).as("docfreq"))
-      .filter(col("docfreq") >= minDocs)
-    Corpus.repetitionSignals(batch, col("text"))
-      .join(Corpus.boilerplateScore(sh, boiler), Seq("doc_id"))
-      .join(Corpus.piiAudit(batch, col("text")), Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df_part"))
+        .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+      val boiler = s.read
+        .schema("sh STRING, df_part BIGINT") // pinned: empty-dir safe
+        .parquet(s"$statePath")
+        .groupBy(col("sh")).agg(sum(col("df_part")).as("docfreq"))
+        .filter(col("docfreq") >= minDocs)
+      Corpus.repetitionSignals(batch, col("text"))
+        .join(Corpus.boilerplateScore(sh, boiler), Seq("doc_id"))
+        .join(Corpus.piiAudit(batch, col("text")), Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    } finally { sh.unpersist(blocking = true); () }
   }
 
   /** Start the curation stream: every micro-batch runs

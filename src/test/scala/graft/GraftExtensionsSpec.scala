@@ -70,6 +70,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) === 7L)
   }
 
+  test("SQL-friendly input coercion: INT literals and double arrays implicitly cast") {
+    GraftRegistry.register(spark)
+    // z_order_n(1, 2) — INT literals, the analyzer casts to BIGINT
+    // instead of a ClassCastException inside an executor task
+    val r = spark.sql(
+      """SELECT z_order_n(1, 1, 1) AS z, z_order_16(5, 3) AS z2,
+        |  cosine_similarity(array(1.0, 2.0), array(1.0, 2.0)) AS c""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) === 7L)
+    assert(r.getLong(1) === 27L)
+    // sqrt(5)*sqrt(5) != 5 exactly — self-similarity is 1 ± 1 ulp
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
   test("GraftExtensions injects the whole table at session-build time") {
     // the config path (spark.sql.extensions) can only apply to a
     // freshly-built session — here we pin that the injector accepts

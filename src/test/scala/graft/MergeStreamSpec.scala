@@ -54,11 +54,11 @@ class MergeStreamSpec extends AnyFunSuite {
     val t = spark.range(0, 50).select(col("id").as("k"), lit(0L).as("v"))
     Merge.writeVersioned(t, s"$base/t", "k", nBuckets = 4)
     val d1 = spark.createDataFrame(Seq(1L -> 10L)).toDF("k", "v")
-    MergeStream.applyBatch(spark, s"$base/t", "k", d1, 0L)
-    assert(MergeStream.lastApplied(s"$base/t") === 0L)
+    MergeStream.applyBatch(spark, s"$base/t", "k", d1, 0L, "lineA")
+    assert(MergeStream.lastApplied(s"$base/t", "lineA") === 0L)
     val versionsAfter = Merge.versions(s"$base/t")
     // clean redelivery: same batchId → no new version, state unchanged
-    MergeStream.applyBatch(spark, s"$base/t", "k", d1, 0L)
+    MergeStream.applyBatch(spark, s"$base/t", "k", d1, 0L, "lineA")
     assert(Merge.versions(s"$base/t") === versionsAfter)
     assert(state(s"$base/t")(1L) === 10L)
     // crash window: manifest published but hwm write lost — simulate
@@ -69,9 +69,44 @@ class MergeStreamSpec extends AnyFunSuite {
       "replayed merge must carry an identical state (idempotent upsert)")
     // and the next batch proceeds normally on top
     MergeStream.applyBatch(spark, s"$base/t", "k",
-      spark.createDataFrame(Seq(2L -> 20L)).toDF("k", "v"), 1L)
+      spark.createDataFrame(Seq(2L -> 20L)).toDF("k", "v"), 1L, "lineA")
     val s2 = state(s"$base/t")
     assert(s2(1L) === 10L && s2(2L) === 20L)
-    assert(MergeStream.lastApplied(s"$base/t") === 1L)
+    assert(MergeStream.lastApplied(s"$base/t", "lineA") === 1L)
+  }
+
+  test("a restarted stream with a fresh checkpoint is a NEW lineage: batch 0 applies") {
+    val base = JF.createTempDirectory("ms_lineage").toString
+    val t = spark.range(0, 20).select(col("id").as("k"), lit(0L).as("v"))
+    Merge.writeVersioned(t, s"$base/t", "k", nBuckets = 4)
+    // old lineage ran far ahead
+    MergeStream.applyBatch(spark, s"$base/t", "k",
+      spark.createDataFrame(Seq(1L -> 10L)).toDF("k", "v"), 40L, "oldCp")
+    // ops recovery: new checkpoint → new identity → its batch 0 is
+    // NOT swallowed by the old lineage's high-water mark
+    val newId = MergeStream.streamId(s"$base/cp_fresh")
+    assert(newId !== MergeStream.streamId(s"$base/cp_old"))
+    MergeStream.applyBatch(spark, s"$base/t", "k",
+      spark.createDataFrame(Seq(2L -> 20L)).toDF("k", "v"), 0L, newId)
+    val s2 = state(s"$base/t")
+    assert(s2(1L) === 10L && s2(2L) === 20L,
+      "fresh-checkpoint batch 0 must apply")
+  }
+
+  test("vacuum never touches an in-flight (unpublished) version directory") {
+    val base = JF.createTempDirectory("ms_vac").toString
+    val t = spark.range(0, 30).select(col("id").as("k"), lit(0L).as("v"))
+    Merge.writeVersioned(t, s"$base/t", "k", nBuckets = 4)
+    Merge.mergeVersioned(spark, s"$base/t",
+      spark.createDataFrame(Seq(1L -> 10L)).toDF("k", "v"), "k")
+    // simulate a merge mid-flight: buckets moved into _data/v2, no
+    // manifest published yet
+    val inFlight = new java.io.File(s"$base/t/_data/v2/_mb=0")
+    JF.createDirectories(inFlight.toPath)
+    JF.writeString(JP.get(s"${inFlight.getPath}/part-0.parquet"), "x")
+    val removed = Merge.vacuum(s"$base/t", keepLast = 1)
+    assert(inFlight.exists(),
+      "vacuum must not delete a version above the latest published manifest")
+    assert(removed.forall(!_.startsWith("_data/v2")), removed.toString)
   }
 }

@@ -138,6 +138,17 @@ class SurrealQLSpec extends AnyFunSuite {
     val labels = rest.returned.get.collect().map(_.getString(0)).toSet
     assert(rest.returned.get.count() === 2)
     assert(!labels.contains("Black Clover, season 1"))
+    // a fully-parenthesized WHERE is the same WHERE
+    val wrapped = SurrealQL.run(tables,
+      """select label from Entity where (label INSIDE (select label from Entity where label = "Black Clover, season 1"));""")
+    assert(wrapped.returned.get.count() === 1)
+    // a subselect under OR has no join form — the error says so
+    // instead of a generic parse failure
+    val e = intercept[IllegalArgumentException] {
+      SurrealQL.run(tables,
+        """select label from Entity where label = "Banana Fish" OR label IN (select label from Entity where label = "Black Clover");""")
+    }
+    assert(e.getMessage.contains("not under OR"))
   }
 
   test("extension: scalar arithmetic in LET/RETURN") {
