@@ -416,6 +416,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Distributed connected components by iterative min-label
+    * propagation — the dedup-cluster resolution step: near-dup PAIRS
+    * become clusters (A~B, B~C ⇒ {A,B,C}) and each cluster keeps its
+    * smallest doc_id. Every node starts labeled with itself; each
+    * round every node takes the min of its own and its neighbors'
+    * labels; fixpoint after ≤ diameter rounds (near-dup clusters are
+    * shallow — chains longer than a few hops are rare, and `maxIter`
+    * caps pathology). Scale shape: each round is one narrow
+    * (node, label) shuffle over the EDGE set — the corpus itself is
+    * never touched, and the label frontier is snapshotted per round
+    * (alternating write-and-readback dirs) so the plan/lineage stays
+    * O(1) deep instead of growing per iteration, the classic failure
+    * of iterative DataFrame loops. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val a = col("a"); val b = col("b")
+    val sym = edges.toDF("a", "b")
+      .union(edges.toDF("b", "a").select(col("a"), col("b")))
+      .distinct()
+    var labels = materialize(
+      sym.select(a.as("node")).distinct()
+        .select(col("node"), col("node").as("label")),
+      "cc_labels_0")
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(a.as("node")).agg(min(col("label")).as("nmin"))
+      val next = materialize(
+        labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label")))
+              .as("label")),
+        s"cc_labels_${(i + 1) % 2}") // alternate: never overwrite the dir being read
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Oracle-checkable cluster resolution over the exact-verified
+    * near-dup pairs: [[minhashVerifiedPairs]] edges (recall-1-proven ≡
+    * the exact pair set) → [[connectedComponents]] → one row per
+    * clustered doc with its canonical (smallest) id. The DuckDB
+    * oracle recomputes the same clusters with a recursive CTE over
+    * the no-LSH exact pairs — transitive closure, no propagation
+    * machinery. */
+  def dupClusters(df: DataFrame, minJaccard: Double = 0.8): DataFrame =
+    connectedComponents(
+      minhashVerifiedPairs(df, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+
   /** Incremental dedup, exact-verified and SQL-oracle-checkable: docs
     * with doc_id ≡ 0 (mod 5) play the "new shard", the rest the
     * already-indexed corpus. Index the corpus, probe the shard, then
@@ -446,6 +502,7 @@ object Dedup {
     "p_clean_corpus" -> ((s, dir) => cleanCorpus(docs(s, dir))),
     "d_incremental" -> ((s, dir) => incrementalVerifiedPairs(s, docs(s, dir))),
     "d_minhash_exact" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir))),
+    "d_components" -> ((s, dir) => dupClusters(docs(s, dir))),
     // docs 0-9 stand in for the benchmark/eval set
     "d_contamination" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -478,7 +535,13 @@ object Dedup {
     // the oracle has NO LSH — matching it proves banded discovery
     // recall = 1 at J >= 0.8 on this corpus (see minhashVerifiedPairs)
     "d_minhash_exact" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""")
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""",
+    // cluster resolution: the oracle recomputes the SAME clusters by
+    // recursive transitive closure over the no-LSH exact pair set —
+    // no label propagation, no components machinery. Matching proves
+    // the distributed min-label iteration converged to true components
+    "d_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node) SELECT node AS doc_id, min(label) AS component, (node = min(label)) AS is_canonical FROM reach GROUP BY node""")
   // d_minhash_lsh / d_simhash: not SQL-expressible in the oracle —
   // rows-only driver check; pinned by DedupSpec against brute force.
 }

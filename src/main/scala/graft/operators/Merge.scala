@@ -256,6 +256,43 @@ object Merge {
     } finally { d.unpersist(); () }
   }
 
+  /** Compact the CURRENT version: rewrite every bucket of the latest
+    * manifest into fresh single-file-per-bucket directories under a
+    * new version, state byte-identical. A long CDC run
+    * ([[graft.streaming.MergeStream]]) leaves each hot bucket
+    * fragmented across many per-batch files; compaction folds the
+    * fragments so reader listing/open cost stays bounded, WITHOUT
+    * breaking history — prior versions still reconstruct from their
+    * immutable directories, and [[vacuum]] reclaims them on its own
+    * schedule. One shuffle of the live state, same staging + rename +
+    * manifest-publish protocol as a merge. Returns the new version. */
+  def compactVersioned(spark: SparkSession, path: String,
+                       key: String): Int = {
+    val cur = versions(path).last
+    val (nBuckets, entries) = readManifest(path, cur)
+    val next = cur + 1
+    val dirs = entries.values.toSeq.sorted.map(rel => s"$path/$rel")
+    val staging = s"$path/_m_staging_v$next"
+    spark.read.parquet(dirs: _*)
+      .withColumn("_mb", bucketOf(col(key), nBuckets))
+      .repartition(nBuckets, col("_mb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
+    val verDir = new java.io.File(path, s"_data/v$next"); verDir.mkdirs()
+    val compacted = entries.keys.toSeq.sorted.flatMap { b =>
+      val src = new java.io.File(staging, s"_mb=$b")
+      val dst = new java.io.File(verDir, s"_mb=$b")
+      LocalFs.deleteRecursively(dst) // stale leftover of a crashed attempt
+      if (src.exists()) {
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"compaction move failed: bucket $b")
+        Some(b -> s"_data/v$next/_mb=$b")
+      } else None // bucket with zero rows: drop from the manifest
+    }
+    LocalFs.deleteRecursively(new java.io.File(staging))
+    writeManifest(path, next, nBuckets, compacted.toMap)
+    next
+  }
+
   /** Drop all but the last `keepLast` versions: their manifests go,
     * then every bucket directory no retained manifest references.
     * Returns the deleted data directories (relative). */

@@ -101,6 +101,42 @@ object TextAnalysis {
     df.withColumn("split",
       when(md5Bucket16(key) % 100 < trainPct, "train").otherwise("test"))
 
+  /** Word-bigram language-model score — the perplexity-proxy quality
+    * filter (the cheap stand-in for a KenLM pass): train add-one-
+    * smoothed bigram counts ON THE CORPUS ITSELF, then score each
+    * document by its mean log P(w_i | w_{i-1}). Repetitive/boilerplate
+    * text scores HIGH (its bigrams dominate the corpus), gibberish
+    * scores LOW — both tails get cut in a real mix.
+    *
+    * Scale shape: one narrow (bigram) shuffle to count, model joins
+    * are vocabulary-sized (bigram/prefix count tables ≪ corpus, and
+    * Catalyst broadcasts them under the threshold — at web scale
+    * you'd prune to top-K bigrams first), scoring is a map-side join
+    * per document bigram. The compiled [[graft.functions
+    * .HashExpressions.WordNgrams]] kernel builds bigrams. */
+  def bigramLmScore(df: DataFrame, text: Column): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val bigrams = df.select(col("doc_id"),
+      explode(graft.functions.HashExpressions.word_ngrams2(tokens(text)))
+        .as("bg"))
+    val bgCounts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val preCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cbg")).as("cpre"))
+    // |V| for add-one smoothing: distinct unigrams, a corpus-level
+    // scalar (eager count — the model is trained before scoring)
+    val v = df.select(explode(tokens(text)).as("w")).distinct().count()
+    bigrams
+      .join(bgCounts, Seq("bg"))
+      .join(preCounts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("doc_id"),
+        log((col("cbg") + 1).cast("double") /
+          (col("cpre") + v).cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(col("lp")) * 1e4) / 1e4).as("lm_score"))
+  }
+
   // ------------------------------------------------------- queries //
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -133,7 +169,8 @@ object TextAnalysis {
     "t_quality" -> ((s, dir) => quality(docs(s, dir), col("text"))),
     "t_token_count" -> ((s, dir) => tokenCounts(docs(s, dir), col("text"))),
     "t_fingerprint" -> ((s, dir) => docs(s, dir).select(
-      col("doc_id"), fingerprint(col("text")).as("fp"))))
+      col("doc_id"), fingerprint(col("text")).as("fp"))),
+    "t_lm_score" -> ((s, dir) => bigramLmScore(docs(s, dir), col("text"))))
 
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -149,5 +186,16 @@ object TextAnalysis {
     "t_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS re_tokens, CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens FROM documents",
     "t_fingerprint" ->
-      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), t -> CAST(ascii(t) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents")
+      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), t -> CAST(ascii(t) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents",
+    // the oracle restates the trained model relationally: same add-one
+    // smoothing, same corpus-derived counts, same natural log
+    "t_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg FROM toks),
+        |cbg AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+        |cpre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cbg) AS cpre FROM cbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+        |scored AS (SELECT b.doc_id, ln(CAST(c.cbg + 1 AS DOUBLE) / CAST(p.cpre + (SELECT v FROM v) AS DOUBLE)) AS lp
+        |           FROM bg b JOIN cbg c USING (bg) JOIN cpre p ON split_part(b.bg, ' ', 1) = p.w1)
+        |SELECT doc_id, count(*) AS n_bigrams, round((avg(lp))*1e4)/1e4 AS lm_score FROM scored GROUP BY doc_id""".stripMargin)
 }

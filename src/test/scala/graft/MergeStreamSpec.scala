@@ -93,6 +93,42 @@ class MergeStreamSpec extends AnyFunSuite {
       "fresh-checkpoint batch 0 must apply")
   }
 
+  test("compaction folds fragmented buckets into single files, state and history intact") {
+    val base = JF.createTempDirectory("ms_compact").toString
+    val t = spark.range(0, 200).select(col("id").as("k"), lit(0L).as("v"))
+    Merge.writeVersioned(t, s"$base/t", "k", nBuckets = 4)
+    // a short CDC run: every batch touches bucket(s) → fragments
+    (1L to 5L).foreach { i =>
+      MergeStream.applyBatch(spark, s"$base/t", "k",
+        spark.createDataFrame(Seq(i -> (i * 100))).toDF("k", "v"), i, "cp")
+    }
+    val before = state(s"$base/t")
+    val versionsBefore = Merge.versions(s"$base/t")
+    val newV = Merge.compactVersioned(spark, s"$base/t", "k")
+    assert(newV === versionsBefore.last + 1)
+    // state byte-identical
+    assert(state(s"$base/t") === before)
+    // every live bucket is one file now
+    val (_, entries) = {
+      val v = Merge.versions(s"$base/t").last
+      val f = new java.io.File(s"$base/t/_manifests", s"v$v.tsv")
+      val lines = JF.readString(f.toPath).linesIterator.toList
+      (lines.head, lines.tail.filter(_.nonEmpty).map(_.split("\t")(1)))
+    }
+    entries.foreach { rel =>
+      val files = Option(new java.io.File(s"$base/t/$rel").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"$rel has $files files after compaction")
+    }
+    assert(entries.forall(_.startsWith(s"_data/v$newV/")))
+    // history intact: the pre-compaction version still reconstructs
+    assert(state(s"$base/t", versionsBefore.last) === before)
+    // vacuum then reclaims everything but the compacted version
+    Merge.vacuum(s"$base/t", keepLast = 1)
+    assert(Merge.versions(s"$base/t") === Seq(newV))
+    assert(state(s"$base/t") === before)
+  }
+
   test("vacuum never touches an in-flight (unpublished) version directory") {
     val base = JF.createTempDirectory("ms_vac").toString
     val t = spark.range(0, 30).select(col("id").as("k"), lit(0L).as("v"))

@@ -279,6 +279,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batchClosed)
   }
 
+  test("bigram LM score: corpus-frequent phrasing outscores unique word salad") {
+    val s = spark; import s.implicits._
+    // docs 1-3 share all their bigrams; doc 4's bigrams are unique
+    val df = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "the cat sat on the mat",
+      4L -> "zebra quantum mat paper violin").toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLmScore(df, col("text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.keySet === Set(1L, 2L, 3L, 4L))
+    assert(scores(1L) === scores(2L))
+    assert(scores(1L) > scores(4L),
+      s"shared phrasing ${scores(1L)} must outscore word salad ${scores(4L)}")
+  }
+
+  test("connected components: transitive chains collapse to min-label clusters") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3 directly), pair 10-11, chain
+    // 20-21-22-23, isolated-from-each-other edges
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // a long path exercises multi-round propagation (diameter 6)
+    val path = (0L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val pathGot = Dedup.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pathGot === (0L to 6L).map(_ -> 0L).toMap)
+    // nothing persisted afterwards (snapshot-based iteration)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("bucketed range join is the exact twin of the naive formulation") {
     // q_range_join ships the bounded-fan-out bucketed plan; the naive
     // per-user cross product is kept only as this exactness witness
