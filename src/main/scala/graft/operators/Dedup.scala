@@ -444,15 +444,18 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
         .groupBy(a.as("node")).agg(min(col("label")).as("nmin"))
+      // the snapshot carries the PREVIOUS label alongside the new one,
+      // so convergence is a filter over the just-written files — no
+      // extra join job per round
       val next = materialize(
-        labels.join(neighborMin, Seq("node"), "left")
+        labels.select(col("node"), col("label").as("prev"))
+          .join(neighborMin, Seq("node"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nmin"), col("label")))
-              .as("label")),
+            least(col("prev"), coalesce(col("nmin"), col("prev")))
+              .as("label"), col("prev")),
         s"cc_labels_${(i + 1) % 2}") // alternate: never overwrite the dir being read
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))

@@ -313,6 +313,29 @@ object Similarity {
         (round(col("sim") * 1e4) / 1e4).as("sim"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the
+    * storage/bandwidth form every vector pipeline ships (4× smaller
+    * than float32, rerank in float on the shortlist). Per-vector
+    * max-abs scale; code_i = floor(x_i/scale·127 + 0.5) (explicit
+    * floor-of-shifted instead of round(): half-way rounding is then
+    * bit-identical across engines). A zero vector quantizes to zero
+    * codes. Pure per-row column work — zero shuffle, scan speed. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    embeddings
+      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("embedding"), col("scale"),
+        transform(col("embedding"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(x.cast("double") / col("scale") * 127.0 + 0.5)
+              .cast("long"))).as("codes"))
+  }
+
+  /** Reconstruction: codes·scale/127 back to float space. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => (c.cast("double") * scale / 127.0).cast("float"))
+
   /** Per-query recall@k of an ANN result against the exact top-k:
     * the hits are the exact rows the ANN search also produced. With
     * parameters that achieve recall 1 this emits (qid, 1.0) per query
@@ -367,6 +390,19 @@ object Similarity {
       val e = emb(s, dir)
       annRecall(ivfCosineTopK(e, 10, 5, nCells = 16, nProbe = 12,
         refineIters = 2), cosineTopK(e, 10, 5), 5)
+    }),
+    // quantization summarized per vector (scale, code checksum, max
+    // reconstruction error) — every number deterministic double
+    // arithmetic, so the DuckDB restatement hash-matches exactly
+    "s_quantize" -> ((s, dir) => {
+      val q = quantizeInt8(emb(s, dir))
+      q.select(col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        (round(col("scale") * 1e6) / 1e6).as("scale_r"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        (round(array_max(zip_with(col("codes"), col("embedding"),
+          (c, x) => abs(c.cast("double") * col("scale") / 127.0 -
+            x.cast("double")))) * 1e6) / 1e6).as("max_err"))
     }))
 
   // DuckDB-side double fold, bit-identical to the Spark expressions.
@@ -388,7 +424,14 @@ object Similarity {
     "s_lsh_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_ivf_ann" ->
-      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""")
+      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    "s_quantize" ->
+      """WITH scaled AS (SELECT vec_id, embedding, list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS s FROM embeddings),
+        |coded AS (SELECT vec_id, embedding, s, list_transform(embedding, x -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5) AS BIGINT) END) AS codes FROM scaled)
+        |SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims, round(s*1e6)/1e6 AS scale_r,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, x) -> a + x) AS BIGINT) AS code_sum,
+        |  round((list_aggregate(list_transform(range(1, len(embedding) + 1), i -> abs(CAST(codes[i] AS DOUBLE) * s / 127.0 - CAST(embedding[i] AS DOUBLE))), 'max'))*1e6)/1e6 AS max_err
+        |FROM coded""".stripMargin)
   // s_embed_neardup: not SQL-expressible (xxhash64 hyperplanes) —
   // rows-only driver check; recall/no-FP pinned by OperatorsSpec.
 }

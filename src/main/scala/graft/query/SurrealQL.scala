@@ -328,13 +328,31 @@ object SurrealQL {
     }
   }
 
-  /** A projection item: a plain column, a claims path, or a
+  /** A projection item: a plain column, a claims path, a
     * parenthesized path with trailing index — `(path)[0]`, the Media
-    * view's shape. */
+    * view's shape — or a scalar `math::` aggregate over an array path
+    * (`math::sum(claims.claims[...].value...amount)`): SurrealQL's
+    * math:: family works per-ROW on arrays, distinct from its use as
+    * a group aggregate (which the GROUP branch compiles separately).
+    * Elements cast to double, nulls skipped; empty array → sum 0,
+    * mean/max/min null — per-row higher-order fold, zero shuffle. */
   private def compileProj(path: String): Column = {
     val parenIdx = "(?s)^\\((.+)\\)\\s*\\[0\\]$".r
+    val mathRe = "(?is)^math::(sum|mean|max|min)\\s*\\((.+)\\)$".r
     path match {
       case p if p.matches("[a-zA-Z_][a-zA-Z0-9_]*") => col(p)
+      case mathRe(fn, arg) if balanced(arg) =>
+        val arr = filter(transform(compilePath(arg.trim),
+          v => v.cast("double")), v => v.isNotNull)
+        fn.toLowerCase match {
+          case "sum" => aggregate(arr, lit(0.0), (a, x) => a + x)
+          case "mean" =>
+            when(size(arr) > 0,
+              aggregate(arr, lit(0.0), (a, x) => a + x) /
+                size(arr).cast("double"))
+          case "max" => array_max(arr)
+          case "min" => array_min(arr)
+        }
       case parenIdx(inner) => compilePath(inner.trim + "[0]")
       case p => compilePath(p)
     }

@@ -279,6 +279,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batchClosed)
   }
 
+  test("int8 quantization: codes bounded, reconstruction within half a step, zero-safe") {
+    val q = Similarity.quantizeInt8(emb).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getDouble(2)
+      val vec = r.getSeq[Float](1)
+      val codes = r.getSeq[Long](3)
+      assert(codes.forall(c => c >= -127 && c <= 127), r.toString)
+      // |dequant - x| <= scale/254 (half a quant step) + float slack
+      codes.zip(vec).foreach { case (c, x) =>
+        assert(math.abs(c * scale / 127.0 - x) <= scale / 254.0 + 1e-6)
+      }
+    }
+    // a zero vector must quantize to zero codes, not NaN
+    val s = spark; import s.implicits._
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val z = Seq((99999L, Seq.fill(dim)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val zq = Similarity.quantizeInt8(z).collect().head
+    assert(zq.getSeq[Long](3).forall(_ == 0L))
+  }
+
   test("bigram LM score: corpus-frequent phrasing outscores unique word salad") {
     val s = spark; import s.implicits._
     // docs 1-3 share all their bigrams; doc 4's bigrams are unique

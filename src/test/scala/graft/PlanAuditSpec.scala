@@ -178,6 +178,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a single key shuffle, found $exchanges:\n$p")
   }
 
+  test("q_range_join (bucketed): an equi-join on (user_id, bk), never a cross product") {
+    val p = plan(graft.queries.Temporal.rangePairsBucketed(spark, sf))
+    // the bounded-fan-out plan joins on BOTH keys — the time bucket
+    // rides the shuffle/broadcast key, so per-task fan-out is capped
+    // at two buckets regardless of a hot user's history length
+    assert(p.contains("bk"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bigram LM score: model tables broadcast onto the per-doc bigram stream") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val p = plan(graft.operators.TextAnalysis.bigramLmScore(d, col("text")))
+    // the count tables are vocabulary-sized → broadcast; the corpus's
+    // bigram stream must not hit a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)

@@ -151,6 +151,21 @@ class SurrealQLSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not under OR"))
   }
 
+  test("extension: scalar math:: over an array path in projections") {
+    val out = SurrealQL.run(tables,
+      """select label, math::sum(claims.claims[where id = Property:1113].value.ClaimValueData.Quantity.amount) AS eps, math::max(claims.claims[where id = Property:1113].value.ClaimValueData.Quantity.amount) AS mx from Entity ORDER BY label;""")
+    val rows = out.returned.get.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows === Array(
+      ("Banana Fish", 24.0, 24.0),
+      ("Black Clover", 170.0, 170.0),
+      ("Black Clover, season 1", 51.0, 51.0)))
+    // empty path → sum 0 (SurrealQL math::sum([]) = 0)
+    val zero = SurrealQL.run(tables,
+      """select math::sum(claims.claims[where id = Property:9999].value.ClaimValueData.Quantity.amount) AS z from Entity;""")
+    assert(zero.returned.get.collect().forall(_.getDouble(0) === 0.0))
+  }
+
   test("extension: scalar arithmetic in LET/RETURN") {
     val script =
       """let $eps = (select claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount as eps from Entity where label = "Black Clover, season 1")[0].eps;
