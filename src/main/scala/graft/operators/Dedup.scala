@@ -27,9 +27,12 @@ import graft.sources.Tables
   *     pigeonhole), verified with bit_count(xor).
   *
   * All hashing is xxhash64 (deterministic, codegen'd). MinHash/SimHash
-  * have no SQL oracle (the driver records rows-only checks); their
-  * correctness is pinned by `DedupSpec` against brute-force Jaccard /
-  * Hamming on sf0.001.
+  * signatures themselves are not SQL-expressible, so their driver
+  * queries are the VERIFIED forms ([[minhashVerifiedPairs]],
+  * [[simhashVerifiedPairs]]): sketch discovery reranked by the exact
+  * Jaccard kernel, hash-compared against an oracle that contains no
+  * sketch at all — recall-1 proofs. The raw sketch outputs are pinned
+  * by `OperatorsSpec` against brute-force Jaccard / Hamming.
   */
 object Dedup {
 
@@ -55,15 +58,25 @@ object Dedup {
     * DataFrame can never safely unpersist. At 100 TB this is the same
     * move as checkpointing a candidate list to the lake between the
     * discovery and verify stages. Schema is pinned on read so an empty
-    * snapshot round-trips. `site` names the call site: each
-    * (site, caller thread) keeps ONE live snapshot, overwritten by
-    * the next call from that thread — so disk stays bounded while
-    * concurrent callers (Verify's query pool, parallel test suites)
-    * never clobber each other mid-read. */
+    * snapshot round-trips. Every call gets a UNIQUE directory (a
+    * monotonic counter — two calls from one site/thread never alias),
+    * and the PREVIOUS snapshot of the same (site, thread) is deleted
+    * only after the new one is fully written: disk stays bounded at
+    * ~one live snapshot per site while a concurrently-consumed earlier
+    * result is never ripped out from under a running job mid-write.
+    * (Results are consumed promptly by every in-repo call site; a
+    * caller holding a returned plan across a LATER same-site call on
+    * the same thread must collect it first.) */
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastSnapshot =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def materialize(df: DataFrame, site: String): DataFrame = {
+    val key = s"${site}_t${Thread.currentThread().getId}"
     val dir = snapshotBase
-      .resolve(s"${site}_t${Thread.currentThread().getId}").toString
+      .resolve(s"${key}_c${snapshotSeq.incrementAndGet()}").toString
     df.write.mode(SaveMode.Overwrite).parquet(dir)
+    Option(lastSnapshot.put(key, dir)).foreach(prev =>
+      graft.sources.LocalFs.deleteRecursively(new java.io.File(prev)))
     df.sparkSession.read.schema(df.schema).parquet(dir)
   }
 
@@ -351,14 +364,29 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.HashExpressions.simhash64(split(text, " "))
 
-  /** SimHash near-dup pairs within `maxHamming`, via 4×16-bit chunk
-    * banding (pigeonhole-complete for maxHamming ≤ 3). */
-  def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs within `maxHamming`, via `nChunks`-way
+    * chunk banding of the 64-bit signature (chunk width 64/nChunks).
+    * Pigeonhole: a pair within Hamming ≤ nChunks-1 shares at least one
+    * exact chunk, so discovery is COMPLETE for maxHamming ≤ nChunks-1
+    * (enforced). The production shape is 4×16-bit (hamming ≤ 3):
+    * 16-bit chunks keep buckets discriminative at scale. Wider
+    * completeness (e.g. nChunks=16 → hamming ≤ 15) shrinks chunks to
+    * 4 bits and the candidate set degenerates toward all-pairs —
+    * that parameterization is a small-corpus proof kernel
+    * ([[simhashVerifiedPairs]]), never the 100-TB discovery path. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   nChunks: Int = 4): DataFrame = {
+    require(nChunks >= 2 && 64 % nChunks == 0,
+      s"nChunks must divide 64 and be >= 2, got $nChunks")
+    require(maxHamming < nChunks,
+      s"banding incomplete: maxHamming=$maxHamming needs > $maxHamming chunks")
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     graft.functions.HashExpressions.register(df.sparkSession)
     val sh = df.select(col("doc_id"), simhash(col("text")).as("sig"))
     val banded = sh.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nChunks).map(b =>
+        shiftright(col("sig"), b * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -367,6 +395,35 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash discovery verified against exact Jaccard — the
+    * SQL-oracle-checkable form ([[minhashVerifiedPairs]]' proof shape
+    * for the SimHash path). Discovery runs the chunk banding at its
+    * pigeonhole-complete widest (nChunks=16 → every pair within
+    * Hamming ≤ 15 is surfaced, guaranteed); candidates are reranked by
+    * the exact n-gram Jaccard kernel at `minJaccard`. The DuckDB
+    * oracle computes {all pairs with exact J ≥ minJaccard} with no
+    * SimHash at all, so hash equality PROVES every such pair sits
+    * within Hamming ≤ 15 of its twin AND the banding recovered it —
+    * measured on this corpus: J ≥ 0.8 pairs reach Hamming 12 at sf0.1
+    * (which is why the production 4×16 banding, complete only to 3,
+    * cannot be recall-proven at this threshold). 4-bit chunks are
+    * near-all-pairs by design — a correctness kernel for the banding
+    * machinery, not the discovery economics. */
+  def simhashVerifiedPairs(df: DataFrame,
+                           minJaccard: Double = 0.8): DataFrame = {
+    val pairs = materialize(
+      simhashPairs(df, maxHamming = 15, nChunks = 16)
+        .select(col("doc_a"), col("doc_b")),
+      "simhash_pairs")
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    pairs.join(
+        ngramJaccardPairs(df.join(candDocs, Seq("doc_id"), "left_semi"),
+          minJaccard),
+        Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------- queries //
@@ -396,12 +453,14 @@ object Dedup {
     * path has recall 1 at this threshold on this corpus (at 16×4
     * banding, P(miss | J=0.8) ≈ 2·10⁻⁴ analytically; all hashing is
     * deterministic so the result is reproducible bit-for-bit). */
-  def minhashVerifiedPairs(df: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+  def minhashVerifiedPairs(df: DataFrame, minJaccard: Double = 0.8,
+                           bands: Int = 16, rows: Int = 4,
+                           minEst: Double = 0.5): DataFrame = {
     // the pair list feeds BOTH the candidate-doc set and the final
     // join — snapshot it (O(near-dup pairs), tiny next to the corpus)
     // so the LSH discovery DAG runs once with no lingering persist()
     val pairs = materialize(
-      minhashPairs(df).select(col("doc_a"), col("doc_b")),
+      minhashPairs(df, bands, rows, minEst).select(col("doc_a"), col("doc_b")),
       "minhash_pairs")
     // exact-rerank only the docs LSH surfaced — per-doc shingle sets
     // are independent, so per-pair Jaccard is unchanged, and the
@@ -444,20 +503,30 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
         .groupBy(a.as("node")).agg(min(col("label")).as("nmin"))
-      // the snapshot carries the PREVIOUS label alongside the new one,
-      // so convergence is a filter over the just-written files — no
-      // extra join job per round
+      // convergence rides the snapshot write itself: observe() counts
+      // changed labels DURING the write job (zero extra jobs — the
+      // round-3 shape re-read the snapshot just to test emptiness)
+      val obs = org.apache.spark.sql.Observation()
       val next = materialize(
         labels.select(col("node"), col("label").as("prev"))
           .join(neighborMin, Seq("node"), "left")
           .select(col("node"),
             least(col("prev"), coalesce(col("nmin"), col("prev")))
-              .as("label"), col("prev")),
+              .as("label"), col("prev"))
+          .observe(obs, coalesce(sum(when(col("label") =!= col("prev"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed")), // coalesce: empty graph sums to null
         s"cc_labels_${(i + 1) % 2}") // alternate: never overwrite the dir being read
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("node"), col("label"))
       i += 1
     }
+    // min-label propagation advances one hop per round: exiting via
+    // the cap would silently publish UNCONVERGED (wrong) components —
+    // fail loudly instead; a pathological-diameter graph needs a
+    // bigger maxIter, not a wrong answer
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(cluster diameter exceeds maxIter); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
@@ -516,8 +585,14 @@ object Dedup {
       exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
     "d_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(docs(s, dir), 0.2)),
-    "d_minhash_lsh" -> ((s, dir) => minhashPairs(docs(s, dir))),
-    "d_simhash" -> ((s, dir) => simhashPairs(docs(s, dir))))
+    // the high-recall banding regime (32 bands × 2 rows, no estimate
+    // gate) proven at the LOWER threshold 0.5: P(miss | J=0.5) =
+    // (1-0.5²)^32 ≈ 1e-4 analytically, 0 measured — the oracle has no
+    // LSH, so the hash match certifies recall 1 at J ≥ 0.5 here
+    // (d_minhash_exact proves the production 16×4 regime at J ≥ 0.8)
+    "d_minhash_lsh" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir),
+      minJaccard = 0.5, bands = 32, rows = 2, minEst = 0.0)),
+    "d_simhash" -> ((s, dir) => simhashVerifiedPairs(docs(s, dir))))
 
   val oracle: Map[String, String] = Map(
     "p_clean_corpus" ->
@@ -544,7 +619,16 @@ object Dedup {
     // no label propagation, no components machinery. Matching proves
     // the distributed min-label iteration converged to true components
     "d_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node) SELECT node AS doc_id, min(label) AS component, (node = min(label)) AS is_canonical FROM reach GROUP BY node""")
-  // d_minhash_lsh / d_simhash: not SQL-expressible in the oracle —
-  // rows-only driver check; pinned by DedupSpec against brute force.
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node) SELECT node AS doc_id, min(label) AS component, (node = min(label)) AS is_canonical FROM reach GROUP BY node""",
+    // NO LSH in the oracle: exact pairs at J >= 0.5 — hash equality
+    // proves the 32×2 banding surfaced every such pair (recall 1)
+    "d_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""",
+    // NO SimHash in the oracle: exact pairs at J >= 0.8 — hash
+    // equality proves the pigeonhole-complete 16-chunk banding plus
+    // Hamming ≤ 15 covers every exact near-dup on this corpus (the
+    // measured J≥0.8 Hamming tail reaches 12); same truth set as
+    // d_minhash_exact, certifying a DIFFERENT discovery mechanism
+    "d_simhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""")
 }

@@ -395,9 +395,41 @@ object Merge {
       .reduce(_.unionByName(_))
   }
 
+  /** Oracle-checked compaction: v0 = customers, v1 = balance bump on
+    * keys ≡ 0 (mod 3), v2 = [[compactVersioned]] (state-preserving
+    * rewrite), v3 = rename on keys ≡ 0 (mod 7) merged ON TOP OF the
+    * compacted version. The result unions v0 (history must survive
+    * compaction), v2 (compaction must be byte-identical to v1's
+    * state), and v3 (the merge protocol must keep working on
+    * compacted directories). The DuckDB oracle restates the chain
+    * relationally — it has no notion of compaction, so v2 appearing
+    * as exactly v1's rows IS the proof. */
+  def compactDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    writeVersioned(c, path, "c_custkey")
+    mergeVersioned(s, path, c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal")), "c_custkey")
+    val v2 = compactVersioned(s, path, "c_custkey")
+    mergeVersioned(s, path,
+      readVersioned(s, path, v2).filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          concat(lit("upd2#"), col("c_name")).as("c_name"),
+          col("c_acctbal")), "c_custkey")
+    Seq(0, v2, v2 + 1).map(v => readVersioned(s, path, v)
+        .select(lit(v).as("version"), col("c_custkey"), col("c_name"),
+          (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
+            .as("acctbal")))
+      .reduce(_.unionByName(_))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_merge_upsert" -> (mergeDemo _),
-    "m_time_travel" -> (timeTravelDemo _))
+    "m_time_travel" -> (timeTravelDemo _),
+    "m_compact" -> (compactDemo _))
 
   val oracle: Map[String, String] = Map(
     // the upsert stated relationally: updated-or-kept customers plus
@@ -432,5 +464,25 @@ object Merge {
          UNION ALL
          SELECT CAST(1 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s1
          UNION ALL
-         SELECT CAST(2 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s2""")
+         SELECT CAST(2 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s2""",
+    // v2 (the compacted version) must carry EXACTLY v1's state; v3 is
+    // a merge applied on top of the compacted layout; v0 is history
+    // surviving compaction — all restated with no compaction machinery
+    "m_compact" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+           d1 AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+                  FROM base WHERE c_custkey % 3 = 0),
+           s1 AS (SELECT * FROM base b
+                  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.c_custkey = b.c_custkey)
+                  UNION ALL SELECT * FROM d1),
+           d2 AS (SELECT c_custkey, 'upd2#' || c_name AS c_name, c_acctbal
+                  FROM s1 WHERE c_custkey % 7 = 0),
+           s2 AS (SELECT * FROM s1 t
+                  WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.c_custkey = t.c_custkey)
+                  UNION ALL SELECT * FROM d2)
+         SELECT CAST(0 AS INTEGER) AS version, c_custkey, c_name, round((c_acctbal)*1e2)/1e2 AS acctbal FROM base
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s1
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), c_custkey, c_name, round((c_acctbal)*1e2)/1e2 FROM s2""")
 }

@@ -147,14 +147,27 @@ object Extended {
       when(col("c_acctbal") > 0, "pos").when(col("c_acctbal") < 0, "neg")
         .otherwise("zero").as("bal_sign"))
 
-  /** Sketch aggregates: HLL++ distinct count + quantile sketch. No
-    * DuckDB oracle (different sketch algorithms give different
-    * estimates by design) — OperatorsSpec pins them within tolerance
-    * of the exact values. */
+  /** Sketch aggregates: HLL++ distinct count + quantile sketch.
+    * Different sketch ALGORITHMS give different estimates by design,
+    * so the raw estimates cannot hash-match a DuckDB oracle — instead
+    * the query emits the EXACT values (SQL-expressible in both
+    * engines) plus within-5%-tolerance booleans over Spark's sketch
+    * estimates; the oracle states the exact values with literal TRUE
+    * flags. Hash equality therefore proves both the exact arithmetic
+    * AND that each sketch landed within tolerance — the oracle-checked
+    * form of the round-3 OperatorsSpec-only pin. */
   def qApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("lineitem").groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      round(expr("approx_percentile(l_extendedprice, 0.5)"), 2).as("approx_p50"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      expr("percentile(l_extendedprice, 0.5D)").as("ep50"),
+      approx_count_distinct(col("l_partkey")).as("ac"),
+      expr("approx_percentile(l_extendedprice, 0.5)").as("ap50"))
+    .select(col("l_returnflag"), col("exact_parts"),
+      round(col("ep50"), 2).as("exact_p50"),
+      (abs(col("ac") - col("exact_parts")).cast("double") /
+        col("exact_parts") <= 0.05).as("parts_within_5pct"),
+      (abs(col("ap50") - col("ep50")) / col("ep50") <= 0.05)
+        .as("p50_within_5pct"))
 
   /** TPC-H Q5 shape: 6-way join (region→nation→customer→orders→
     * lineitem→supplier) with filters. Catalyst orders the joins and
@@ -392,6 +405,11 @@ object Extended {
       "SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_order, last_value(o_orderkey) OVER w AS last_order FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
     "x_percentile" ->
       "SELECT o_orderstatus, round((quantile_cont(o_totalprice, 0.5))*1e2)/1e2 AS p50, round((quantile_cont(o_totalprice, 0.9))*1e2)/1e2 AS p90 FROM orders GROUP BY o_orderstatus",
+    // exact values restated in SQL; the tolerance booleans are TRUE
+    // literals — the Spark side computes them from its sketches, so a
+    // sketch drifting past 5% breaks the hash and fails the gate
+    "x_approx" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, round((quantile_cont(l_extendedprice, 0.5))*1e2)/1e2 AS exact_p50, TRUE AS parts_within_5pct, TRUE AS p50_within_5pct FROM lineitem GROUP BY l_returnflag",
     "x_pivot" ->
       "SELECT o_custkey, count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open, count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending FROM orders GROUP BY o_custkey",
     "x_outer_join" ->

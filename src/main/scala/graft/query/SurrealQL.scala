@@ -226,8 +226,13 @@ object SurrealQL {
     sql match {
       case selRe(projs, source, cond, groupSpec, orderBy, limit) =>
         val base = source match {
-          case "Entity" => Paths.withClaims(
-            t.entities.filter(col("id.tb") === "Entity"), t.claims)
+          // the three wiki tables the reference routes by id prefix
+          // (Q→Entity, P→Property, L→Lexeme — utils.rs:144-158):
+          // one entities table filtered on the (tb, id) key, so
+          // `select * from Property` (integration.rs:78-84) and the
+          // documented Lexeme table (README.md:91-100) run verbatim
+          case "Entity" | "Property" | "Lexeme" => Paths.withClaims(
+            t.entities.filter(col("id.tb") === source), t.claims)
           case v if v.startsWith("$") => vars(v.drop(1))
           case other => throw new IllegalArgumentException(
             s"unknown source '$other'")

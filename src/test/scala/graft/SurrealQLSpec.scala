@@ -254,4 +254,22 @@ class SurrealQLSpec extends AnyFunSuite {
     val out = SurrealQL.run(tables, "return count(select * from Entity)")
     assert(out.returned.get.collect()(0).getLong(0) === 3L)
   }
+
+  test("FROM Property verbatim: integration.rs:78-84's literal query (2 fixture properties)") {
+    // ETL the reference's Property.json fixture alongside Entity.json,
+    // then run the reference's own assertion query as a string
+    val n = Transform.normalize(
+      WikidataSource.read(spark, s"$fixtures/Property.json"), "en")
+    val both = Load.WikiTables(
+      tables.entities.unionByName(Transform.entityMini(n), allowMissingColumns = true),
+      tables.claims.unionByName(Transform.claimsRows(n), allowMissingColumns = true))
+    val out = SurrealQL.run(both, "return count(select * from Property);")
+    assert(out.returned.get.collect()(0).getLong(0) === 2L) // ≡ integration.rs:98
+    // Entity stays scoped: the property rows must not leak into it
+    val ent = SurrealQL.run(both, "return count(select * from Entity);")
+    assert(ent.returned.get.collect()(0).getLong(0) === 3L)
+    // Lexeme routes too (README.md:91-100) — none in the fixture
+    val lex = SurrealQL.run(both, "return count(select * from Lexeme);")
+    assert(lex.returned.get.collect()(0).getLong(0) === 0L)
+  }
 }
