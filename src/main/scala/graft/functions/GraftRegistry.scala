@@ -43,15 +43,24 @@ object GraftRegistry {
     "word_ngrams_3" -> (es => WordNgrams(es.head, 3)),
     "word_ngrams_2" -> (es => WordNgrams(es.head, 2)),
     "z_order_16" -> (es => ZOrder2(es(0), es(1), 16)),
-    // N-ary form: per-dimension width is the widest a long key admits
+    // N-ary form: per-dimension width is the widest a long key admits.
+    // Arity is checked HERE, at analysis time: beyond 63 columns
+    // bits = 63/N would be 0 and every z-value would silently fold to
+    // a constant (no interleave, no error); 1 column is not an
+    // interleave at all (Layout.writeZOrderedN requires >= 2 too)
     "z_order_n" -> (es => {
-      require(es.nonEmpty, "z_order_n needs at least one column")
+      require(es.length >= 2 && es.length <= 63,
+        s"z_order_n needs 2..63 columns, got ${es.length}")
       ZOrderN(es, 63 / es.length)
     }),
     // srp_bucket(vec, bits, table) — bits/table are static literals
     "srp_bucket" -> (es => SrpBucket(es(0),
       staticInt(es(1), "srp_bucket bits"),
       staticInt(es(2), "srp_bucket table"))),
+    // top_k_by_score(score, id, k) — bounded-heap aggregate; the
+    // analyzer wraps the returned AggregateFunction
+    "top_k_by_score" -> (es => TopK.TopKByScore(es(0), es(1),
+      staticInt(es(2), "top_k_by_score k"))),
     "ascii_fold" -> (es => AsciiFold(es.head)),
     "snowball_stem" -> (es => SnowballStem(es.head)))
 

@@ -306,6 +306,9 @@ object HashExpressions {
     call_function("z_order_16", a, b)
   def z_orderN(cols: Seq[Column]): Column =
     call_function("z_order_n", cols: _*)
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    call_function("top_k_by_score", score, id,
+      org.apache.spark.sql.functions.lit(k))
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

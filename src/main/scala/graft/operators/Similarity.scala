@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -9,10 +8,12 @@ import graft.sources.Tables
   * `embeddings` table (`embedding: array<float>`).
   *
   *   - [[cosineTopK]] — brute-force exact top-k: broadcast the query
-  *     set, score every (query, vector) pair map-side, keep k per
-  *     query with a window rank. No shuffle of the big side at all:
-  *     the only exchange is the per-query top-k reduction. This is
-  *     the baseline and the rerank kernel.
+  *     set, score every (query, vector) pair map-side, reduce with the
+  *     k-bounded [[graft.functions.TopK.TopKByScore]] aggregate (each
+  *     partition folds to a k-entry heap before the exchange). No
+  *     shuffle of the big side at all: the per-query exchange carries
+  *     ≤ k rows per partition. This is the baseline and the rerank
+  *     kernel.
   *   - [[lshCosineTopK]] — the scale path: sign-random-projection LSH.
   *     Each vector hashes to an H-bit bucket (sign of dot with H
   *     pseudo-random hyperplanes derived from xxhash64 — fully
@@ -40,6 +41,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.HashExpressions.cosine_similarity(a, b)
 
+  /** Two-phase top-k reduction over scored (qid, nid, sim) rows: the
+    * [[graft.functions.TopK.TopKByScore]] aggregate folds each input
+    * partition into a k-bounded heap map-side, so the per-query
+    * shuffle carries ≤ k entries per partition instead of every
+    * candidate — the former `row_number() OVER (PARTITION BY qid)`
+    * sorted ALL of a query's candidates in ONE task (10 queries over
+    * 10⁹ vectors = 10 tasks sorting 10⁹ rows each). Ordering is
+    * unchanged: sim DESC, nid ASC, rk 1-based. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.HashExpressions
+        .top_k_by_score(col("sim"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.nid").as("nid"),
+        (round(col("col.sim") * 1e4) / 1e4).as("sim"),
+        (col("pos") + 1).cast("int").as("rk"))
+
   /** Exact top-k cosine neighbors for the query set `vec_id < nQueries`
     * (self excluded). */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -50,12 +68,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"),
-        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+    topKPerQuery(scored, k)
   }
 
   /** `bits`-bit sign-random-projection bucket id for hash table
@@ -97,37 +110,65 @@ object Similarity {
         col("embedding")), "nid")
       .select(col("qid"), col("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"),
-        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+    topKPerQuery(cand, k)
   }
 
-  /** Distributed Lloyd iterations: assign every vector to its nearest
-    * centroid (centroids broadcast, map-side), average members per
-    * cell (one narrow groupBy of k cells), collect the k new
-    * centroids. k is small by construction, so the driver collect is
-    * k×dim doubles — not a data collect. */
+  /** Per-row (csim, cell) scores against a DRIVER-HELD centroid set,
+    * unrolled into a literal struct array: assignment and probe
+    * selection become scan-local expressions — no crossJoin, no
+    * window, no shuffle. Centroid count is nCells (bounded, k-means
+    * small) so the unrolled expression stays compact; `negcell` makes
+    * the struct ordering total with the tie the probe contract wants
+    * (csim DESC, cell ASC). */
+  private def cellSims(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
+    array(centroids.map { case (c, ce) =>
+      struct(cosine(v, typedLit(ce)).as("csim"),
+        lit(-c).as("negcell"), lit(c).as("cell"))
+    }: _*)
+
+  /** Nearest-centroid id, map-side. */
+  private def nearestCell(centroids: Seq[(Int, Seq[Float])],
+                          v: Column): Column =
+    array_max(cellSims(centroids, v)).getField("cell")
+
+  /** The `nProbe` nearest cells, best-first, map-side. */
+  private def topCells(centroids: Seq[(Int, Seq[Float])], v: Column,
+                       nProbe: Int): Column =
+    slice(reverse(array_sort(cellSims(centroids, v))), 1, nProbe)
+
+  /** Seed (first nCells vectors) optionally k-means-refined, collected
+    * driver-side — nCells × dim floats, a model not a data collect. */
+  private def refinedCentroids(embeddings: DataFrame, nCells: Int,
+                               refineIters: Int): Seq[(Int, Seq[Float])] = {
+    val seed = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("ce"))
+    val c = if (refineIters > 0) kmeansRefine(embeddings, seed, refineIters)
+            else seed
+    c.collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Distributed Lloyd iterations. Assignment is the UNROLLED
+    * per-row nearest-centroid expression ([[nearestCell]]) — the
+    * round-3 shape crossJoined a centroid DataFrame and ranked with a
+    * per-vec_id window, i.e. k× row blowup plus a shuffle per
+    * iteration; now each iteration is one SCAN (zero exchanges before
+    * the k-cell groupBy) and the only driver traffic is the k×dim
+    * mean collect, the irreducible Lloyd synchronization point. */
   def kmeansRefine(embeddings: DataFrame, seed: DataFrame,
                    iterations: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import org.apache.spark.sql.Row
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
-    val seedRows = seed.collect()
+    var current = seed.collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
-    var centroids = seed
-    var current = seedRows
     for (_ <- 0 until iterations) {
-      val assigned = embeddings.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          cosine(col("embedding"), col("ce")).as("csim"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("csim").desc, col("cell"))))
-        .filter(col("rk") === 1)
-      val means = assigned.groupBy(col("cell"))
+      val cents = current.toSeq.sortBy(_._1)
+      val means = embeddings
+        .select(nearestCell(cents, col("embedding")).as("cell"),
+          col("embedding"))
+        .groupBy(col("cell"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1)).cast("float")): _*)
           .as("ce"))
@@ -138,17 +179,16 @@ object Similarity {
       current = current.map { case (cell, old) =>
         cell -> means.getOrElse(cell, old)
       }
-      centroids = broadcast(spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          current.toSeq.map { case (c, v) => Row(c, v) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("ce",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType))))))
     }
-    centroids
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        current.toSeq.sortBy(_._1).map { case (c, v) => Row(c, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
   }
 
   /** IVF-style ANN: coarse quantization + probed search. Centroids
@@ -162,42 +202,27 @@ object Similarity {
                     nCells: Int = 16, nProbe: Int = 4,
                     refineIters: Int = 0): DataFrame = {
     graft.functions.HashExpressions.register(embeddings.sparkSession)
-    val seed = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"),
-        col("embedding").as("ce"))
-    val centroids = broadcast(
-      if (refineIters > 0) kmeansRefine(embeddings, seed, refineIters)
-      else seed)
+    // ONE centroid model feeds assignment AND probing as scan-local
+    // expressions — the round-3 shape recomputed the assignment
+    // crossJoin + per-row window once for the corpus and once for the
+    // queries, on top of kmeansRefine's own per-iteration pass
+    val centroids = refinedCentroids(embeddings, nCells, refineIters)
 
-    // assign: nearest centroid per vector (map-side, centroid bcast)
-    val assigned = embeddings.crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("ce")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // assign: nearest centroid per vector (map-side, no shuffle)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      nearestCell(centroids, col("embedding")).as("cell"))
 
-    // queries probe their nProbe nearest cells
+    // queries probe their nProbe nearest cells (map-side)
     val probes = embeddings.filter(col("vec_id") < nQueries)
-      .crossJoin(centroids)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
-        cosine(col("embedding"), col("ce")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("qid"), col("qe"), col("cell"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(topCells(centroids, col("embedding"), nProbe)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cell").as("cell"))
 
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"),
-        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+    topKPerQuery(cand, k)
   }
 
   /** Materialize the IVF index as the layout [[ivfCosineTopK]]'s doc
@@ -209,22 +234,24 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, path: String,
                     nCells: Int = 16, refineIters: Int = 2): Unit = {
     graft.functions.HashExpressions.register(embeddings.sparkSession)
-    val seed = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"),
-        col("embedding").as("ce"))
-    val centroids = broadcast(
-      if (refineIters > 0) kmeansRefine(embeddings, seed, refineIters)
-      else seed)
-    centroids.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val spark = embeddings.sparkSession
+    val centroids = refinedCentroids(embeddings, nCells, refineIters)
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          centroids.map { case (c, v) => Row(c, v) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("ce",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
-    embeddings.crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("ce")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // assignment is scan-local: one pass over the corpus, routed
+    // straight into the partitioned layout
+    embeddings.select(col("vec_id"), col("embedding"),
+        nearestCell(centroids, col("embedding")).as("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$path/cells")
   }
@@ -237,14 +264,14 @@ object Similarity {
                      queries: DataFrame, k: Int,
                      nProbe: Int = 4): DataFrame = {
     graft.functions.HashExpressions.register(spark)
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
-    val probes = queries.crossJoin(centroids)
-      .select(col("qid"), col("qe"), col("cell"),
-        cosine(col("qe"), col("ce")).as("csim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("qid"), col("qe"), col("cell"))
+    // the centroid side table IS the model: nCells × dim, driver-held
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+    val probes = queries
+      .select(col("qid"), col("qe"),
+        explode(topCells(centroids, col("qe"), nProbe)).as("pc"))
+      .select(col("qid"), col("qe"), col("pc.cell").as("cell"))
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // <= nCells values, not a data collect
     val index = spark.read.parquet(s"$path/cells")
@@ -253,12 +280,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("nid"),
-        (round(col("sim") * 1e4) / 1e4).as("sim"), col("rk"))
+    topKPerQuery(cand, k)
   }
 
   /** The pruned index scan of [[searchIvfIndex]], exposed for plan

@@ -197,6 +197,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("similarity top-k: bounded aggregate with a partial phase, no per-query window sort") {
+    // the former row_number window shuffled EVERY scored candidate
+    // into |queries| partitions and sorted each in one task; the
+    // TopKByScore aggregate must plan as partial+final ObjectHashAggregate
+    // (map-side k-bounded heaps), with no Window/Sort over the
+    // candidate stream in any of the three search paths
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    for ((name, df) <- Seq(
+        "exact" -> graft.operators.Similarity.cosineTopK(emb, 5, 3),
+        "lsh" -> graft.operators.Similarity.lshCosineTopK(emb, 5, 3),
+        "ivf" -> graft.operators.Similarity.ivfCosineTopK(emb, 5, 3))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"$name: window rank survived:\n$p")
+      assert(p.contains("top_k_by_score"), s"$name: aggregate missing:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("ObjectHashAggregate") && l.contains("partial_top_k_by_score")),
+        s"$name: no map-side partial top-k phase:\n$p")
+    }
+  }
+
+  test("IVF assignment and probe are scan-local: no crossJoin, no exchange before the candidate join") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.operators.Similarity.ivfCosineTopK(emb, 5, 3))
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the candidate broadcast + the top-k partial/final pair —
+    // nearest-cell assignment must NOT appear as a join + window rank
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
