@@ -216,15 +216,14 @@ object Dedup {
     * the probe join's parallelism). */
   /** Drop a managed table AND its warehouse location — a previous
     * session's directory outlives the in-memory catalog, and
-    * SaveMode.Overwrite refuses to claim an unregistered location. */
-  private def clearTable(spark: SparkSession, name: String): Unit = {
+    * SaveMode.Overwrite refuses to claim an unregistered location.
+    * The delete rides the [[graft.sources.Dfs]] seam: the warehouse
+    * dir may be any Hadoop scheme. */
+  private def clearTable(spark: SparkSession, name: String,
+                         fs: graft.sources.Dfs): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    val uri = java.net.URI.create(wh)
-    val base = if (uri.getScheme == "file") new java.io.File(uri.getPath)
-               else new java.io.File(wh)
-    val loc = new java.io.File(base, name.toLowerCase)
-    if (loc.exists()) graft.sources.LocalFs.deleteRecursively(loc)
+    fs.delete(s"${wh.stripSuffix("/")}/${name.toLowerCase}")
   }
 
   /** With `location` set, the index tables are EXTERNAL at
@@ -236,17 +235,17 @@ object Dedup {
     * managed (single-session lifetime). */
   def initLshIndex(df: DataFrame, table: String, nBuckets: Int = 8,
                    bands: Int = 16, rows: Int = 4,
-                   location: Option[String] = None): Unit = {
-    clearTable(df.sparkSession, s"${table}_bands")
-    clearTable(df.sparkSession, s"${table}_sigs")
+                   location: Option[String] = None,
+                   fs: graft.sources.Dfs = graft.sources.Dfs.default): Unit = {
+    clearTable(df.sparkSession, s"${table}_bands", fs)
+    clearTable(df.sparkSession, s"${table}_sigs", fs)
     location.foreach { dir =>
-      graft.sources.LocalFs.deleteRecursively(new java.io.File(dir, "bands"))
-      graft.sources.LocalFs.deleteRecursively(new java.io.File(dir, "sigs"))
+      fs.delete(s"$dir/bands")
+      fs.delete(s"$dir/sigs")
       // record the layout so post-restart registration cannot
       // misdeclare the bucketing of the on-disk files
-      new java.io.File(dir).mkdirs()
-      java.nio.file.Files.writeString(
-        new java.io.File(dir, "_index_meta.tsv").toPath,
+      fs.mkdirs(dir)
+      fs.writeStringAtomic(s"$dir/_index_meta.tsv",
         s"nBuckets\t$nBuckets\nbands\t$bands\nrows\t$rows\n")
     }
     // both writes consume the signatures — compute the kernel once
@@ -287,28 +286,28 @@ object Dedup {
     * registered, or re-registered from `location`. False means no
     * index exists yet. */
   def ensureIndexRegistered(spark: SparkSession, table: String,
-                            location: String): Boolean = {
-    val bandsDir = new java.io.File(location, "bands")
-    val sigsDir = new java.io.File(location, "sigs")
-    val meta = new java.io.File(location, "_index_meta.tsv")
-    if (!bandsDir.exists() || !sigsDir.exists() || !meta.exists())
+                            location: String,
+                            fs: graft.sources.Dfs = graft.sources.Dfs.default): Boolean = {
+    val bandsDir = s"$location/bands"
+    val sigsDir = s"$location/sigs"
+    val meta = s"$location/_index_meta.tsv"
+    if (!fs.exists(bandsDir) || !fs.exists(sigsDir) || !fs.exists(meta))
       return spark.catalog.tableExists(s"${table}_bands") &&
         spark.catalog.tableExists(s"${table}_sigs")
-    val nBuckets = java.nio.file.Files.readString(meta.toPath)
+    val nBuckets = fs.readString(meta)
       .linesIterator.map(_.split("\t", 2)).collectFirst {
         case Array("nBuckets", n) => n.toInt
-      }.getOrElse(throw new IllegalStateException(
-        s"no nBuckets in ${meta.getPath}"))
+      }.getOrElse(throw new IllegalStateException(s"no nBuckets in $meta"))
     if (!spark.catalog.tableExists(s"${table}_bands"))
       spark.sql(
         s"""CREATE TABLE ${table}_bands (doc_id BIGINT, bucket BIGINT)
            |USING PARQUET
            |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $nBuckets BUCKETS
-           |LOCATION '${bandsDir.getAbsolutePath}'""".stripMargin)
+           |LOCATION '$bandsDir'""".stripMargin)
     if (!spark.catalog.tableExists(s"${table}_sigs"))
       spark.sql(
         s"""CREATE TABLE ${table}_sigs (doc_id BIGINT, sig ARRAY<BIGINT>)
-           |USING PARQUET LOCATION '${sigsDir.getAbsolutePath}'""".stripMargin)
+           |USING PARQUET LOCATION '$sigsDir'""".stripMargin)
     true
   }
 
@@ -364,6 +363,18 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.HashExpressions.simhash64(split(text, " "))
 
+  /** SimHash over word-3-gram SHINGLE features rather than unigram
+    * tokens — the feature choice of the classic near-dup deployments:
+    * shingles are far more discriminative (the n-gram space is
+    * |vocab|³), so unrelated docs sit near Hamming 32 while true
+    * near-dups stay in the low tail. On this corpus unigram-token
+    * signatures are all correlated (tiny synthetic vocabulary) and
+    * Hamming ≤ 15 keeps ~25% of ALL pairs; shingle signatures keep
+    * ~10⁻⁵ of them at the same radius — pruning that actually works.
+    * Requires HashExpressions.register. */
+  def simhashShingled(text: Column): Column =
+    graft.functions.HashExpressions.simhash64(shingles(text))
+
   /** SimHash near-dup pairs within `maxHamming`, via `nChunks`-way
     * chunk banding of the 64-bit signature (chunk width 64/nChunks).
     * Pigeonhole: a pair within Hamming ≤ nChunks-1 shares at least one
@@ -375,7 +386,8 @@ object Dedup {
     * that parameterization is a small-corpus proof kernel
     * ([[simhashVerifiedPairs]]), never the 100-TB discovery path. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
-                   nChunks: Int = 4): DataFrame = {
+                   nChunks: Int = 4,
+                   sigOf: Column => Column = simhash): DataFrame = {
     require(nChunks >= 2 && 64 % nChunks == 0,
       s"nChunks must divide 64 and be >= 2, got $nChunks")
     require(maxHamming < nChunks,
@@ -383,7 +395,7 @@ object Dedup {
     val width = 64 / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1
     graft.functions.HashExpressions.register(df.sparkSession)
-    val sh = df.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sh = df.select(col("doc_id"), sigOf(col("text")).as("sig"))
     val banded = sh.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nChunks).map(b =>
         shiftright(col("sig"), b * width).bitwiseAND(mask)): _*)))
@@ -399,22 +411,25 @@ object Dedup {
 
   /** SimHash discovery verified against exact Jaccard — the
     * SQL-oracle-checkable form ([[minhashVerifiedPairs]]' proof shape
-    * for the SimHash path). Discovery runs the chunk banding at its
-    * pigeonhole-complete widest (nChunks=16 → every pair within
-    * Hamming ≤ 15 is surfaced, guaranteed); candidates are reranked by
-    * the exact n-gram Jaccard kernel at `minJaccard`. The DuckDB
-    * oracle computes {all pairs with exact J ≥ minJaccard} with no
-    * SimHash at all, so hash equality PROVES every such pair sits
-    * within Hamming ≤ 15 of its twin AND the banding recovered it —
-    * measured on this corpus: J ≥ 0.8 pairs reach Hamming 12 at sf0.1
-    * (which is why the production 4×16 banding, complete only to 3,
-    * cannot be recall-proven at this threshold). 4-bit chunks are
-    * near-all-pairs by design — a correctness kernel for the banding
-    * machinery, not the discovery economics. */
+    * for the SimHash path). Discovery bands the SHINGLE-feature
+    * signatures ([[simhashShingled]]) at the pigeonhole-complete
+    * widest (nChunks=16 → every pair within Hamming ≤ 15 is surfaced,
+    * guaranteed); candidates are reranked by the exact n-gram Jaccard
+    * kernel at `minJaccard`. The DuckDB oracle computes {all pairs
+    * with exact J ≥ minJaccard} with no SimHash at all, so hash
+    * equality PROVES every such pair sits within Hamming ≤ 15 of its
+    * twin AND the banding recovered it. Measured on this corpus:
+    * shingle-feature Hamming over J ≥ 0.8 pairs tops out at 11
+    * (margin 4 under the guarantee), while unrelated pairs sit near
+    * 32 — the Hamming ≤ 15 radius keeps ~400 of 12.5M pairs at sf0.1.
+    * (Unigram-token signatures are unusable here: the tiny synthetic
+    * vocabulary correlates them all, and the same radius keeps 3.2M
+    * pairs — feature choice IS the pruning.) */
   def simhashVerifiedPairs(df: DataFrame,
                            minJaccard: Double = 0.8): DataFrame = {
     val pairs = materialize(
-      simhashPairs(df, maxHamming = 15, nChunks = 16)
+      simhashPairs(df, maxHamming = 15, nChunks = 16,
+        sigOf = simhashShingled)
         .select(col("doc_a"), col("doc_b")),
       "simhash_pairs")
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
@@ -625,10 +640,11 @@ object Dedup {
     "d_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5""",
     // NO SimHash in the oracle: exact pairs at J >= 0.8 — hash
-    // equality proves the pigeonhole-complete 16-chunk banding plus
-    // Hamming ≤ 15 covers every exact near-dup on this corpus (the
-    // measured J≥0.8 Hamming tail reaches 12); same truth set as
-    // d_minhash_exact, certifying a DIFFERENT discovery mechanism
+    // equality proves the pigeonhole-complete 16-chunk banding over
+    // shingle-feature signatures covers every exact near-dup on this
+    // corpus (measured J≥0.8 shingle-Hamming tail reaches 11 ≤ the
+    // guaranteed-complete 15); same truth set as d_minhash_exact,
+    // certifying a DIFFERENT discovery mechanism
     "d_simhash" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""")
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{LocalFs, Tables}
+import graft.sources.{Dfs, Tables}
 
 /** Partition-pruned MERGE (upsert) on plain parquet — the managed-
   * table primitive (Delta/Iceberg `MERGE INTO`) re-expressed as an
@@ -59,30 +59,29 @@ object Merge {
     * move into place, replacing whatever half-state the crash left.
     * A staging dir without the marker is an aborted write and is
     * discarded (the live table was untouched at that point).
-    * Idempotent; [[into]] and [[read]] run it on entry. */
-  def recoverSwap(path: String): Unit = {
-    val staging = new java.io.File(stagingDir(path))
-    if (!staging.exists()) return
-    if (new java.io.File(staging, CompleteMarker).exists()) {
-      Option(staging.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
-        .foreach { src =>
-          val dst = new java.io.File(path, src.getName)
-          LocalFs.deleteRecursively(dst)
-          if (!src.renameTo(dst))
-            throw new java.io.IOException(
-              s"swap recovery failed for ${src.getName}")
+    * Idempotent; [[into]] and [[read]] run it on entry. All
+    * filesystem traffic goes through the [[Dfs]] seam — local, HDFS
+    * and object stores run the same protocol. */
+  def recoverSwap(path: String, fs: Dfs = Dfs.default): Unit = {
+    val staging = stagingDir(path)
+    if (!fs.exists(staging)) return
+    if (fs.exists(s"$staging/$CompleteMarker")) {
+      fs.listDirNames(staging).filter(_.startsWith("_mb="))
+        .foreach { name =>
+          fs.delete(s"$path/$name")
+          fs.rename(s"$staging/$name", s"$path/$name")
         }
     }
-    LocalFs.deleteRecursively(staging)
+    fs.delete(staging)
   }
 
   /** Upsert `delta` into the bucketed target at `path`. Key matches
     * take the delta row; new keys append. Only buckets containing
     * delta keys are read or rewritten. */
   def into(spark: SparkSession, path: String, delta: DataFrame,
-           key: String, nBuckets: Int = 16): Unit = {
-    recoverSwap(path) // restore any bucket a crashed swap left missing
+           key: String, nBuckets: Int = 16,
+           fs: Dfs = Dfs.default): Unit = {
+    recoverSwap(path, fs) // restore any bucket a crashed swap left missing
     // the delta feeds the touched-bucket collect, the anti-join key
     // side AND the union — cache it across the three uses
     val d = delta.withColumn("_mb", bucketOf(col(key), nBuckets))
@@ -107,28 +106,25 @@ object Merge {
       // directories move into place. Never an in-place overwrite of a
       // path being read; a crash mid-swap is healed by recoverSwap on
       // the next merge (staging keeps the complete copy until every
-      // rename landed). On HDFS/object stores the renames go through
-      // the FileSystem API; locally java.io suffices.
+      // rename landed). All moves ride the [[Dfs]] seam (Hadoop
+      // FileSystem underneath — the same path works on HDFS/S3).
       val staging = stagingDir(path)
       merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
-      java.nio.file.Files.createFile(
-        new java.io.File(staging, CompleteMarker).toPath)
+      fs.touch(s"$staging/$CompleteMarker")
       touched.foreach { b =>
-        val src = new java.io.File(staging, s"_mb=$b")
-        val dst = new java.io.File(path, s"_mb=$b")
-        LocalFs.deleteRecursively(dst)
-        if (!src.renameTo(dst))
-          throw new java.io.IOException(s"merge swap failed for bucket $b")
+        fs.delete(s"$path/_mb=$b")
+        fs.rename(s"$staging/_mb=$b", s"$path/_mb=$b")
       }
-      LocalFs.deleteRecursively(new java.io.File(staging))
+      fs.delete(staging)
     } finally { d.unpersist(); () }
   }
 
   /** Read a merge target (drops the layout column). Heals a crashed
     * swap first — without this, a reader between crash and next merge
     * would silently miss the mid-swap bucket. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    recoverSwap(path)
+  def read(spark: SparkSession, path: String,
+           fs: Dfs = Dfs.default): DataFrame = {
+    recoverSwap(path, fs)
     spark.read.parquet(path).drop("_mb")
   }
 
@@ -149,35 +145,28 @@ object Merge {
   // order as a Delta checkpoint, and the touched-bucket merge cost
   // stays O(|delta| + |touched buckets|).
 
-  private def manifestDir(path: String) = new java.io.File(path, "_manifests")
+  private def manifestDir(path: String) = s"$path/_manifests"
 
   private def writeManifest(path: String, version: Int, nBuckets: Int,
-                            entries: Map[Long, String]): Unit = {
-    val dir = manifestDir(path); dir.mkdirs()
-    val tmp = new java.io.File(dir, s"v$version.tsv.tmp")
-    val out = new java.io.PrintWriter(tmp, "UTF-8")
-    try {
-      out.println(s"#nBuckets=$nBuckets")
-      entries.toSeq.sortBy(_._1).foreach { case (b, rel) =>
-        out.println(s"$b\t$rel")
-      }
-    } finally out.close()
-    val fin = new java.io.File(dir, s"v$version.tsv")
-    if (!tmp.renameTo(fin))
-      throw new java.io.IOException(s"manifest publish failed for v$version")
+                            entries: Map[Long, String], fs: Dfs): Unit = {
+    val dir = manifestDir(path); fs.mkdirs(dir)
+    val content = (s"#nBuckets=$nBuckets" +:
+      entries.toSeq.sortBy(_._1).map { case (b, rel) => s"$b\t$rel" })
+      .mkString("", "\n", "\n")
+    // tmp-write + rename inside the seam: publication is one rename
+    fs.writeStringAtomic(s"$dir/v$version.tsv", content)
   }
 
   /** All published versions at `path`, ascending. */
-  def versions(path: String): Seq[Int] = {
-    val fs = Option(manifestDir(path).listFiles()).getOrElse(Array.empty)
-    fs.map(_.getName).collect {
+  def versions(path: String, fs: Dfs = Dfs.default): Seq[Int] =
+    fs.listNames(manifestDir(path)).collect {
       case n if n.matches("v\\d+\\.tsv") => n.stripPrefix("v").stripSuffix(".tsv").toInt
-    }.sorted.toSeq
-  }
+    }.sorted
 
-  private def readManifest(path: String, version: Int): (Int, Map[Long, String]) = {
-    val f = new java.io.File(manifestDir(path), s"v$version.tsv")
-    val lines = java.nio.file.Files.readString(f.toPath).linesIterator.toList
+  private def readManifest(path: String, version: Int,
+                           fs: Dfs): (Int, Map[Long, String]) = {
+    val lines = fs.readString(s"${manifestDir(path)}/v$version.tsv")
+      .linesIterator.toList
     val nBuckets = lines.head.stripPrefix("#nBuckets=").toInt
     val entries = lines.tail.filter(_.nonEmpty).map { l =>
       val Array(b, rel) = l.split("\t", 2); b.toLong -> rel
@@ -187,24 +176,23 @@ object Merge {
 
   /** Create a versioned merge target (publishes version 0). */
   def writeVersioned(df: DataFrame, path: String, key: String,
-                     nBuckets: Int = 16): Unit = {
+                     nBuckets: Int = 16, fs: Dfs = Dfs.default): Unit = {
     val dataDir = s"$path/_data/v0"
     df.withColumn("_mb", bucketOf(col(key), nBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(dataDir)
-    val present = Option(new java.io.File(dataDir).listFiles()).get
-      .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
-      .map(f => f.getName.stripPrefix("_mb=").toLong ->
-        s"_data/v0/${f.getName}").toMap
-    writeManifest(path, 0, nBuckets, present)
+    val present = fs.listDirNames(dataDir)
+      .filter(_.startsWith("_mb="))
+      .map(n => n.stripPrefix("_mb=").toLong -> s"_data/v0/$n").toMap
+    writeManifest(path, 0, nBuckets, present, fs)
   }
 
   /** Read a published version (default: latest). Rows come straight
     * from the manifest's immutable bucket directories; the layout
     * column is not materialized (it re-derives from the key). */
   def readVersioned(spark: SparkSession, path: String,
-                    version: Int = -1): DataFrame = {
-    val v = if (version >= 0) version else versions(path).last
-    val (_, entries) = readManifest(path, v)
+                    version: Int = -1, fs: Dfs = Dfs.default): DataFrame = {
+    val v = if (version >= 0) version else versions(path, fs).last
+    val (_, entries) = readManifest(path, v, fs)
     val dirs = entries.values.toSeq.sorted.map(rel => s"$path/$rel")
     spark.read.parquet(dirs: _*)
   }
@@ -215,9 +203,9 @@ object Merge {
     * the new version's directory; untouched buckets carry their old
     * directories forward in the manifest, byte-identical. */
   def mergeVersioned(spark: SparkSession, path: String, delta: DataFrame,
-                     key: String): Unit = {
-    val cur = versions(path).last
-    val (nBuckets, entries) = readManifest(path, cur)
+                     key: String, fs: Dfs = Dfs.default): Unit = {
+    val cur = versions(path, fs).last
+    val (nBuckets, entries) = readManifest(path, cur, fs)
     // three uses (touched collect, anti-join keys, union) — cache
     val d = delta.withColumn("_mb", bucketOf(col(key), nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -237,22 +225,20 @@ object Merge {
       val next = cur + 1
       val staging = s"$path/_m_staging_v$next"
       merged.write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
-      val verDir = new java.io.File(path, s"_data/v$next"); verDir.mkdirs()
+      val verDir = s"$path/_data/v$next"; fs.mkdirs(verDir)
       touched.foreach { b =>
-        val src = new java.io.File(staging, s"_mb=$b")
         // a crashed previous attempt at this (unpublished) version may
         // have left a stale dst — readers only resolve manifests, so
         // clobbering it is safe
-        val dst = new java.io.File(verDir, s"_mb=$b")
-        LocalFs.deleteRecursively(dst)
-        if (src.exists() && !src.renameTo(dst))
-          throw new java.io.IOException(s"versioned merge move failed: bucket $b")
+        fs.delete(s"$verDir/_mb=$b")
+        if (fs.exists(s"$staging/_mb=$b"))
+          fs.rename(s"$staging/_mb=$b", s"$verDir/_mb=$b")
       }
-      LocalFs.deleteRecursively(new java.io.File(staging))
+      fs.delete(staging)
       val updated = entries ++ touched.filter(b =>
-          new java.io.File(verDir, s"_mb=$b").exists())
+          fs.exists(s"$verDir/_mb=$b"))
         .map(b => b -> s"_data/v$next/_mb=$b")
-      writeManifest(path, next, nBuckets, updated)
+      writeManifest(path, next, nBuckets, updated, fs)
     } finally { d.unpersist(); () }
   }
 
@@ -267,9 +253,9 @@ object Merge {
     * schedule. One shuffle of the live state, same staging + rename +
     * manifest-publish protocol as a merge. Returns the new version. */
   def compactVersioned(spark: SparkSession, path: String,
-                       key: String): Int = {
-    val cur = versions(path).last
-    val (nBuckets, entries) = readManifest(path, cur)
+                       key: String, fs: Dfs = Dfs.default): Int = {
+    val cur = versions(path, fs).last
+    val (nBuckets, entries) = readManifest(path, cur, fs)
     val next = cur + 1
     val dirs = entries.values.toSeq.sorted.map(rel => s"$path/$rel")
     val staging = s"$path/_m_staging_v$next"
@@ -277,40 +263,37 @@ object Merge {
       .withColumn("_mb", bucketOf(col(key), nBuckets))
       .repartition(nBuckets, col("_mb"))
       .write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)
-    val verDir = new java.io.File(path, s"_data/v$next"); verDir.mkdirs()
+    val verDir = s"$path/_data/v$next"; fs.mkdirs(verDir)
     val compacted = entries.keys.toSeq.sorted.flatMap { b =>
-      val src = new java.io.File(staging, s"_mb=$b")
-      val dst = new java.io.File(verDir, s"_mb=$b")
-      LocalFs.deleteRecursively(dst) // stale leftover of a crashed attempt
-      if (src.exists()) {
-        if (!src.renameTo(dst))
-          throw new java.io.IOException(s"compaction move failed: bucket $b")
+      fs.delete(s"$verDir/_mb=$b") // stale leftover of a crashed attempt
+      if (fs.exists(s"$staging/_mb=$b")) {
+        fs.rename(s"$staging/_mb=$b", s"$verDir/_mb=$b")
         Some(b -> s"_data/v$next/_mb=$b")
       } else None // bucket with zero rows: drop from the manifest
     }
-    LocalFs.deleteRecursively(new java.io.File(staging))
-    writeManifest(path, next, nBuckets, compacted.toMap)
+    fs.delete(staging)
+    writeManifest(path, next, nBuckets, compacted.toMap, fs)
     next
   }
 
   /** Drop all but the last `keepLast` versions: their manifests go,
     * then every bucket directory no retained manifest references.
     * Returns the deleted data directories (relative). */
-  def vacuum(path: String, keepLast: Int): Seq[String] = {
+  def vacuum(path: String, keepLast: Int,
+             fs: Dfs = Dfs.default): Seq[String] = {
     require(keepLast >= 1,
       s"vacuum(keepLast=$keepLast) would delete the current version")
-    val vs = versions(path)
+    val vs = versions(path, fs)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
-    val referenced = keep.flatMap(v => readManifest(path, v)._2.values).toSet
+    val referenced = keep.flatMap(v => readManifest(path, v, fs)._2.values).toSet
     // manifests FIRST: a crash mid-vacuum then leaves only harmless
     // unreferenced data (re-vacuumable), never a manifest whose data
     // is gone
-    drop.foreach(v =>
-      new java.io.File(manifestDir(path), s"v$v.tsv").delete())
+    drop.foreach(v => fs.delete(s"${manifestDir(path)}/v$v.tsv"))
     val removed = scala.collection.mutable.ArrayBuffer[String]()
-    val dataRoot = new java.io.File(path, "_data")
+    val dataRoot = s"$path/_data"
     val latest = keep.lastOption.getOrElse(-1)
-    Option(dataRoot.listFiles()).getOrElse(Array.empty).foreach { vdir =>
+    fs.listDirNames(dataRoot).foreach { vname =>
       // NEVER touch version dirs above the latest PUBLISHED manifest:
       // they belong to an in-flight merge that has moved its buckets
       // but not yet published — deleting them here would make that
@@ -318,24 +301,23 @@ object Merge {
       // update). Unpublished leftovers of a genuinely crashed merge
       // are reclaimed by a later vacuum, once a manifest at-or-above
       // their number exists.
-      val vNum = vdir.getName.stripPrefix("v")
-      val inFlight = vdir.getName.startsWith("v") &&
+      val vNum = vname.stripPrefix("v")
+      val inFlight = vname.startsWith("v") &&
         vNum.forall(_.isDigit) && vNum.nonEmpty && vNum.toInt > latest
       if (!inFlight) {
         // only `_mb=` bucket directories are DATA; committer markers
         // (_SUCCESS and friends) ride along until the whole version
         // directory empties of buckets
-        Option(vdir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("_mb="))
-          .foreach { bdir =>
-            val rel = s"_data/${vdir.getName}/${bdir.getName}"
+        fs.listDirNames(s"$dataRoot/$vname")
+          .filter(_.startsWith("_mb="))
+          .foreach { bname =>
+            val rel = s"_data/$vname/$bname"
             if (!referenced.contains(rel)) {
-              LocalFs.deleteRecursively(bdir); removed += rel
+              fs.delete(s"$dataRoot/$vname/$bname"); removed += rel
             }
           }
-        if (!Option(vdir.listFiles()).getOrElse(Array.empty)
-            .exists(_.getName.startsWith("_mb=")))
-          LocalFs.deleteRecursively(vdir)
+        if (!fs.listNames(s"$dataRoot/$vname").exists(_.startsWith("_mb=")))
+          fs.delete(s"$dataRoot/$vname")
       }
     }
     removed.toSeq
