@@ -53,7 +53,14 @@ object Bench {
     // per-query best-of-2: a contention spike during either run cannot
     // inflate the recorded time (round 2's driver record showed a
     // contiguous 5-28x slow window on identical code/data — host
-    // noise, but the driver's record is the contract)
+    // noise, but the driver's record is the contract).
+    // Semantics note, recorded in the output ("timing":"best_of_2"):
+    // these are BEST-case times — run 2 rides run 1's page cache — and
+    // side-effecting registry queries (index builds, versioned merges)
+    // execute twice per sweep. Every such query builds its state under
+    // a fresh createTempDirectory/Overwrite per invocation, so
+    // back-to-back runs are idempotent by construction; versions
+    // published by run 1 are unreachable garbage, not input to run 2.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -68,7 +75,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":$etlEps,"etl_baseline_eps":568}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":$etlEps,"etl_baseline_eps":568}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

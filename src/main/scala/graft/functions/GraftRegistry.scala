@@ -35,6 +35,15 @@ object GraftRegistry {
     }
   }
 
+  private def staticBytes(e: Expression, what: String): Array[Byte] = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"$what must be a binary literal, got: $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> (es => MinHashSignature(es.head, 64)),
     "simhash64" -> (es => SimHash64(es.head)),
@@ -61,6 +70,10 @@ object GraftRegistry {
     // analyzer wraps the returned AggregateFunction
     "top_k_by_score" -> (es => TopK.TopKByScore(es(0), es(1),
       staticInt(es(2), "top_k_by_score k"))),
+    // bloom_might_contain_long(key, filter_bytes) — filter is a
+    // plan-time binary literal (a serialized sketch BloomFilter)
+    "bloom_might_contain_long" -> (es => BloomMightContainLong(es(0),
+      staticBytes(es(1), "bloom_might_contain_long filter"))),
     "ascii_fold" -> (es => AsciiFold(es.head)),
     "snowball_stem" -> (es => SnowballStem(es.head)))
 

@@ -231,6 +231,28 @@ object HashExpressions {
     override def prettyName: String = "srp_bucket"
   }
 
+  /** Bloom-filter membership probe over a long column, the filter a
+    * PLAN-TIME constant (serialized `org.apache.spark.util.sketch
+    * .BloomFilter` bytes baked into the expression): rows whose key
+    * cannot be in the build side drop at the SCAN, before any window/
+    * join machinery. Deserialized once per executor instance (lazy),
+    * evaluated as one xxhash-based probe per row. False positives
+    * only pass extra rows to the exact join behind it — never wrong
+    * results. */
+  case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = BooleanType
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(filterBytes))
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Boolean.valueOf(bf.mightContainLong(v.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): BloomMightContainLong =
+      copy(child = c)
+    override def prettyName: String = "bloom_might_contain_long"
+  }
+
   /** Fraction of equal positions in two long signatures (MinHash
     * Jaccard estimate). */
   case class SigAgreement(left: Expression, right: Expression)
@@ -309,6 +331,9 @@ object HashExpressions {
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     call_function("top_k_by_score", score, id,
       org.apache.spark.sql.functions.lit(k))
+  def bloom_might_contain_long(key: Column, filterBytes: Array[Byte]): Column =
+    call_function("bloom_might_contain_long", key,
+      org.apache.spark.sql.functions.lit(filterBytes))
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

@@ -328,6 +328,22 @@ object Dedup {
     val sigNew = materialize(signatures(newDocs), "probe_sigs")
     val probe = bandKeys(sigNew, bands, rows)
       .select(col("doc_id").as("new_id"), col("bucket"))
+    // Bloom pre-filter on the index scan: the probe's bucket set is
+    // shard-sized; a serialized sketch BloomFilter over it (built
+    // distributed, only the ~MB bitset reaches the driver) bakes into
+    // a compiled predicate evaluated AT THE SCAN — index rows whose
+    // bucket cannot match drop before the hot-bucket window count and
+    // the join ever see them. At 100 TB this is the difference
+    // between windowing the full band table per shard and touching
+    // ~|shard × bands| buckets of it. False positives only admit
+    // extra buckets into the exact bucket join — never wrong pairs.
+    val probeBuckets = probe.select(col("bucket")).distinct()
+    val nProbeKeys = math.max(probeBuckets.count(), 1L)
+    val bloom = probeBuckets.stat.bloomFilter("bucket", nProbeKeys, 0.01)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
     // exclude the shard's OWN rows from the index view before the
     // bucket counts: a replayed batch whose bands already landed then
     // probes the exact pre-append state, so its match set — including
@@ -336,6 +352,8 @@ object Dedup {
     // shard id-sets are micro-batch/daily-shard sized)
     val ownIds = broadcast(sigNew.select(col("doc_id")).distinct())
     val index = spark.table(s"${table}_bands")
+      .filter(graft.functions.HashExpressions
+        .bloom_might_contain_long(col("bucket"), bloomBytes))
       .join(ownIds, Seq("doc_id"), "left_anti")
       .withColumn("bcnt", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("bcnt") <= maxBucket)

@@ -163,6 +163,13 @@ class PlanAuditSpec extends AnyFunSuite {
         l.contains("Exchange hashpartitioning"))
       assert(exchanges == 1, s"index side must not shuffle:\n$p")
       assert(p.contains("SortMergeJoin"), p)
+      // the full probe path additionally pre-filters the index scan
+      // with a bloom over the probe's bucket set — the predicate must
+      // sit on the index side BEFORE the window count
+      val full = plan(graft.operators.Dedup.dedupAgainstIndex(
+        spark, d.filter(col("doc_id") % 5 === 0), "graft_audit_idx"))
+      assert(full.contains("bloom_might_contain_long"),
+        s"bloom pre-filter missing from probe plan:\n$full")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS graft_audit_idx_bands")
