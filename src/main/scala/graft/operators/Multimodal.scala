@@ -139,7 +139,15 @@ object Multimodal {
     "mm_meta" ->
       "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS content_hash FROM documents",
     "mm_frames" ->
-      "SELECT doc_id, CAST(off / 1024 AS INTEGER) AS frame_no, CAST(off AS INTEGER) AS offset FROM (SELECT doc_id, unnest(range(0, octet_length(CAST(text AS BLOB)), 1024)) AS off FROM documents WHERE doc_id % 3 = 2)")
-  // mm_decode: stub codec output — rows-only driver check; determinism
-  // and schema pinned by MultimodalSpec.
+      "SELECT doc_id, CAST(off / 1024 AS INTEGER) AS frame_no, CAST(off AS INTEGER) AS offset FROM (SELECT doc_id, unnest(range(0, octet_length(CAST(text AS BLOB)), 1024)) AS off FROM documents WHERE doc_id % 3 = 2)",
+    // the stub codec is DETERMINISTIC arithmetic over the payload
+    // bytes (rolling h=h*31+b hash mod 2^64), so the whole decode
+    // stage oracles in SQL: HUGEINT arithmetic restates the unsigned
+    // 64-bit hash, floorMod(h>>8,64) ≡ (hu//256)%64 on the unsigned
+    // value (mod-64 reads bits 8..13 regardless of shift signedness),
+    // bytes ≡ codepoints because the corpus is ASCII (verified).
+    // Hash equality proves the mapPartitions decode seam delivers
+    // exact per-row outputs independent of partitioning.
+    "mm_decode" ->
+      """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""")
 }
