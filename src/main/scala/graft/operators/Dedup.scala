@@ -337,9 +337,12 @@ object Dedup {
     // between windowing the full band table per shard and touching
     // ~|shard × bands| buckets of it. False positives only admit
     // extra buckets into the exact bucket join — never wrong pairs.
-    val probeBuckets = probe.select(col("bucket")).distinct()
-    val nProbeKeys = math.max(probeBuckets.count(), 1L)
-    val bloom = probeBuckets.stat.bloomFilter("bucket", nProbeKeys, 0.01)
+    // sizing: |shard sigs| × bands is an upper bound on distinct
+    // probe buckets; the sig count reads parquet FOOTER metadata of
+    // the snapshot (no scan), and oversizing a bloom only lowers its
+    // false-positive rate — so no count/distinct jobs are spent here
+    val nProbeKeys = math.max(sigNew.count() * bands, 1L)
+    val bloom = probe.stat.bloomFilter("bucket", nProbeKeys, 0.01)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos); bos.toByteArray
@@ -508,24 +511,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Distributed connected components by iterative min-label
-    * propagation — the dedup-cluster resolution step: near-dup PAIRS
-    * become clusters (A~B, B~C ⇒ {A,B,C}) and each cluster keeps its
-    * smallest doc_id. Every node starts labeled with itself; each
-    * round every node takes the min of its own and its neighbors'
-    * labels; fixpoint after ≤ diameter rounds (near-dup clusters are
-    * shallow — chains longer than a few hops are rare, and `maxIter`
-    * caps pathology). Scale shape: each round is one narrow
-    * (node, label) shuffle over the EDGE set — the corpus itself is
-    * never touched, and the label frontier is snapshotted per round
-    * (alternating write-and-readback dirs) so the plan/lineage stays
-    * O(1) deep instead of growing per iteration, the classic failure
-    * of iterative DataFrame loops. */
+  /** Distributed connected components by min-label propagation WITH
+    * pointer jumping — the dedup-cluster resolution step: near-dup
+    * PAIRS become clusters (A~B, B~C ⇒ {A,B,C}) and each cluster
+    * keeps its smallest doc_id. Every node starts labeled with
+    * itself; each round a node takes the min over {its label, its
+    * neighbors' labels, THE LABEL OF ITS LABEL}. The last term is the
+    * pointer-jumping/path-halving step: labels chase their own
+    * forwarding chain, so a length-D chain converges in O(log D)
+    * rounds instead of the plain propagation's D (a 10⁶-hop
+    * pathological chain is ~20 rounds, not 10⁶ — at 100 TB the round
+    * count IS the cost, each one being a full shuffle of the edge
+    * set). Labels always name nodes of the same component (they enter
+    * via an edge or an existing label), so the fixpoint is exactly
+    * the per-component min. Scale shape: each round is one narrow
+    * (node, label) shuffle over the EDGE set plus one label-sized
+    * self-join — the corpus itself is never touched, and the label
+    * frontier is snapshotted per round (alternating write-and-readback
+    * dirs) so the plan/lineage stays O(1) deep instead of growing per
+    * iteration, the classic failure of iterative DataFrame loops. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val a = col("a"); val b = col("b")
-    val sym = edges.toDF("a", "b")
-      .union(edges.toDF("b", "a").select(col("a"), col("b")))
-      .distinct()
+    // the symmetric edge set feeds every round — snapshot it once
+    // instead of re-running the union+distinct per iteration
+    val sym = materialize(
+      edges.toDF("a", "b")
+        .union(edges.toDF("b", "a").select(col("a"), col("b")))
+        .distinct(),
+      "cc_edges")
     var labels = materialize(
       sym.select(a.as("node")).distinct()
         .select(col("node"), col("node").as("label")),
@@ -536,30 +549,40 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
         .groupBy(a.as("node")).agg(min(col("label")).as("nmin"))
+      val hop = labels.select(col("node"), col("label").as("prev"))
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("prev"), coalesce(col("nmin"), col("prev")))
+            .as("l1"), col("prev"))
+      // pointer jump: l1 is a node id — look up ITS current label and
+      // take the min (path halving; labels-sized broadcast-or-shuffle
+      // join, narrow either way)
+      val jumped = hop
+        .join(labels.select(col("node").as("l1"), col("label").as("l2")),
+          Seq("l1"), "left")
+        .select(col("node"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"),
+          col("prev"))
       // convergence rides the snapshot write itself: observe() counts
       // changed labels DURING the write job (zero extra jobs — the
       // round-3 shape re-read the snapshot just to test emptiness)
       val obs = org.apache.spark.sql.Observation()
       val next = materialize(
-        labels.select(col("node"), col("label").as("prev"))
-          .join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("prev"), coalesce(col("nmin"), col("prev")))
-              .as("label"), col("prev"))
-          .observe(obs, coalesce(sum(when(col("label") =!= col("prev"), 1L)
+        jumped.observe(obs,
+          coalesce(sum(when(col("label") =!= col("prev"), 1L)
             .otherwise(0L)), lit(0L)).as("changed")), // coalesce: empty graph sums to null
         s"cc_labels_${(i + 1) % 2}") // alternate: never overwrite the dir being read
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("node"), col("label"))
       i += 1
     }
-    // min-label propagation advances one hop per round: exiting via
-    // the cap would silently publish UNCONVERGED (wrong) components —
-    // fail loudly instead; a pathological-diameter graph needs a
-    // bigger maxIter, not a wrong answer
+    // exiting via the cap would silently publish UNCONVERGED (wrong)
+    // components — fail loudly instead; a pathological-diameter graph
+    // needs a bigger maxIter (log₂ of the longest chain), not a wrong
+    // answer
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        "(cluster diameter exceeds maxIter); raise maxIter")
+        "(cluster diameter exceeds 2^$maxIter); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
