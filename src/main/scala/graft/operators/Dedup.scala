@@ -39,17 +39,23 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Per-JVM snapshot root: one directory per call site, overwritten
-    * on each call, deleted at JVM exit — disk stays bounded at "one
-    * latest snapshot per site" no matter how many queries a
-    * long-lived session runs. */
-  private lazy val snapshotBase: java.nio.file.Path = {
+  /** Default per-JVM snapshot root (local[*] runs): a temp directory
+    * deleted at JVM exit. On a REAL cluster a driver-local path is
+    * invisible to executors — set `spark.graft.snapshotDir` to a
+    * shared-filesystem location (hdfs://, s3a://…) and every snapshot
+    * write/read/delete rides [[graft.sources.Dfs]] there instead; the
+    * per-site previous-snapshot deletion keeps that location bounded
+    * at ~one live snapshot per call site. */
+  private lazy val localSnapshotBase: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_snapshots_")
     sys.addShutdownHook {
       graft.sources.LocalFs.deleteRecursively(p.toFile)
     }
     p
   }
+
+  private def snapshotRoot(s: SparkSession): String =
+    s.conf.get("spark.graft.snapshotDir", localSnapshotBase.toString)
 
   /** Write-and-readback snapshot of a SMALL intermediate (candidate
     * pairs, shard signatures): the DAG above it runs exactly once and
@@ -72,11 +78,11 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def materialize(df: DataFrame, site: String): DataFrame = {
     val key = s"${site}_t${Thread.currentThread().getId}"
-    val dir = snapshotBase
-      .resolve(s"${key}_c${snapshotSeq.incrementAndGet()}").toString
+    val dir =
+      s"${snapshotRoot(df.sparkSession)}/${key}_c${snapshotSeq.incrementAndGet()}"
     df.write.mode(SaveMode.Overwrite).parquet(dir)
-    Option(lastSnapshot.put(key, dir)).foreach(prev =>
-      graft.sources.LocalFs.deleteRecursively(new java.io.File(prev)))
+    Option(lastSnapshot.put(key, dir))
+      .foreach(graft.sources.Dfs.default.delete)
     df.sparkSession.read.schema(df.schema).parquet(dir)
   }
 

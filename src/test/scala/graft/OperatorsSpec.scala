@@ -318,6 +318,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"shared phrasing ${scores(1L)} must outscore word salad ${scores(4L)}")
   }
 
+  test("materialized snapshots honor spark.graft.snapshotDir (the shared-FS cluster seam)") {
+    // on a real cluster a driver-local temp dir is invisible to
+    // executors — the conf routes every discovery/label snapshot to a
+    // shared location through the Dfs seam
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_conf").toString
+    spark.conf.set("spark.graft.snapshotDir", dir)
+    try {
+      val got = Dedup.minhashVerifiedPairs(docs).collect()
+      assert(got.nonEmpty)
+      val names = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+      assert(names.exists(_.startsWith("minhash_pairs")),
+        s"no snapshot under configured root: ${names.mkString(",")}")
+    } finally spark.conf.unset("spark.graft.snapshotDir")
+  }
+
   test("connected components: transitive chains collapse to min-label clusters") {
     val s = spark; import s.implicits._
     // chain 1-2-3 (1~2, 2~3 but NOT 1~3 directly), pair 10-11, chain
