@@ -33,8 +33,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .count(_.getName.endsWith(".parquet"))
+    graft.sources.Dfs.default.listNames(path)
+      .count(_.endsWith(".parquet"))
   }
 
   /** Write `df` z-order-clustered on two non-negative long-valued
@@ -57,8 +57,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .count(_.getName.endsWith(".parquet"))
+    graft.sources.Dfs.default.listNames(path)
+      .count(_.endsWith(".parquet"))
   }
 
   /** N-column generalization of [[writeZOrdered]]: rows sort by the
@@ -80,8 +80,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(path)
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .count(_.getName.endsWith(".parquet"))
+    graft.sources.Dfs.default.listNames(path)
+      .count(_.endsWith(".parquet"))
   }
 
   // ------------------------------------------------------- queries //

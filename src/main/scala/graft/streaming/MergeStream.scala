@@ -42,25 +42,21 @@ object MergeStream {
       .map("%02x".format(_)).mkString.take(16)
 
   private def hwmFile(path: String, id: String) =
-    new java.io.File(path, s"_applied_hwm_$id.tsv")
+    s"$path/_applied_hwm_$id.tsv"
 
-  /** Highest batchId the `id` lineage folded in (-1 when none). */
+  /** Highest batchId the `id` lineage folded in (-1 when none). All
+    * sidecar I/O rides the [[graft.sources.Dfs]] seam — the CDC
+    * target may live on any Hadoop scheme. */
   def lastApplied(path: String, id: String): Long = {
     val f = hwmFile(path, id)
-    if (!f.exists()) -1L
-    else java.nio.file.Files.readString(f.toPath).trim.toLong
+    if (!graft.sources.Dfs.default.exists(f)) -1L
+    else graft.sources.Dfs.default.readString(f).trim.toLong
   }
 
-  private def recordApplied(path: String, id: String, batchId: Long): Unit = {
-    val f = hwmFile(path, id)
-    val tmp = new java.io.File(path, s"_applied_hwm_$id.tsv.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, s"$batchId\n")
-    if (!tmp.renameTo(f)) {
-      f.delete()
-      if (!tmp.renameTo(f))
-        throw new java.io.IOException(s"hwm publish failed for $batchId")
-    }
-  }
+  private def recordApplied(path: String, id: String, batchId: Long): Unit =
+    // tmp-write + rename publish inside the seam
+    graft.sources.Dfs.default.writeStringAtomic(
+      hwmFile(path, id), s"$batchId\n")
 
   /** One micro-batch of the CDC apply — exposed so the spec can
     * drive replay scenarios deterministically. */

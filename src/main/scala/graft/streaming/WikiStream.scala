@@ -71,10 +71,10 @@ object WikiStream {
         // one row per id within a batch (a dump can repeat an entity;
         // which copy wins is arbitrary, matching upsert semantics)
         val updates = mediaRows(batch).dropDuplicates("id")
-        val live = new java.io.File(viewDir)
-        val bootstrapped = live.exists() &&
-          new java.io.File(live, "_SUCCESS").exists() &&
-          live.listFiles().exists(_.getName.startsWith("_mb="))
+        val fs = graft.sources.Dfs.default
+        val bootstrapped = fs.exists(viewDir) &&
+          fs.exists(s"$viewDir/_SUCCESS") &&
+          fs.listDirNames(viewDir).exists(_.startsWith("_mb="))
         if (!bootstrapped)
           Merge.writeTarget(updates, viewDir, "id", nBuckets)
         else
