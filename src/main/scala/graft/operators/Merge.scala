@@ -334,7 +334,9 @@ object Merge {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_merge").toString
-    writeTarget(c, path, "c_custkey")
+    // 8 buckets: bucket count scales with data — 150k demo rows do
+    // not need the 16-bucket default, and the demo's cost is file I/O
+    writeTarget(c, path, "c_custkey", nBuckets = 8)
     val delta = c.filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey"),
         concat(lit("upd#"), col("c_name")).as("c_name"),
@@ -344,7 +346,7 @@ object Merge {
         concat(lit("new#"), col("c_name")).as("c_name"),
         lit(0.0).as("c_acctbal"))
         .filter(col("c_custkey") % 5 === 0))
-    into(s, path, delta, "c_custkey")
+    into(s, path, delta, "c_custkey", nBuckets = 8)
     read(s, path).select(col("c_custkey"), col("c_name"),
       (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
         .as("acctbal"))
@@ -361,7 +363,7 @@ object Merge {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_tt").toString
-    writeVersioned(c, path, "c_custkey")
+    writeVersioned(c, path, "c_custkey", nBuckets = 8)
     mergeVersioned(s, path, c.filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey"), col("c_name"),
         (col("c_acctbal") + 1000.0).as("c_acctbal")), "c_custkey")
@@ -391,7 +393,7 @@ object Merge {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_compact").toString
-    writeVersioned(c, path, "c_custkey")
+    writeVersioned(c, path, "c_custkey", nBuckets = 8)
     mergeVersioned(s, path, c.filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey"), col("c_name"),
         (col("c_acctbal") + 1000.0).as("c_acctbal")), "c_custkey")
