@@ -632,8 +632,43 @@ object Dedup {
       .select(col("new_id"), col("dup_of"), col("jaccard"))
   }
 
+  /** The END-TO-END curation pipeline, oracle-checkable as ONE query:
+    * quality gate → normalized exact dedup (keep smallest id) →
+    * near-dup clustering over the survivors (LSH discovery, exact
+    * rerank, connected components) → drop non-canonical cluster
+    * members → deterministic train/test split tag. Every stage is an
+    * operator above; composing them in one DataFrame program and
+    * hash-matching a single relational restatement proves the STAGES
+    * COMPOSE — ids flow through semi/anti joins without loss, the
+    * cluster resolution sees exactly the exact-dedup survivors, and
+    * the split assignment is engine-stable. This is the shape a real
+    * corpus release runs nightly. */
+  def dedupPipeline(df: DataFrame, minJaccard: Double = 0.8,
+                    trainPct: Int = 80): DataFrame = {
+    val toks = split(col("text"), " ")
+    val meanLen = (length(col("text")) - size(toks) + 1).cast("double") /
+      size(toks).cast("double")
+    val quality = df.filter(size(toks) >= 10 &&
+      meanLen >= 2.0 && meanLen <= 12.0)
+    val exactIds = quality
+      .groupBy(md5(normalized(col("text")).cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = quality.join(exactIds, Seq("doc_id"), "left_semi")
+    val comps = connectedComponents(
+      minhashVerifiedPairs(kept, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+    val drop = comps.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    kept.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        when(TextAnalysis.md5Bucket16(col("doc_id")) % 100 < trainPct,
+          "train").otherwise("test").as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_clean_corpus" -> ((s, dir) => cleanCorpus(docs(s, dir))),
+    "p_dedup_pipeline" -> ((s, dir) => dedupPipeline(docs(s, dir))),
     "d_incremental" -> ((s, dir) => incrementalVerifiedPairs(s, docs(s, dir))),
     "d_minhash_exact" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir))),
     "d_components" -> ((s, dir) => dupClusters(docs(s, dir))),
@@ -657,6 +692,12 @@ object Dedup {
     "d_simhash" -> ((s, dir) => simhashVerifiedPairs(docs(s, dir))))
 
   val oracle: Map[String, String] = Map(
+    // the WHOLE pipeline restated relationally: quality gate, exact
+    // dedup keep-min, exact J>=0.8 pairs among survivors, recursive
+    // transitive closure, canonical-only survivors, md5 split tag —
+    // no LSH, no propagation machinery, no sampling randomness
+    "p_dedup_pipeline" ->
+      """WITH RECURSIVE quality AS (SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0), kept AS (SELECT q.doc_id, q.text FROM quality q JOIN (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) k ON q.doc_id = k.doc_id), toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node), survivors AS (SELECT k.doc_id FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id WHERE c.doc_id IS NULL OR c.doc_id = c.component) SELECT doc_id, CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train' ELSE 'test' END AS split FROM survivors""",
     "p_clean_corpus" ->
       """SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0) GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""",
     "d_exact" ->
