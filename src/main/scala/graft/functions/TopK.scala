@@ -29,17 +29,24 @@ object TopK {
 
   /** Min-heap over the KEPT entries: head is the worst — the entry
     * the next better candidate evicts. "Worse" = lower sim, or equal
-    * sim and larger id. */
+    * sim and larger id. NaN scores are REJECTED at insertion: an
+    * undefined similarity (e.g. cosine of a zero-norm vector) must
+    * never occupy — let alone poison — a top-k slot. (Naive `>`
+    * comparisons against a NaN head are always false, which would
+    * permanently freeze the heap; scores are compared totally via
+    * Double.compare and NaN simply never enters.) */
   final class TopKBuffer(val k: Int) {
     private val ord: Ordering[(Double, Long)] =
       Ordering.by { case (sim, id) => (-sim, id) } // max of ord = worst
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
 
     def add(sim: Double, id: Long): Unit = {
+      if (sim.isNaN) return
       if (heap.size < k) heap.enqueue((sim, id))
       else {
         val (wSim, wId) = heap.head
-        if (sim > wSim || (sim == wSim && id < wId)) {
+        val c = java.lang.Double.compare(sim, wSim)
+        if (c > 0 || (c == 0 && id < wId)) {
           heap.dequeue(); heap.enqueue((sim, id))
         }
       }

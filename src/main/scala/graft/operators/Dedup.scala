@@ -54,8 +54,23 @@ object Dedup {
     p
   }
 
+  /** Shared-FS snapshot roots are RUN-SCOPED (`run_<uuid>` subdir per
+    * JVM, deleted through the Dfs seam at exit) so consecutive runs
+    * never collide and a healthy run leaves nothing behind; a crashed
+    * run's directory is inert garbage a periodic `run_*` sweep of the
+    * configured location reclaims. */
+  private val sharedRunDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def snapshotRoot(s: SparkSession): String =
-    s.conf.get("spark.graft.snapshotDir", localSnapshotBase.toString)
+    s.conf.getOption("spark.graft.snapshotDir") match {
+      case None => localSnapshotBase.toString
+      case Some(base) =>
+        sharedRunDirs.computeIfAbsent(base, { b =>
+          val dir = s"${b.stripSuffix("/")}/run_${java.util.UUID.randomUUID()}"
+          sys.addShutdownHook { graft.sources.Dfs.default.delete(dir) }
+          dir
+        })
+    }
 
   /** Write-and-readback snapshot of a SMALL intermediate (candidate
     * pairs, shard signatures): the DAG above it runs exactly once and
@@ -588,7 +603,7 @@ object Dedup {
     // answer
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
-        "(cluster diameter exceeds 2^$maxIter); raise maxIter")
+        s"(cluster diameter exceeds ~2^$maxIter); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

@@ -137,16 +137,32 @@ object Similarity {
     slice(reverse(array_sort(cellSims(centroids, v))), 1, nProbe)
 
   /** Seed (first nCells vectors) optionally k-means-refined, collected
-    * driver-side — nCells × dim floats, a model not a data collect. */
+    * driver-side — nCells × dim floats, a model not a data collect.
+    * The refined model stays driver-side throughout ([[refineSeq]]):
+    * no DataFrame round-trip, no extra job. */
   private def refinedCentroids(embeddings: DataFrame, nCells: Int,
                                refineIters: Int): Seq[(Int, Seq[Float])] = {
     val seed = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("int").as("cell"),
         col("embedding").as("ce"))
-    val c = if (refineIters > 0) kmeansRefine(embeddings, seed, refineIters)
-            else seed
-    c.collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
-      .sortBy(_._1).toSeq
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    refineSeq(embeddings, seed, refineIters).toSeq.sortBy(_._1)
+  }
+
+  /** The driver-held centroid model as a tiny DataFrame (index side
+    * table / public kmeansRefine return shape). */
+  private def centroidsDf(spark: SparkSession,
+                          cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.map { case (c, v) => Row(c, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
   }
 
   /** Distributed Lloyd iterations. Assignment is the UNROLLED
@@ -158,11 +174,20 @@ object Similarity {
     * mean collect, the irreducible Lloyd synchronization point. */
   def kmeansRefine(embeddings: DataFrame, seed: DataFrame,
                    iterations: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import org.apache.spark.sql.Row
-    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
-    var current = seed.collect()
+    val start = seed.collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    centroidsDf(embeddings.sparkSession,
+      refineSeq(embeddings, start, iterations).toSeq.sortBy(_._1))
+  }
+
+  /** Lloyd iterations over a driver-held model (the internal form —
+    * public callers go through [[kmeansRefine]]/[[refinedCentroids]]). */
+  private def refineSeq(embeddings: DataFrame,
+                        start: Map[Int, Seq[Float]],
+                        iterations: Int): Map[Int, Seq[Float]] = {
+    if (iterations <= 0) return start
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    var current = start
     for (_ <- 0 until iterations) {
       val cents = current.toSeq.sortBy(_._1)
       val means = embeddings
@@ -180,15 +205,7 @@ object Similarity {
         cell -> means.getOrElse(cell, old)
       }
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        current.toSeq.sortBy(_._1).map { case (c, v) => Row(c, v) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("ce",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    current
   }
 
   /** IVF-style ANN: coarse quantization + probed search. Centroids
@@ -236,16 +253,7 @@ object Similarity {
     graft.functions.HashExpressions.register(embeddings.sparkSession)
     val spark = embeddings.sparkSession
     val centroids = refinedCentroids(embeddings, nCells, refineIters)
-    import org.apache.spark.sql.Row
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          centroids.map { case (c, v) => Row(c, v) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("ce",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)))))
+    centroidsDf(spark, centroids)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
     // assignment is scan-local: one pass over the corpus, routed

@@ -95,9 +95,24 @@ final class HadoopDfs(confOf: () => Configuration) extends Dfs {
     val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    f.delete(dst, false) // rename refuses to clobber on some schemes
-    if (!f.rename(tmp, dst))
-      throw new IOException(s"atomic publish failed: $path")
+    // Publish must stay atomic ALSO when overwriting (the CDC
+    // high-water sidecar republishes every micro-batch; a
+    // delete-then-rename window would leave NO file across a crash
+    // and reset the replay guard). FileContext.rename(OVERWRITE) is
+    // the portable atomic replace (local, HDFS, viewfs); schemes with
+    // no AbstractFileSystem binding (s3a) fall back to plain rename —
+    // which is copy+delete there anyway, so nothing atomic is lost.
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, confOf())
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (!f.rename(tmp, dst)) {
+          f.delete(dst, false)
+          if (!f.rename(tmp, dst))
+            throw new IOException(s"atomic publish failed: $path")
+        }
+    }
   }
 }
 

@@ -327,8 +327,12 @@ class OperatorsSpec extends AnyFunSuite {
     try {
       val got = Dedup.minhashVerifiedPairs(docs).collect()
       assert(got.nonEmpty)
-      val names = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty).map(_.getName)
+      // snapshots land in a run-scoped run_<uuid> subdir of the root
+      val runDirs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith("run_"))
+      assert(runDirs.nonEmpty, s"no run-scoped dir under $dir")
+      val names = runDirs.flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty)).map(_.getName)
       assert(names.exists(_.startsWith("minhash_pairs")),
         s"no snapshot under configured root: ${names.mkString(",")}")
     } finally spark.conf.unset("spark.graft.snapshotDir")
