@@ -74,6 +74,10 @@ object GraftRegistry {
     // plan-time binary literal (a serialized sketch BloomFilter)
     "bloom_might_contain_long" -> (es => BloomMightContainLong(es(0),
       staticBytes(es(1), "bloom_might_contain_long filter"))),
+    // bloom_longs_agg(array<long>, numBits) — distributed bloom build
+    // (pairs with bloom_might_contain_long; numBits a static literal)
+    "bloom_longs_agg" -> (es => BloomLongsAgg(es(0),
+      staticInt(es(1), "bloom_longs_agg numBits"))),
     "ascii_fold" -> (es => AsciiFold(es.head)),
     "snowball_stem" -> (es => SnowballStem(es.head)))
 

@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -253,6 +255,75 @@ object HashExpressions {
     override def prettyName: String = "bloom_might_contain_long"
   }
 
+  /** Distributed long-key bloom-filter build as an AGGREGATE: every
+    * element of each row's `array<long>` input is inserted; the result
+    * is the serialized sketch BloomFilter that
+    * [[BloomMightContainLong]] probes. Running it inside `observe()`
+    * on a snapshot WRITE builds the filter during the job that
+    * materializes the rows — the incremental-dedup probe path then
+    * spends zero extra jobs on count/aggregate before the scan.
+    * `numBits` is fixed up front (no pre-count pass): expected
+    * insertions are declared as numBits/10, pinning the hash count at
+    * ~7 regardless of actual load, and an UNDERfilled bloom only has a
+    * lower false-positive rate. Size numBits ≥ ~10× the expected key
+    * count; overflowing it degrades the FP rate gracefully (extra
+    * buckets pass to the exact join — never wrong results). */
+  case class BloomLongsAgg(child: Expression, numBits: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter]
+      with ImplicitCastInputTypes {
+    require(numBits > 0, s"bloom_longs_agg needs numBits > 0, got $numBits")
+    override def children: Seq[Expression] = Seq(child)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(1L, numBits / 10L), numBits.toLong)
+
+    override def update(buf: org.apache.spark.util.sketch.BloomFilter,
+                        input: InternalRow): org.apache.spark.util.sketch.BloomFilter = {
+      val v = child.eval(input)
+      if (v != null) {
+        val arr = v.asInstanceOf[ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) buf.putLong(arr.getLong(i))
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: org.apache.spark.util.sketch.BloomFilter,
+                       other: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.util.sketch.BloomFilter = {
+      buf.mergeInPlace(other); buf
+    }
+
+    override def eval(buf: org.apache.spark.util.sketch.BloomFilter): Any =
+      serialize(buf)
+
+    override def serialize(buf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      buf.writeTo(bos); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+
+    override def withNewMutableAggBufferOffset(o: Int): BloomLongsAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomLongsAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BloomLongsAgg =
+      copy(child = newChildren.head)
+    override def prettyName: String = "bloom_longs_agg"
+  }
+
   /** Fraction of equal positions in two long signatures (MinHash
     * Jaccard estimate). */
   case class SigAgreement(left: Expression, right: Expression)
@@ -334,6 +405,9 @@ object HashExpressions {
   def bloom_might_contain_long(key: Column, filterBytes: Array[Byte]): Column =
     call_function("bloom_might_contain_long", key,
       org.apache.spark.sql.functions.lit(filterBytes))
+  def bloom_longs_agg(keys: Column, numBits: Int): Column =
+    call_function("bloom_longs_agg", keys,
+      org.apache.spark.sql.functions.lit(numBits))
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

@@ -185,9 +185,15 @@ object Dedup {
     * composite — a single narrow column buckets, sorts and joins). */
   def bandKeys(sigd: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame =
     sigd.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)),
-          lit(b))): _*)).as("bucket"))
+      explode(bandKeyArray(col("sig"), bands, rows)).as("bucket"))
+
+  /** The per-row array of band keys [[bandKeys]] explodes — also the
+    * input of the bloom build the probe path observes during its
+    * snapshot write. */
+  private def bandKeyArray(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(concat_ws(",", slice(sig, b * rows + 1, rows)),
+        lit(b))): _*)
 
   def minhashPairs(df: DataFrame, bands: Int = 16, rows: Int = 4,
                    minEst: Double = 0.5, maxBucket: Int = 64): DataFrame = {
@@ -342,32 +348,37 @@ object Dedup {
   def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
                         table: String, minEst: Double = 0.5,
                         maxBucket: Int = 64, bands: Int = 16,
-                        rows: Int = 4): DataFrame = {
+                        rows: Int = 4, bloomBits: Int = 1 << 22): DataFrame = {
     // the shard's signatures feed the probe AND the verify join —
     // shard-sized; snapshot them so the kernel runs once WITHOUT a
-    // persist() whose blocks would outlive the returned lazy plan
-    val sigNew = materialize(signatures(newDocs), "probe_sigs")
-    val probe = bandKeys(sigNew, bands, rows)
-      .select(col("doc_id").as("new_id"), col("bucket"))
+    // persist() whose blocks would outlive the returned lazy plan.
     // Bloom pre-filter on the index scan: the probe's bucket set is
-    // shard-sized; a serialized sketch BloomFilter over it (built
-    // distributed, only the ~MB bitset reaches the driver) bakes into
+    // shard-sized; a serialized sketch BloomFilter over it bakes into
     // a compiled predicate evaluated AT THE SCAN — index rows whose
     // bucket cannot match drop before the hot-bucket window count and
     // the join ever see them. At 100 TB this is the difference
     // between windowing the full band table per shard and touching
     // ~|shard × bands| buckets of it. False positives only admit
     // extra buckets into the exact bucket join — never wrong pairs.
-    // sizing: |shard sigs| × bands is an upper bound on distinct
-    // probe buckets; the sig count reads parquet FOOTER metadata of
-    // the snapshot (no scan), and oversizing a bloom only lowers its
-    // false-positive rate — so no count/distinct jobs are spent here
-    val nProbeKeys = math.max(sigNew.count() * bands, 1L)
-    val bloom = probe.stat.bloomFilter("bucket", nProbeKeys, 0.01)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos); bos.toByteArray
-    }
+    // The build rides observe() on the snapshot WRITE (the CC
+    // convergence trick): each row contributes its band-key array to
+    // the bloom aggregate during the job that materializes the
+    // signatures — the probe path spends NO separate count or
+    // aggregate jobs before its one probe job. Fixed `bloomBits`
+    // replaces the former pre-count sizing: 2^22 bits holds ~400k
+    // probe keys comfortably (~7 hashes either way); size it to
+    // ~10 bits per expected |shard|×bands key at larger shards —
+    // an overfilled bloom only admits extra buckets, never wrong
+    // pairs, and an underfilled one just has a lower FP rate.
+    val bloomObs = org.apache.spark.sql.Observation()
+    val sigNew = materialize(
+      signatures(newDocs).observe(bloomObs,
+        graft.functions.HashExpressions.bloom_longs_agg(
+          bandKeyArray(col("sig"), bands, rows), bloomBits).as("bloom")),
+      "probe_sigs")
+    val probe = bandKeys(sigNew, bands, rows)
+      .select(col("doc_id").as("new_id"), col("bucket"))
+    val bloomBytes = bloomObs.get("bloom").asInstanceOf[Array[Byte]]
     // exclude the shard's OWN rows from the index view before the
     // bucket counts: a replayed batch whose bands already landed then
     // probes the exact pre-append state, so its match set — including
@@ -546,11 +557,12 @@ object Dedup {
     * set). Labels always name nodes of the same component (they enter
     * via an edge or an existing label), so the fixpoint is exactly
     * the per-component min. Scale shape: each round is one narrow
-    * (node, label) shuffle over the EDGE set plus one label-sized
-    * self-join — the corpus itself is never touched, and the label
-    * frontier is snapshotted per round (alternating write-and-readback
-    * dirs) so the plan/lineage stays O(1) deep instead of growing per
-    * iteration, the classic failure of iterative DataFrame loops. */
+    * (node, label) shuffle over the EDGE set plus narrow label-sized
+    * joins — the corpus itself is never touched, and the label
+    * frontier is snapshotted every TWO rounds (alternating
+    * write-and-readback dirs) so the plan/lineage stays O(1) deep
+    * instead of growing per iteration, the classic failure of
+    * iterative DataFrame loops. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val a = col("a"); val b = col("b")
     // the symmetric edge set feeds every round — snapshot it once
@@ -564,32 +576,46 @@ object Dedup {
       sym.select(a.as("node")).distinct()
         .select(col("node"), col("node").as("label")),
       "cc_labels_0")
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
+    // One COMPLETE propagation round: neighbor-min, then TWO
+    // pointer-jump hops (l → lab(l) → lab(lab(l)), both against the
+    // round-start labels — path halving twice per round; each hop is
+    // a narrow labels-sized join and only ever moves a label DOWN
+    // within its component, so the fixpoint — the per-component min —
+    // is unchanged). Emits (node, label, prev) with prev = the
+    // round's input label.
+    def round(lbl: DataFrame): DataFrame = {
       val neighborMin = sym
-        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .join(lbl.select(col("node").as("b"), col("label")), Seq("b"))
         .groupBy(a.as("node")).agg(min(col("label")).as("nmin"))
-      val hop = labels.select(col("node"), col("label").as("prev"))
+      val hop = lbl.select(col("node"), col("label").as("prev"))
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("prev"), coalesce(col("nmin"), col("prev")))
             .as("l1"), col("prev"))
-      // pointer jump: l1 is a node id — look up ITS current label and
-      // take the min (path halving; labels-sized broadcast-or-shuffle
-      // join, narrow either way)
-      val jumped = hop
-        .join(labels.select(col("node").as("l1"), col("label").as("l2")),
-          Seq("l1"), "left")
+      def jump(df: DataFrame, from: String, to: String): DataFrame = df
+        .join(lbl.select(col("node").as(from), col("label").as(s"${from}_lab")),
+          Seq(from), "left")
         .select(col("node"),
-          least(col("l1"), coalesce(col("l2"), col("l1"))).as("label"),
+          least(col(from), coalesce(col(s"${from}_lab"), col(from))).as(to),
           col("prev"))
-      // convergence rides the snapshot write itself: observe() counts
-      // changed labels DURING the write job (zero extra jobs — the
-      // round-3 shape re-read the snapshot just to test emptiness)
+      jump(jump(hop, "l1", "l2"), "l2", "label")
+    }
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // TWO complete rounds per snapshot write — the write (a whole
+      // job: shuffle + commit + readback) is the per-round fixed cost
+      // at small scale, so batching rounds halves it. Convergence is
+      // observed on the SECOND round alone: round B runs complete on
+      // round A's output, so "B changed nothing" IS the fixpoint test
+      // — a shallow graph (the common dedup-cluster case) converges
+      // in ONE write where the round-4 shape took three. The observe
+      // rides the snapshot write itself (zero extra jobs).
+      val once = round(labels)
+      val twice = round(once.select(col("node"), col("label")))
       val obs = org.apache.spark.sql.Observation()
       val next = materialize(
-        jumped.observe(obs,
+        twice.observe(obs,
           coalesce(sum(when(col("label") =!= col("prev"), 1L)
             .otherwise(0L)), lit(0L)).as("changed")), // coalesce: empty graph sums to null
         s"cc_labels_${(i + 1) % 2}") // alternate: never overwrite the dir being read
@@ -599,11 +625,11 @@ object Dedup {
     }
     // exiting via the cap would silently publish UNCONVERGED (wrong)
     // components — fail loudly instead; a pathological-diameter graph
-    // needs a bigger maxIter (log₂ of the longest chain), not a wrong
-    // answer
+    // needs a bigger maxIter (each iteration is two label-quadrupling
+    // rounds), not a wrong answer
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"(cluster diameter exceeds ~2^$maxIter); raise maxIter")
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"(2 pointer-jumped rounds each; cluster diameter is pathological); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

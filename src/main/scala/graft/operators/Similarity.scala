@@ -406,8 +406,12 @@ object Similarity {
     // degenerate bucket. At this weak threshold (0.4 ≈ 66°) the
     // banding trades recall for pruning — the operator's recall and
     // no-false-positive behavior are pinned by OperatorsSpec at its
-    // recall-oriented defaults; this query is the at-scale
-    // parameterization, rows-only checked (deterministic hashing)
+    // recall-oriented defaults. ORACLED as a mechanism restatement
+    // (the mm_decode shape): the SrpBucket kernel's hyperplane signs
+    // are a closed-form splitmix of (plane, dim) — [[srpSign]]
+    // re-derives the exact ±1 matrix driver-side and the DuckDB
+    // oracle restates sign(Σ v_j·s_j) bucketing, the hot-bucket cap,
+    // pair expansion, and the cosine rerank over LITERAL sign lists.
     "s_embed_neardup" -> ((s, dir) =>
       embeddingNearDups(emb(s, dir), 0.4, bits = 8, maxBucket = 64)),
     // oracled recall-1 proof of the IVF probe. The near-random corpus
@@ -435,6 +439,64 @@ object Similarity {
             x.cast("double")))) * 1e6) / 1e6).as("max_err"))
     }))
 
+  /** The EXACT ±1 hyperplane component the [[graft.functions.
+    * HashExpressions.SrpBucket]] kernel derives for (plane, j) — the
+    * same splitmix mix, re-run driver-side so the DuckDB oracle can
+    * restate the bucketing over literal sign lists. Any drift between
+    * this and the kernel breaks the s_embed_neardup hash match (and
+    * is pinned directly by SimilaritySpec). */
+  private[graft] def srpSign(plane: Int, j: Int): Int = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if (z > 0) 1 else -1
+  }
+
+  /** Driver-side replica of the kernel's bucket for a concrete vector
+    * — spec-pinning glue only. Identical fold order and `> 0` sign
+    * test. */
+  private[graft] def srpBucketRef(v: Seq[Float], bits: Int, table: Int): Long = {
+    var bucket = 0L
+    var h = 0
+    while (h < bits) {
+      val plane = table * bits + h
+      var proj = 0.0
+      var j = 0
+      while (j < v.length) {
+        proj += v(j).toDouble * srpSign(plane, j)
+        j += 1
+      }
+      if (proj > 0) bucket |= (1L << h)
+      h += 1
+    }
+    bucket
+  }
+
+  /** The [[embeddingNearDups]] mechanism restated as DuckDB SQL with
+    * the hyperplane sign matrix inlined as literals: per-table bucket
+    * = Σ 2^h·(Σ v_j·s_j > 0) over the SAME sequential double fold the
+    * kernel runs, then the identical (tbl, bucket) grouping,
+    * 2..maxBucket cap, a<b pair expansion, DISTINCT, and cosine
+    * rerank. Hash equality certifies the whole discovery+verify path
+    * end to end. */
+  private def nearDupOracleSql(threshold: Double, bits: Int, tables: Int,
+                               maxBucket: Int, dim: Int): String = {
+    def proj(plane: Int): String = {
+      val s = (0 until dim).map(srpSign(plane, _)).mkString("[", ",", "]")
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(embedding) + 1), j -> CAST(embedding[j] AS DOUBLE) * CAST(($s)[j] AS DOUBLE))), (a, x) -> a + x)"
+    }
+    def bucket(t: Int): String =
+      (0 until bits).map(h =>
+        s"(CASE WHEN ${proj(t * bits + h)} > 0 THEN ${1L << h} ELSE 0 END)")
+        .mkString(" + ")
+    val bk = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM embeddings")
+      .mkString(" UNION ALL ")
+    val dotAB =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH bk AS ($bk), sized AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket HAVING count(*) BETWEEN 2 AND $maxBucket), cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id JOIN sized s ON s.tbl = x.tbl AND s.bucket = x.bucket), vecs AS (SELECT c.id_a, c.id_b, a.embedding AS ea, b.embedding AS eb FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b), scored AS (SELECT id_a, id_b, $dotAB / (${normSql("ea")} * ${normSql("eb")}) AS sim FROM vecs) SELECT id_a, id_b, round(sim*1e4)/1e4 AS sim FROM scored WHERE sim >= $threshold"""
+  }
+
   // DuckDB-side double fold, bit-identical to the Spark expressions.
   private val dotSql =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
@@ -461,7 +523,9 @@ object Similarity {
         |SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims, round(s*1e6)/1e6 AS scale_r,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a, x) -> a + x) AS BIGINT) AS code_sum,
         |  round((list_aggregate(list_transform(range(1, len(embedding) + 1), i -> abs(CAST(codes[i] AS DOUBLE) * s / 127.0 - CAST(embedding[i] AS DOUBLE))), 'max'))*1e6)/1e6 AS max_err
-        |FROM coded""".stripMargin)
-  // s_embed_neardup: not SQL-expressible (xxhash64 hyperplanes) —
-  // rows-only driver check; recall/no-FP pinned by OperatorsSpec.
+        |FROM coded""".stripMargin,
+    // mechanism restatement over the literal sign matrix — see
+    // nearDupOracleSql; parameters mirror the query entry exactly
+    "s_embed_neardup" -> nearDupOracleSql(
+      threshold = 0.4, bits = 8, tables = 16, maxBucket = 64, dim = 64))
 }

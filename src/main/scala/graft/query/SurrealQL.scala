@@ -17,7 +17,10 @@ import graft.ingest.Load.WikiTables
   *     [ORDER BY f [ASC|DESC], ...] [LIMIT n]` — aggregates:
   *     `count()`, `math::sum|mean|max|min(<path>)`
   *   - projections: `*`, `<path> [AS alias]`, parenthesized
-  *     subselects with `[0]`/`.field` postfix, `count(<subselect>)`
+  *     subselects with `[0]`/`.field` postfix, `count(<subselect>)`,
+  *     and projection-position subselects `(SELECT <agg|path> FROM
+  *     src [WHERE f = $parent.g ...]) AS x` (correlated via
+  *     SurrealQL's `$parent`, compiled to one aggregate + left join)
   *   - paths: `claims.claims[WHERE id = Property:N]`, `[0]`,
   *     `.value.Thing`, `.value.ClaimValueData.Quantity.amount`, ...
   *   - conds: `label = "..."`, `<path> == []`, AND of those
@@ -216,15 +219,30 @@ object SurrealQL {
 
   private def evalSelect(sql: String, t: WikiTables,
                          vars: Map[String, DataFrame]): DataFrame = {
-    val selRe = ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)" +
+    // the projection list splits off at the TOP-LEVEL FROM (quote-,
+    // paren- and whitespace-aware): projection-position subselects
+    // carry their own FROM inside parens, which a non-greedy regex
+    // would latch onto
+    val splitAt =
+      if (sql.matches("(?is)^SELECT\\b.*")) topLevelKeyword(sql, "FROM")
+      else None
+    val tailRe = ("(?is)^(\\S+)" +
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+GROUP\\s+(ALL|BY\\s+[a-zA-Z_][a-zA-Z0-9_]*" +
       "(?:\\s*,\\s*[a-zA-Z_][a-zA-Z0-9_]*)*))?" +
       "(?:\\s+ORDER\\s+BY\\s+([a-zA-Z_][a-zA-Z0-9_]*(?:\\s+(?:ASC|DESC))?" +
       "(?:\\s*,\\s*[a-zA-Z_][a-zA-Z0-9_]*(?:\\s+(?:ASC|DESC))?)*))?" +
       "(?:\\s+LIMIT\\s+([0-9]+))?$").r
-    sql match {
-      case selRe(projs, source, cond, groupSpec, orderBy, limit) =>
+    val parsed = splitAt.flatMap { i =>
+      val projs = sql.substring(0, i).replaceFirst("(?is)^SELECT\\s+", "").trim
+      sql.substring(i + "FROM".length).trim match {
+        case tailRe(source, cond, groupSpec, orderBy, limit) =>
+          Some((projs, source, cond, groupSpec, orderBy, limit))
+        case _ => None
+      }
+    }
+    parsed match {
+      case Some((projs, source, cond, groupSpec, orderBy, limit)) =>
         val base = source match {
           // the three wiki tables the reference routes by id prefix
           // (Q→Entity, P→Property, L→Lexeme — utils.rs:144-158):
@@ -243,12 +261,27 @@ object SurrealQL {
         }
         val items = splitTop(projs, ',').map(_.trim).filter(_.nonEmpty)
         val asRe = "(?is)^(.*?)\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*)$".r
+        // projection-position subselects: `(SELECT <agg|path> FROM src
+        // [WHERE ...]) AS alias`, per-row correlated on
+        // `<field> = $parent.<outerField>` conjuncts — each compiles
+        // to ONE inner aggregate + left join (no per-row execution,
+        // no driver collect); see [[projSubselect]]
+        val subRe = "(?is)^\\(\\s*(SELECT\\b.+)\\)\\s+AS\\s+([a-zA-Z_][a-zA-Z0-9_]*)$".r
+        val subItems = items.collect { case subRe(inner, alias) => (inner, alias) }
+        require(subItems.isEmpty || groupSpec == null,
+          "projection subselects under GROUP are not supported")
+        val subAliases = subItems.map(_._2).toSet
+        val joined = subItems.foldLeft(filtered) { case (df, (inner, alias)) =>
+          projSubselect(df, inner.trim, alias, t, vars)
+        }
         // lazy: under GROUP the items are aggregate calls, not paths
         lazy val cols = items.flatMap {
           case "*" =>
-            filtered.columns
-              .filter(c => c != "claims_arr" && c != "_claims_src_tb")
+            joined.columns
+              .filter(c => c != "claims_arr" && c != "_claims_src_tb" &&
+                !subAliases.contains(c))
               .map(col).toSeq
+          case subRe(_, alias) => Seq(col(alias))
           case asRe(path, alias) =>
             Seq(compileProj(path.trim).as(alias))
           case p if p.matches("[a-zA-Z_][a-zA-Z0-9_]*") => Seq(col(p))
@@ -263,9 +296,9 @@ object SurrealQL {
         // (src_tb, id) key instead of the numeric id alone
         lazy val withProv =
           if (items.contains("claims") && !items.contains("*")) {
-            if (filtered.columns.contains("id"))
+            if (joined.columns.contains("id"))
               cols :+ col("id.tb").as("_claims_src_tb")
-            else if (filtered.columns.contains("_claims_src_tb"))
+            else if (joined.columns.contains("_claims_src_tb"))
               cols :+ col("_claims_src_tb")
             else cols
           } else cols
@@ -311,7 +344,7 @@ object SurrealQL {
               case Left((k, a)) => col(k).as(a)
               case Right((_, name)) => col(name)
             }: _*)
-          case None => filtered.select(withProv: _*)
+          case None => joined.select(withProv: _*)
         }
         // ORDER BY names output fields (aliases included), SurrealQL
         // style; LIMIT after ordering
@@ -330,6 +363,69 @@ object SurrealQL {
         }
         Option(limit).map(n => ordered.limit(n.toInt)).getOrElse(ordered)
       case _ => throw new IllegalArgumentException(s"cannot parse: $sql")
+    }
+  }
+
+  /** Projection-position subselect `(SELECT <agg|path> FROM src
+    * [WHERE ...]) AS alias`, correlated per-row on the outer record
+    * via `<innerField> = $parent.<outerField>` equality conjuncts —
+    * SurrealQL's `$parent` binding. Compiled set-at-a-time: the inner
+    * table aggregates ONCE grouped by its correlation fields, then
+    * left-joins onto the outer rows — per-row subquery semantics with
+    * no per-row execution and no driver collect. An uncorrelated
+    * subselect aggregates to a single broadcast row. `count()`
+    * coalesces to 0 for unmatched outer rows (SurrealQL counts an
+    * empty set as 0); a plain path projection yields the array of
+    * matched values (SurrealQL's array-of-results shape). */
+  private def projSubselect(outer: DataFrame, inner: String, alias: String,
+                            t: WikiTables,
+                            vars: Map[String, DataFrame]): DataFrame = {
+    val innerRe = "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\\S+)(?:\\s+WHERE\\s+(.+))?$".r
+    inner match {
+      case innerRe(proj, source, cond) =>
+        val base = source match {
+          case "Entity" | "Property" | "Lexeme" => Paths.withClaims(
+            t.entities.filter(col("id.tb") === source), t.claims)
+          case v if v.startsWith("$") => vars(v.drop(1))
+          case other => throw new IllegalArgumentException(
+            s"unknown subselect source '$other'")
+        }
+        val corrRe = ("(?is)^([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*" +
+          "\\$parent\\.([a-zA-Z_][a-zA-Z0-9_]*)$").r
+        val conjuncts = Option(cond)
+          .map(c => splitTopWord(c.trim, "AND").map(_.trim)).getOrElse(Seq.empty)
+        val (corr, plain) = conjuncts.partition(corrRe.matches(_))
+        val keys = corr.map { case corrRe(ik, of) => (ik, of) }
+        val filteredInner = plain.foldLeft(base)((d, c) => d.filter(compileCond(c)))
+        val aggRe = ("(?is)^(count|math::sum|math::mean|math::max|" +
+          "math::min)\\s*\\(\\s*(.*?)\\s*\\)$").r
+        val (aggCol, isCount) = proj.trim match {
+          case aggRe(fn, arg) => (fn.toLowerCase match {
+            case "count" => count(lit(1))
+            case "math::sum" => sum(compileProj(arg))
+            case "math::mean" => avg(compileProj(arg))
+            case "math::max" => max(compileProj(arg))
+            case "math::min" => min(compileProj(arg))
+          }, fn.equalsIgnoreCase("count"))
+          case p => (collect_list(compileProj(p)), false)
+        }
+        val j =
+          if (keys.isEmpty)
+            outer.crossJoin(broadcast(filteredInner.agg(aggCol.as(alias))))
+          else {
+            val kcols = keys.map(_._1).distinct
+            val agged = filteredInner.groupBy(kcols.map(col): _*)
+              .agg(aggCol.as(alias))
+              .select(kcols.zipWithIndex.map { case (k, i) =>
+                col(k).as(s"_sub_k$i") } :+ col(alias): _*)
+            val on = keys.map { case (ik, of) =>
+              col(s"_sub_k${kcols.indexOf(ik)}") === outer(of) }.reduce(_ && _)
+            outer.join(agged, on, "left")
+              .drop(kcols.indices.map(i => s"_sub_k$i"): _*)
+          }
+        if (isCount) j.withColumn(alias, coalesce(col(alias), lit(0L))) else j
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse projection subselect: $inner")
     }
   }
 
@@ -558,6 +654,30 @@ object SurrealQL {
     }
     out += cur.toString
     out.result()
+  }
+
+  /** Index of the first top-level occurrence of `word` bounded by
+    * whitespace on both sides — outside parens, brackets and string
+    * literals. Used to find the clause keyword a projection-position
+    * subselect's own copy must not shadow. */
+  private def topLevelKeyword(s: String, word: String): Option[Int] = {
+    var depth = 0; var quote = false; var i = 0
+    val upper = s.toUpperCase
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => quote = !quote
+        case '(' | '[' if !quote => depth += 1
+        case ')' | ']' if !quote => depth -= 1
+        case _ =>
+          if (!quote && depth == 0 && i > 0 &&
+              s.charAt(i - 1).isWhitespace && upper.startsWith(word, i) &&
+              i + word.length < s.length &&
+              s.charAt(i + word.length).isWhitespace)
+            return Some(i)
+      }
+      i += 1
+    }
+    None
   }
 
   /** Split on a keyword at top level — outside parens, brackets, AND

@@ -129,6 +129,54 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(state(s"$base/t") === before)
   }
 
+  test("compaction + vacuum under a LIVE CDC stream: no lost version, no torn read") {
+    // merge → compact → merge → vacuum interleaved with a running
+    // upsertStream, a historical reader pinned to the pre-compaction
+    // version throughout (single-writer contract: compaction runs
+    // between micro-batches — the stream is live, just quiescent)
+    val base = JF.createTempDirectory("ms_live_compact").toString
+    val t = spark.range(0, 100).select(col("id").as("k"), lit(0L).as("v"))
+    Merge.writeVersioned(t, s"$base/t", "k", nBuckets = 4)
+    JF.createDirectories(JP.get(s"$base/in"))
+    val q = MergeStream.upsertStream(
+      spark.readStream.schema("k LONG, v LONG").json(s"$base/in"),
+      s"$base/t", "k", s"$base/cp")
+    try {
+      // batch 1 → v1
+      JF.writeString(JP.get(s"$base/in/d1.json"),
+        """{"k": 1, "v": 11}""" + "\n" + """{"k": 200, "v": 22}""")
+      q.processAllAvailable()
+      val v1 = Merge.versions(s"$base/t").last
+      // pin a reader to the pre-compaction version: the plan resolves
+      // v1's manifest ONCE; its directories must stay byte-stable
+      val pinned = Merge.readVersioned(spark, s"$base/t", v1)
+      val c1 = pinned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(c1.size === 101 && c1(1L) === 11L && c1(200L) === 22L)
+      // compact WHILE the stream is live → v2
+      val v2 = Merge.compactVersioned(spark, s"$base/t", "k")
+      assert(v2 === v1 + 1)
+      // batch 2 lands on top of the compacted version → v3
+      JF.writeString(JP.get(s"$base/in/d2.json"), """{"k": 1, "v": 12}""")
+      q.processAllAvailable()
+      val v3 = Merge.versions(s"$base/t").last
+      assert(v3 === v2 + 1, "stream must keep publishing after compaction")
+      val latest = state(s"$base/t")
+      assert(latest.size === 101 && latest(1L) === 12L && latest(200L) === 22L)
+      // the pinned reader re-reads IDENTICALLY across compact + merge
+      assert(pinned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === c1)
+      // vacuum keeping the pinned version: v0 goes, v1..v3 stay
+      Merge.vacuum(s"$base/t", keepLast = 3)
+      assert(Merge.versions(s"$base/t") === Seq(v1, v2, v3))
+      assert(pinned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === c1,
+        "vacuum within retention must not tear the pinned read")
+      // the stream keeps going after vacuum too → v4
+      JF.writeString(JP.get(s"$base/in/d3.json"), """{"k": 3, "v": 33}""")
+      q.processAllAvailable()
+      val s4 = state(s"$base/t")
+      assert(s4(3L) === 33L && s4(1L) === 12L && s4.size === 101)
+    } finally q.stop()
+  }
+
   test("vacuum never touches an in-flight (unpublished) version directory") {
     val base = JF.createTempDirectory("ms_vac").toString
     val t = spark.range(0, 30).select(col("id").as("k"), lit(0L).as("v"))

@@ -455,6 +455,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(normal === capped)
   }
 
+  test("srp sign-matrix replica matches the compiled kernel bucket-for-bucket") {
+    // the s_embed_neardup oracle restates SrpBucket over the literal
+    // sign matrix srpSign derives — this pins the two derivations to
+    // each other on real vectors, every table of the query's config
+    graft.functions.HashExpressions.registerSrp(spark, bits = 8, tables = 16)
+    val sample = emb.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        array((0 until 16).map(t =>
+          Similarity.srpBucket(col("embedding"), 8, t)): _*).as("kb"))
+      .collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val kernel = r.getSeq[Long](2)
+      (0 until 16).foreach { t =>
+        assert(Similarity.srpBucketRef(v, 8, t) === kernel(t),
+          s"vec ${r.getLong(0)} table $t")
+      }
+    }
+  }
+
   test("merge: upsert is correct and untouched buckets are not rewritten") {
     val dir = java.nio.file.Files.createTempDirectory("merge_spec").toString
     val t = spark.range(0, 1000)

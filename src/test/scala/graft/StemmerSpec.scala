@@ -51,6 +51,97 @@ class StemmerSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("; "))
   }
 
+  /** Confidence corpus: the official Snowball voc.txt/output.txt
+    * sample is unreachable offline, so this is a 130+-word vocabulary
+    * hand-derived pair-by-pair from the published algorithm text
+    * (regions, longest-match, every step and fixup branch, the
+    * gener-/commun- R1 exceptions) — an independent derivation the
+    * implementation must agree with on every word. */
+  val corpus: Seq[(String, String)] = Seq(
+    // remaining exceptional forms not in `goldens`
+    "howe" -> "howe", "cosmos" -> "cosmos", "andes" -> "andes",
+    "canning" -> "canning", "earring" -> "earring",
+    // step 0: apostrophes
+    "boy's" -> "boy", "boys'" -> "boy", "dogs'" -> "dog",
+    // step 1a
+    "ponies" -> "poni", "caress" -> "caress", "cats" -> "cat",
+    "this" -> "this", "abyss" -> "abyss", "virus" -> "virus",
+    "dies" -> "die", "series" -> "seri", "studies" -> "studi",
+    // step 1b + fixups (at/bl/iz +e, doubles, short-word +e)
+    "dripping" -> "drip", "docked" -> "dock", "breed" -> "breed",
+    "luxuriated" -> "luxuri", "hoped" -> "hope", "hoping" -> "hope",
+    "exciting" -> "excit", "obliged" -> "oblig", "owed" -> "owe",
+    "knitting" -> "knit", "running" -> "run", "runner" -> "runner",
+    "meetings" -> "meet", "arguing" -> "argu", "argued" -> "argu",
+    "doing" -> "do", "going" -> "go", "being" -> "be",
+    "having" -> "have", "making" -> "make", "writing" -> "write",
+    "engineering" -> "engin", "connected" -> "connect",
+    "connecting" -> "connect", "rolling" -> "roll",
+    // step 1c
+    "dried" -> "dri", "died" -> "die", "crying" -> "cri",
+    "saying" -> "say", "studying" -> "studi", "enjoy" -> "enjoy",
+    // step 2 (each mapping exercised; longest-match discipline)
+    "vietnamization" -> "vietnam", "predication" -> "predic",
+    "decisiveness" -> "decis", "hopefulness" -> "hope",
+    "callousness" -> "callous", "formality" -> "formal",
+    "sensibility" -> "sensibl", "sensitivity" -> "sensit",
+    "hesitancy" -> "hesit", "comfortably" -> "comfort",
+    "differently" -> "differ", "analogy" -> "analog",
+    "analogous" -> "analog", "radically" -> "radic",
+    "possibly" -> "possibl", "generously" -> "generous",
+    "fairly" -> "fair", "abilities" -> "abil", "ability" -> "abil",
+    "flexibility" -> "flexibl", "organization" -> "organ",
+    "visualization" -> "visual", "education" -> "educ",
+    "computation" -> "comput", "usefulness" -> "use",
+    "nationally" -> "nation", "beautifully" -> "beauti",
+    // longest-match means NO fallback: entli fails R1, li never tried
+    "fluently" -> "fluentli",
+    // step 3
+    "duplicate" -> "duplic", "formative" -> "format",
+    "authenticate" -> "authent", "sensational" -> "sensat",
+    "useful" -> "use", "beautiful" -> "beauti",
+    "musical" -> "music", "mechanical" -> "mechan",
+    "critical" -> "critic", "national" -> "nation",
+    "rational" -> "ration",
+    // step 4 (each suffix; R2 gating incl. famous non-removals)
+    "allowance" -> "allow", "inference" -> "infer",
+    "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+    "adjustable" -> "adjust", "defensible" -> "defens",
+    "irritant" -> "irrit", "dependent" -> "depend",
+    "adoption" -> "adopt", "homologous" -> "homolog",
+    "criticism" -> "critic", "criticize" -> "critic",
+    "apologize" -> "apolog", "activate" -> "activ",
+    "university" -> "univers", "universal" -> "univers",
+    "continuity" -> "continu", "elephants" -> "eleph",
+    "important" -> "import", "importance" -> "import",
+    "development" -> "develop", "management" -> "manag",
+    "government" -> "govern", "apartment" -> "apart",
+    "excitement" -> "excit", "animal" -> "anim",
+    "animals" -> "anim", "connection" -> "connect",
+    "connections" -> "connect", "computer" -> "comput",
+    "computers" -> "comput", "computing" -> "comput",
+    "mechanic" -> "mechan", "replacement" -> "replac",
+    "organism" -> "organ", "effective" -> "effect",
+    // longest-match: ement/ment fail R2 → word unchanged
+    "agreement" -> "agreement", "statement" -> "statement",
+    "argument" -> "argument", "better" -> "better",
+    "faster" -> "faster", "crucial" -> "crucial",
+    // gener-/commun- R1 exception (R2 still pushes past the suffix)
+    "generate" -> "generat", "generation" -> "generat",
+    "generous" -> "generous", "communism" -> "communism",
+    // step 5
+    "mistakes" -> "mistak", "argue" -> "argu",
+    "controlling" -> "control", "enrollment" -> "enrol")
+
+  test("Porter2 confidence corpus: full agreement with the spec-derived pairs") {
+    val failures = corpus.collect {
+      case (in, want) if Porter2.stem(in) != want =>
+        s"$in: got ${Porter2.stem(in)}, want $want"
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${corpus.size} disagree: " + failures.mkString("; "))
+  }
+
   test("analyzer pipeline: lowercase + fold + stem over a phrase") {
     import org.apache.spark.sql.functions._
     val spark = org.apache.spark.sql.SparkSession.builder()

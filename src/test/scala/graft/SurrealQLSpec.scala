@@ -255,6 +255,39 @@ class SurrealQLSpec extends AnyFunSuite {
     assert(out.returned.get.collect()(0).getLong(0) === 3L)
   }
 
+  test("extension: projection-position subselects, correlated via $parent") {
+    // correlated count: entities sharing this row's label (self incl.)
+    // — compiled to one grouped aggregate + left join, no collect
+    val out = SurrealQL.run(tables,
+      """select label, (select count() from Entity where label = $parent.label) AS same_label from Entity ORDER BY label;""")
+    val rows = out.returned.get
+    assert(rows.columns.toSeq === Seq("label", "same_label"))
+    assert(rows.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq ===
+      Seq("Banana Fish" -> 1L, "Black Clover" -> 1L,
+        "Black Clover, season 1" -> 1L))
+    // the plan is a join, not a collected loop
+    assert(rows.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("join"))
+    // correlated aggregate over a claims path + an uncorrelated
+    // broadcast total in the same projection list
+    val agg = SurrealQL.run(tables,
+      """select label, (select math::sum(claims.claims[where id = Property:1113][0].value.ClaimValueData.Quantity.amount) from Entity where label = $parent.label) AS eps, (select count() from Entity) AS total from Entity ORDER BY label;""")
+    val got = agg.returned.get.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got === Array(("Banana Fish", 24.0, 3L),
+      ("Black Clover", 170.0, 3L), ("Black Clover, season 1", 51.0, 3L)))
+    // unmatched outer rows: count coalesces to 0 (SurrealQL's count
+    // of an empty result), via a filter no inner row satisfies
+    val zero = SurrealQL.run(tables,
+      """select label, (select count() from Entity where label = $parent.label AND label = "no such") AS n from Entity;""")
+    assert(zero.returned.get.collect().forall(_.getLong(1) === 0L))
+    // ordinary parenthesized-path projections still parse (the Media
+    // view shape must not be shadowed by the subselect form)
+    val media = SurrealQL.run(tables,
+      """select label, (claims.claims[WHERE id = Property:1113].value.ClaimValueData.Quantity.amount)[0] AS episodes from Entity where label = "Banana Fish";""")
+    assert(media.returned.get.collect()(0).getDouble(1) === 24.0)
+  }
+
   test("FROM Property verbatim: integration.rs:78-84's literal query (2 fixture properties)") {
     // ETL the reference's Property.json fixture alongside Entity.json,
     // then run the reference's own assertion query as a string
