@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `runMain` is its OWN task scope — `run / fork` does NOT apply to it,
+// so every `sbt runMain graft.Bench/Verify` ran Spark INSIDE sbt's
+// 4 GiB launcher JVM (javaOptions/-Xmx silently ignored). At sf1 data
+// sizes that heap GC-thrashes into near-idle 45-60 s stalls; forking
+// gives the driver the heap configured below.
+Compile / runMain / fork := true
 // The bench driver parses the LAST stdout line as JSON; sbt's
 // "[success] Total time: ..." epilogue after runMain broke that parse
 // two rounds running. Suppress it globally, and pipe the forked run's
@@ -18,6 +24,7 @@ run / fork := true
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -33,5 +40,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] shuffles need headroom (the host has
+  // 125 GiB); override with SPARK_DRIVER_MEM
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
