@@ -27,7 +27,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "minhash_signature", "simhash64", "cosine_similarity",
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
-      "snowball_stem", "top_k_by_score", "bloom_might_contain_long"))
+      "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
+      "bloom_longs_agg"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
