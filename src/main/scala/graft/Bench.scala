@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
@@ -7,12 +10,69 @@ import org.apache.spark.sql.SparkSession
   * total wall seconds. Each query is forced with .count() (full plan
   * execution, no result materialization on the driver).
   *
+  * Stall-resilience (BENCH_r05 was rc=124/parsed:null — one rep stalled
+  * in a host contention window and blew the driver's whole timeout):
+  *  - every timed run executes in its own Spark job group with a
+  *    watchdog thread that cancelJobGroup()s it at a wall-clock cap;
+  *    a capped run records the cap as its time instead of hanging
+  *  - bench_out.json is re-written ATOMICALLY after the ETL marker and
+  *    after EVERY query, so even a killed process leaves numbers plus
+  *    the host-speed calibration context needed to read them
+  *  - the ETL calibration marker is measured and flushed FIRST
+  *  - rep 2 is skipped when rep 1 ran slow (stall window — a second
+  *    rep only doubles exposure) or once the sweep is over budget
+  *
   * The JSON line is (a) written to `bench_out.json` in the working
   * directory and (b) printed AFTER `spark.stop()` as the genuinely
   * last stdout line, so no sbt/log epilogue can trail it and break
   * the driver's line parser.
   */
 object Bench {
+  /** per-run wall cap — ~20x the slowest clean per-query best */
+  private val QueryCapSec = 60
+  /** once sweep elapsed passes this, run single-rep */
+  private val SingleRepAfterSec = 240.0
+  /** once sweep elapsed passes this, tighten the per-run cap (late
+    * deep-stall runaway protection; clean queries finish well under) */
+  private val LateBudgetSec = 600.0
+  private val LateCapSec = 15
+  /** rep 1 slower than this → skip rep 2 */
+  private val SkipRep2OverSec = 5.0
+
+  /** Run `body` under a dedicated job group; a daemon watchdog cancels
+    * the group's jobs at `capSec`. Returns elapsed seconds, `capSec`
+    * when the watchdog fired, -1 on genuine (pre-cap) failure. */
+  private def runCapped(spark: SparkSession, tag: String, capSec: Int)
+                       (body: => Unit): Double = {
+    val sc = spark.sparkContext
+    val group = s"bench-$tag-${System.nanoTime()}"
+    val done = new AtomicBoolean(false)
+    val fired = new AtomicBoolean(false)
+    sc.setJobGroup(group, tag, interruptOnCancel = true)
+    val watchdog = new Thread(() => {
+      val deadline = System.nanoTime() + capSec * 1000000000L
+      while (!done.get() && System.nanoTime() < deadline) Thread.sleep(100)
+      if (!done.get()) { fired.set(true); sc.cancelJobGroup(group) }
+    }, s"bench-watchdog-$tag")
+    watchdog.setDaemon(true)
+    watchdog.start()
+    val t0 = System.nanoTime()
+    try { body; (System.nanoTime() - t0) / 1e9 }
+    catch {
+      case _: Throwable => if (fired.get()) capSec.toDouble else -1.0
+    } finally { done.set(true); sc.clearJobGroup() }
+  }
+
+  /** 4-decimal (0.1 ms) formatting keeps the 100+-query JSON line
+    * ~2 KB so the driver's bounded tail capture parses it whole —
+    * BENCH_r04's full-precision doubles front-truncated the line.
+    * ONLY the exact -1.0 failure sentinel renders as -1; non-finite
+    * values (which would make BigDecimal throw mid-write) also
+    * degrade to -1 rather than aborting the bench artifact. */
+  private def fmt(v: Double): String =
+    if (v == -1.0 || v.isNaN || v.isInfinite) "-1"
+    else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,75 +85,113 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // optional subset (comma-separated names) — the sf1 scale
+    // rehearsal runs only the slowest queries; absent → full sweep
+    // (the driver contract). The subset is recorded IN the artifact
+    // ("subset":[...]) so a partial sweep can never be mistaken for
+    // the contract total (a stale env var used to be invisible).
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var etlEps = -1.0
+    var complete = false
+
+    // atomic re-publish of the artifact after every measurement: a
+    // killed/timed-out process still leaves a parseable file
+    def buildJson(): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.valuesIterator.filter(_ >= 0).sum
+      val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      val failedField =
+        if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
+      val subsetField = subset match {
+        case Some(s) =>
+          s.toSeq.sorted.map("\"" + _ + "\"")
+            .mkString(""","subset":[""", ",", "]")
+        case None => ""
+      }
+      val partialField = if (complete) "" else ""","partial":true"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568$subsetField$failedField$partialField}"""
+    }
+    def flush(): Unit = {
+      val tmp = Paths.get("bench_out.json.tmp")
+      Files.write(tmp,
+        (buildJson() + "\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get("bench_out.json"),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    flush() // artifact exists from t=0
+
     // JVM/codegen warm-up outside the timed region (otherwise the
     // alphabetically-first query pays all JIT + first-scan cost)
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("b1_scan")
-      .foreach(fn => fn(spark, sfDir).count())
+    runCapped(spark, "warmup", QueryCapSec) {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("b1_scan").foreach(fn => fn(spark, sfDir).count())
+    }
+
     // ETL throughput vs BASELINE.md's headline 568 entities/s (the
-    // reference's only published number): 50k-entity synthetic dump
-    // through the full load pipeline. Measured BEFORE the query sweep
-    // — a session that has run 70 queries carries cached relations,
-    // broadcast blocks and GC residue that understated this 4×
-    // (BENCH_r01: 2.7k in-bench vs 11.6-18.9k standalone).
-    // 150k entities: large enough that per-job fixed overhead (~1 s of
-    // scheduling + commit) stops dominating the entities/s figure
+    // reference's only published number): 150k-entity synthetic dump
+    // through the full load pipeline. Measured and FLUSHED before the
+    // query sweep — (a) a session that has run 100 queries carries
+    // cached relations and GC residue that understated this 4x, and
+    // (b) a sweep the driver later kills still records the host-speed
+    // calibration marker needed to interpret its partial numbers.
     // best-of-2: the recorded number must survive host contention
     // (round-2's driver run hit a 5-28x noise window on identical
-    // code) — throughput takes the max over however many of the two
-    // runs succeeded (a transient failure must not erase a good one)
-    def etlOnce(): Double =
-      try graft.tools.EtlBench.timedLoad(spark, 150000,
-        "/tmp/graft_bench_dump.json", "/tmp/graft_bench_etl")
-      catch { case _: Throwable => -1.0 }
+    // code) — throughput takes the max over however many runs succeed.
+    def etlOnce(): Double = {
+      var eps = -1.0
+      val r = runCapped(spark, "etl", 3 * QueryCapSec) {
+        eps = graft.tools.EtlBench.timedLoad(spark, 150000,
+          "/tmp/graft_bench_dump.json", "/tmp/graft_bench_etl")
+      }
+      if (r < 0 || eps < 0) -1.0 else eps
+    }
     // subset runs (scale rehearsals) skip the ETL benchmark
-    val etlEps =
-      if (sys.env.contains("SPARK_GRAFT_QUERIES")) -1.0
-      else math.max(etlOnce(), etlOnce())
+    if (subset.isEmpty) {
+      etlEps = etlOnce()
+      flush()
+      val second = etlOnce()
+      etlEps = math.max(etlEps, second)
+      flush()
+    }
     // maxPartitionBytes was shrunk for the small ETL file; restore the
     // default so parquet query scans split normally
     spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+
     // per-query best-of-2: a contention spike during either run cannot
-    // inflate the recorded time (round 2's driver record showed a
-    // contiguous 5-28x slow window on identical code/data — host
-    // noise, but the driver's record is the contract).
-    // Semantics note, recorded in the output ("timing":"best_of_2"):
+    // inflate the recorded time. Semantics note ("timing":"best_of_2"):
     // these are BEST-case times — run 2 rides run 1's page cache — and
     // side-effecting registry queries (index builds, versioned merges)
     // execute twice per sweep. Every such query builds its state under
     // a fresh createTempDirectory/Overwrite per invocation, so
     // back-to-back runs are idempotent by construction; versions
     // published by run 1 are unreachable garbage, not input to run 2.
-    // optional subset (comma-separated names) — the sf1 scale
-    // rehearsal runs only the slowest queries; absent → full sweep
-    // (the driver contract)
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweepStart = System.nanoTime()
+    def sweepElapsed(): Double = (System.nanoTime() - sweepStart) / 1e9
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // a failed query reports -1, not a fast-looking elapsed time
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+      .foreach { case (name, fn) =>
+        val cap = if (sweepElapsed() > LateBudgetSec) LateCapSec
+                  else QueryCapSec
+        val r1 = runCapped(spark, name, cap) { fn(spark, sfDir).count() }
+        val best =
+          if (r1 >= 0 && r1 <= SkipRep2OverSec &&
+              sweepElapsed() <= SingleRepAfterSec) {
+            val r2 = runCapped(spark, name, cap) { fn(spark, sfDir).count() }
+            if (r2 >= 0) math.min(r1, r2) else r1
+          } else r1
+        results(name) = best
+        flush()
       }
-      // min over successful runs; -1 only when BOTH runs failed
-      val times = Seq(once(), once()).filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else times.min)
-    }
-    // 4-decimal (0.1 ms) formatting keeps the 100+-query JSON line
-    // ~2 KB so the driver's bounded tail capture parses it whole —
-    // BENCH_r04's full-precision doubles front-truncated the line
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    complete = true
+    flush()
+    val json = buildJson()
     println(json)
     spark.stop()
     // the driver parses the LAST stdout line: re-print after stop()

@@ -76,10 +76,13 @@ object TextFunctions {
         col("doc_id"),
         ascii_fold(lower(col("text"))).as("norm"))
     }),
-    // full analyzer incl. stemming — no DuckDB oracle in this env
-    // (stem() needs the fts extension); pinned by StemmerSpec goldens.
-    // Rows-only gate: the token array is rendered as CSV because the
-    // driver's pandas harness can't hash ndarray cells
+    // full analyzer incl. stemming — oracled by MECHANISM RESTATEMENT
+    // (see analyzeOracleSql): DuckDB has no stemmer offline, but the
+    // corpus vocabulary is bounded and Porter2 deterministic, so the
+    // oracle restates tokenize+lower+fold in SQL and joins a literal
+    // (folded token → stem) map derived at oracle-build time from the
+    // SAME committed Porter2. The token array is rendered as CSV
+    // because the driver's pandas harness can't hash ndarray cells
     "t_analyze" -> ((s, dir) => {
       register(s)
       Tables.load(s, dir, "documents").select(
@@ -87,7 +90,55 @@ object TextFunctions {
         array_join(analyzeBlankEnglish(col("text")), ",").as("tokens"))
     }))
 
+  /** The driver corpus's folded-token vocabulary: union over the
+    * sf0.001/sf0.01/sf0.1 `documents` tables of
+    * `strip_accents(lower(tok))` for every blank-split token —
+    * measured at 31 stable words (the synthetic generator draws from
+    * a fixed word list). The sf1 scale replica (tools/ScaleUp)
+    * suffixes every token of replica k>0 with the char 'a'+(k-1), so
+    * those variants are enumerated too (replicas 1-9) — the map stays
+    * a few hundred literal pairs. A token outside the map degrades to
+    * a loud `<unmapped:...>` sentinel in the oracle — a visible hash
+    * mismatch, never a silent pass. */
+  private val baseVocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+  private val corpusVocab: Seq[String] =
+    baseVocab ++ (for { k <- 1 to 9; w <- baseVocab }
+      yield w + ('a' + k - 1).toChar)
+
+  /** DuckDB restatement of the full blank_english analyzer
+    * (`Useful queries.md:27-28`): blank tokenize + lowercase + accent
+    * fold in portable SQL, and the snowball(english) step as a LITERAL
+    * (folded token → stem) join whose stems are computed HERE, at
+    * oracle-build time, by the committed [[Porter2]] — the same
+    * mechanism-restatement shape that oracled `s_embed_neardup`
+    * (literal SRP sign matrix). Token order is preserved via zipped
+    * unnest ordinality; the CSV join mirrors the Spark side's
+    * array_join exactly. */
+  private def analyzeOracleSql: String = {
+    val pairs = corpusVocab
+      .map(w => s"('${w.replace("'", "''")}','${Porter2.stem(w).replace("'", "''")}')")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+       |         unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1)) AS ord
+       |  FROM documents
+       |), stems(tok, stem) AS (VALUES $pairs)
+       |SELECT t.doc_id,
+       |       string_agg(coalesce(s.stem,
+       |         '<unmapped:' || strip_accents(lower(t.tok)) || '>'),
+       |         ',' ORDER BY t.ord) AS tokens
+       |FROM toks t
+       |LEFT JOIN stems s ON strip_accents(lower(t.tok)) = s.tok
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t_normalize" ->
-      "SELECT doc_id, strip_accents(lower(text)) AS norm FROM documents")
+      "SELECT doc_id, strip_accents(lower(text)) AS norm FROM documents",
+    "t_analyze" -> analyzeOracleSql)
 }

@@ -88,17 +88,29 @@ object Dedup {
     * (Results are consumed promptly by every in-repo call site; a
     * caller holding a returned plan across a LATER same-site call on
     * the same thread must collect it first.) */
+  /** Edge-count threshold below which [[connectedComponents]] runs its
+    * propagation loop single-partition with AQE off (pure-scheduling
+    * regime — see the plan-mode comment in the method). 1M edges ≈
+    * ~16 MB of (long,long) pairs: comfortably one task's work. */
+  private val SmallCcEdges = 1000000L
+
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastSnapshot =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def materialize(df: DataFrame, site: String): DataFrame = {
+  private def materialize(df: DataFrame, site: String): DataFrame =
+    materializeDir(df, site)._1
+
+  /** [[materialize]] that also returns the snapshot directory, for
+    * call sites that re-read the snapshot through a DIFFERENT session
+    * (the connected-components small-graph plan mode below). */
+  private def materializeDir(df: DataFrame, site: String): (DataFrame, String) = {
     val key = s"${site}_t${Thread.currentThread().getId}"
     val dir =
       s"${snapshotRoot(df.sparkSession)}/${key}_c${snapshotSeq.incrementAndGet()}"
     df.write.mode(SaveMode.Overwrite).parquet(dir)
     Option(lastSnapshot.put(key, dir))
       .foreach(graft.sources.Dfs.default.delete)
-    df.sparkSession.read.schema(df.schema).parquet(dir)
+    (df.sparkSession.read.schema(df.schema).parquet(dir), dir)
   }
 
   /** Canonical text normalization for near-exact dedup. */
@@ -564,15 +576,43 @@ object Dedup {
     * instead of growing per iteration, the classic failure of
     * iterative DataFrame loops. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val caller = edges.sparkSession
     val a = col("a"); val b = col("b")
     // the symmetric edge set feeds every round — snapshot it once
-    // instead of re-running the union+distinct per iteration
-    val sym = materialize(
+    // instead of re-running the union+distinct per iteration; its size
+    // is observed ON the write (zero extra jobs) to pick the plan mode
+    val symObs = org.apache.spark.sql.Observation()
+    val (symSnap, symDir) = materializeDir(
       edges.toDF("a", "b")
         .union(edges.toDF("b", "a").select(col("a"), col("b")))
-        .distinct(),
+        .distinct()
+        .observe(symObs, coalesce(count(lit(1)), lit(0L)).as("n")),
       "cc_edges")
-    var labels = materialize(
+    val edgeCount = symObs.get("n").asInstanceOf[Long]
+    // Small-graph plan mode: after exact rerank the surviving edge set
+    // is usually TINY relative to the corpus (256 rows at sf0.1), and
+    // the loop's cost is pure scheduling — with AQE on, every exchange
+    // becomes its own query-stage job, and every broadcast build is
+    // another (CcProbe r5: ~18 jobs ≈ 6 s for 256 edges). Below the
+    // threshold the WHOLE loop runs in a cloned session (same
+    // SparkContext, isolated SQLConf — the withSQLConf move, scoped so
+    // Verify's concurrent queries never see the flipped conf) with AQE
+    // off, ONE shuffle partition and broadcasts disabled: each
+    // 2-round iteration collapses into a single write job whose
+    // identical 1-partition exchanges the non-AQE ReuseExchange rule
+    // dedupes. Above it, the caller's full-width AQE plan is the right
+    // one — the threshold only picks physical strategy, never results.
+    val small = edgeCount <= SmallCcEdges
+    val sess = if (!small) caller else {
+      val s2 = caller.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.shuffle.partitions", "1")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2
+    }
+    val sym =
+      if (small) sess.read.schema(symSnap.schema).parquet(symDir) else symSnap
+    var (labels, labelsDir) = materializeDir(
       sym.select(a.as("node")).distinct()
         .select(col("node"), col("node").as("label")),
       "cc_labels_0")
@@ -614,13 +654,14 @@ object Dedup {
       val once = round(labels)
       val twice = round(once.select(col("node"), col("label")))
       val obs = org.apache.spark.sql.Observation()
-      val next = materialize(
+      val (next, nextDir) = materializeDir(
         twice.observe(obs,
           coalesce(sum(when(col("label") =!= col("prev"), 1L)
             .otherwise(0L)), lit(0L)).as("changed")), // coalesce: empty graph sums to null
         s"cc_labels_${(i + 1) % 2}") // alternate: never overwrite the dir being read
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("node"), col("label"))
+      labelsDir = nextDir
       i += 1
     }
     // exiting via the cap would silently publish UNCONVERGED (wrong)
@@ -630,7 +671,18 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations " +
         s"(2 pointer-jumped rounds each; cluster diameter is pathological); raise maxIter")
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    // hand the final snapshot back through the CALLER's session so the
+    // result composes with caller-session plans (the loop may have run
+    // in the small-graph clone); re-reading the already-written dir
+    // costs zero jobs (schema pinned)
+    val out =
+      if (small)
+        caller.read.schema(
+          org.apache.spark.sql.types.StructType(labels.schema.fields
+            :+ org.apache.spark.sql.types.StructField("prev",
+              labels.schema("label").dataType))).parquet(labelsDir)
+      else labels
+    out.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
   /** Oracle-checkable cluster resolution over the exact-verified

@@ -489,8 +489,11 @@ object Similarity {
       (0 until bits).map(h =>
         s"(CASE WHEN ${proj(t * bits + h)} > 0 THEN ${1L << h} ELSE 0 END)")
         .mkString(" + ")
+    // guard: the sign matrix is emitted for exactly `dim` dims — on a
+    // dim-mismatched embeddings table, list indexing past the literal
+    // would yield NULL→0 and silently mis-bucket; fail LOUDLY instead
     val bk = (0 until tables).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM embeddings")
+      s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM (SELECT vec_id, CASE WHEN len(embedding) = $dim THEN embedding ELSE error('embedding dim must be $dim') END AS embedding FROM embeddings)")
       .mkString(" UNION ALL ")
     val dotAB =
       "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))), (acc, x) -> acc + x)"
