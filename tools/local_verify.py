@@ -44,8 +44,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata tables are single parquet FILES; tool-built
+        # replicas (tools/ScaleUp) are Spark parquet DIRECTORIES
+        path = Path(sf_dir, f"{t}.parquet")
+        pattern = f"{path}/*.parquet" if path.is_dir() else str(path)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
     results = {}
