@@ -41,7 +41,14 @@ object Bench {
 
   /** Run `body` under a dedicated job group; a daemon watchdog cancels
     * the group's jobs at `capSec`. Returns elapsed seconds, `capSec`
-    * when the watchdog fired, -1 on genuine (pre-cap) failure. */
+    * when the watchdog fired, -1 on genuine (pre-cap) failure.
+    *
+    * The cancel REPEATS every 200 ms until the body exits:
+    * cancelJobGroup is a one-shot cancel of the jobs running at that
+    * instant, so a query shaped as MANY short jobs (the CC loop) can
+    * slip through a single cancel fired between two of them and run
+    * arbitrarily far past the cap (observed: 84.8 s past a 60 s cap
+    * in a stall window). */
   private def runCapped(spark: SparkSession, tag: String, capSec: Int)
                        (body: => Unit): Double = {
     val sc = spark.sparkContext
@@ -52,7 +59,9 @@ object Bench {
     val watchdog = new Thread(() => {
       val deadline = System.nanoTime() + capSec * 1000000000L
       while (!done.get() && System.nanoTime() < deadline) Thread.sleep(100)
-      if (!done.get()) { fired.set(true); sc.cancelJobGroup(group) }
+      while (!done.get()) {
+        fired.set(true); sc.cancelJobGroup(group); Thread.sleep(200)
+      }
     }, s"bench-watchdog-$tag")
     watchdog.setDaemon(true)
     watchdog.start()
