@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -32,40 +34,107 @@ object Tables {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  def invalidate(): Unit = cache.clear()
+  /** Keys whose cached plan reads parquet TIMESTAMP(NANOS) via the
+    * legacy nanos-as-long mode. That conf is read again at EXECUTION
+    * time, so it must be re-established whenever such a plan is handed
+    * out — but ONLY then: a conf write per lookup is a global session
+    * side effect that other plans don't want. */
+  private val nanosKeys = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(SparkSession, String, String)]()
+
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def invalidate(): Unit = { cache.clear(); nanosKeys.clear() }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // the cached events plan needs this conf at EXECUTION time too —
-      // re-establish on every load, not only on cache miss
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
     val key = (spark, dir, name)
     // get-then-putIfAbsent: listing/footer I/O must not run under the
     // map's bin lock (computeIfAbsent would stall same-bin loads)
     val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      if (cache.size > 256) cache.clear()
-      val fresh = loadFresh(spark, dir, name)
+    if (hit != null) {
+      if (nanosKeys.contains(key)) spark.conf.set(NanosConf, "true")
+      hit
+    } else {
+      if (cache.size > 256) { cache.clear(); nanosKeys.clear() }
+      val fresh = loadFresh(spark, dir, name, key)
       val prev = cache.putIfAbsent(key, fresh)
       if (prev != null) prev else fresh
     }
   }
 
-  private def loadFresh(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read it as raw nanos (legacy long mode) and
-      // convert with exact integer division (`DIV`, not `/` — the
-      // double path loses sub-µs precision at 2^60 magnitudes).
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations and plain TIMESTAMP(µs) in others. Adapt to whatever
+    * the footer says instead of assuming one:
+    *  - NANOS: schema inference itself rejects the type, so retry under
+    *    the legacy nanos-as-long mode and convert with exact integer
+    *    division (`DIV`, not `/` — the double path loses sub-µs
+    *    precision at 2^60 magnitudes), remembering the key so the conf
+    *    is re-established at execution time.
+    *  - µs without the UTC flag arrives as TIMESTAMP_NTZ: cast to the
+    *    session-zone TIMESTAMP (session is pinned UTC everywhere) so
+    *    downstream temporal queries and the DuckDB oracle see the same
+    *    instant semantics either way.
+    *  - already TIMESTAMP: pass through. */
+  private def loadFresh(spark: SparkSession, dir: String, name: String,
+                        key: (SparkSession, String, String)): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name != "events") spark.read.parquet(path)
+    else fixEventsTs(rawEvents(spark, path, Some(key)))
+  }
 
-  /** Register every table as a temp view (for the SQL surface). */
+  /** Batch-read events, retrying under the legacy nanos-as-long mode
+    * when the footer carries TIMESTAMP(NANOS) (schema inference itself
+    * rejects that type). `key` (batch cache key) is remembered so
+    * cache hits re-establish the conf at execution time. */
+  private def rawEvents(spark: SparkSession, path: String,
+                        key: Option[(SparkSession, String, String)]): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: Exception
+          if e.getMessage != null &&
+            e.getMessage.contains("TIMESTAMP(NANOS") =>
+        spark.conf.set(NanosConf, "true")
+        key.foreach(nanosKeys.add)
+        spark.read.parquet(path)
+    }
+
+  /** The per-shape ts normalization (see [[loadFresh]]'s scaladoc). */
+  private def fixEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+
+  /** Streaming twin of `load(_, _, "events")`: a file-source stream
+    * over the same parquet with the same schema-adaptive ts fix —
+    * `readStream` needs an explicit schema, so it is inferred through
+    * the batch reader (footer-only I/O) first. In the nanos case the
+    * conf set by [[rawEvents]] must survive until microbatches execute;
+    * callers run the query within the same session ([[graft.streaming.EventsStream.runOnce]]). */
+  def streamEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawEvents(spark, s"$dir/events.parquet", None)
+    fixEventsTs(
+      spark.readStream.schema(raw.schema)
+        // file-source streaming wants a directory; glob-filter to events
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** Register every table as a temp view (for the SQL surface). One
+    * broken source must not take down queries over the other nine
+    * tables (a round-7 events regression failed unrelated SQL-surface
+    * queries through this eager loop) — defer per-table failures to
+    * the queries that actually read the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      try load(spark, dir, n).createOrReplaceTempView(n)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft.Tables.registerAll: skipping '$n' ($dir): ${e.getMessage}")
+      }
+    }
 }

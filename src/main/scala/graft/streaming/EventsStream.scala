@@ -119,15 +119,9 @@ object EventsStream {
     * (memory sink) — the local smoke path; swap `readStream` source +
     * `writeStream` sink for kafka/delta in deployment. */
   def runOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) — same legacy-long read +
-    // exact ns→µs conversion as the batch loader (Tables.load)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-source streaming wants a directory; glob-filter to events
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // schema-adaptive events read (nanos vs micros testdata
+    // generations) — shared with the batch loader via Tables
+    val stream = graft.sources.Tables.streamEvents(spark, dir)
     val q = windowedRollup(stream).writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)

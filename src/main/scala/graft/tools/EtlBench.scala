@@ -69,8 +69,12 @@ object EtlBench {
     Load.run(spark, "/tmp/etl_warmup.json", "/tmp/etl_warmup_out")
       .entities.count()
     val t0 = System.nanoTime()
-    val t = Load.run(spark, dump, outDir,
-      format = if (dump.endsWith(".bz2")) "bz2" else "json")
+    // A17: the reference's progress bar equivalent — live task-metric
+    // reporting while the timed load runs (listener overhead is noise)
+    val t = graft.ingest.EtlProgress.withProgress(spark, Some(n.toLong)) {
+      _ => Load.run(spark, dump, outDir,
+        format = if (dump.endsWith(".bz2")) "bz2" else "json")
+    }
     val entities = t.entities.count()
     entities / ((System.nanoTime() - t0) / 1e9)
   }

@@ -38,10 +38,12 @@ object ScaleUp {
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long
-      // and write it back as plain INT64 nanos — Tables.load's
-      // `ts DIV 1000` conversion then works on the scaled dir exactly
-      // as on the source dir
+      // when events.ts is parquet TIMESTAMP(NANOS) (older testdata
+      // generations): read it as a raw long and write it back as plain
+      // INT64 nanos — Tables.load's schema-adaptive read (LongType →
+      // `ts DIV 1000`) then works on the scaled dir exactly as on the
+      // source dir. µs-generation data ignores this flag entirely and
+      // round-trips as TIMESTAMP.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -34,8 +34,13 @@ object WikiDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val t = Load.run(spark, path, outDir, format = format, lang = lang,
-      mode = mode)
+    // A17: live progress (records/bytes/rate) from real task metrics
+    // while the dump loads — the reference's ProgressBar, minus the
+    // hardcoded 112.5M total (init_progress_bar.rs:4)
+    val t = graft.ingest.EtlProgress.withProgress(spark) { _ =>
+      Load.run(spark, path, outDir, format = format, lang = lang,
+        mode = mode)
+    }
     println(s"entities=${t.entities.count()} claims_rows=${t.claims.count()}")
 
     val media = Ops.mediaView(t)

@@ -61,6 +61,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(banded === brute) // pigeonhole: banding is complete for <=3
   }
 
+  test("production simhash banding (d_simhash_prod): complete AND sound vs brute force") {
+    // pins the rows-only registry entry: 4×16-bit banding at
+    // Hamming <= 3 over SHINGLE-feature signatures returns EXACTLY
+    // the brute-force pair set (no oracle can check this in SQL —
+    // the truth set is signature-defined)
+    val sigs = docs.select(col("doc_id"),
+        Dedup.simhashShingled(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(brute.nonEmpty, "vacuous corpus: no hamming<=3 pairs")
+    val prod = graft.SparkEntry.queries("d_simhash_prod")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(prod === brute)
+  }
+
   test("simhash near-dup pairs have high token-frequency cosine (the metric simhash approximates)") {
     val pairs = Dedup.simhashPairs(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -411,11 +429,7 @@ class OperatorsSpec extends AnyFunSuite {
     // stream-stream join (file source, two watermarked branches) must
     // emit exactly the batch result — all data in one micro-batch, so
     // no late-drop divergence
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.streamEvents(spark, sf)
     val q = EventsStream.clickAttribution(stream).writeStream
       .outputMode("append").format("memory").queryName("ops_stream_join")
       .start()
@@ -662,11 +676,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("streaming dedup: bounded-state dropDuplicatesWithinWatermark") {
     val events = Tables.load(spark, sf, "events")
-    val schema = events.schema
-    val stream = spark.readStream.schema(
-        spark.read.parquet(s"$sf/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = Tables.streamEvents(spark, sf)
     val q = EventsStream.dedupStream(stream).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream").start()
     q.processAllAvailable(); q.stop()
