@@ -203,8 +203,13 @@ object Bench {
     val json = buildJson()
     println(json)
     spark.stop()
-    // the driver parses the LAST stdout line: re-print after stop()
-    // so Spark's shutdown logging cannot trail it
+    // the driver parses the LAST output line. Plain stdout already ends
+    // with the re-print below, but a combined stdout+stderr capture
+    // would see Spark's JVM-shutdown-hook logging (ShutdownHookManager
+    // "Deleting directory ..." at INFO, emitted AFTER main returns)
+    // trail it — silence all logging for the remainder of the JVM.
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
     println(json)
   }
 }
