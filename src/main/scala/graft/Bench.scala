@@ -125,6 +125,37 @@ object Bench {
       val partialField = if (complete) "" else ""","partial":true"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568$subsetField$failedField$partialField}"""
     }
+
+    /** The round driver records only the LAST ~2000 chars of output and
+      * parses the last line as JSON; the full artifact line overflows
+      * that window once the registry passed ~90 queries (r7: 2379 chars
+      * → truncated mid-line → parsed:null despite rc 0). This builds a
+      * line guaranteed to fit: same envelope, queries trimmed
+      * slowest-first to `maxLen`, elision count marked. The FULL map
+      * is always in bench_out.json and in the full line printed just
+      * before it. */
+    def buildCompactJson(maxLen: Int): String = {
+      def envelope(qs: String, elided: Int): String = {
+        val total = results.valuesIterator.filter(_ >= 0).sum
+        val nFailed = results.valuesIterator.count(_ < 0)
+        val elidedField =
+          if (elided == 0) "" else s""","queries_elided":$elided"""
+        val failedField =
+          if (nFailed == 0) "" else s""","failed_count":$nFailed"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568$elidedField$failedField}"""
+      }
+      val slowestFirst = results.toSeq.sortBy { case (_, v) => -v }
+      val kept = scala.collection.mutable.ListBuffer[String]()
+      var used = envelope("{}", results.size).length
+      var elided = results.size
+      for ((k, v) <- slowestFirst) {
+        val entry = "\"" + k + "\":" + fmt(v)
+        if (used + entry.length + 1 <= maxLen) {
+          kept += entry; used += entry.length + 1; elided -= 1
+        }
+      }
+      envelope(kept.mkString("{", ",", "}"), elided)
+    }
     def flush(): Unit = {
       val tmp = Paths.get("bench_out.json.tmp")
       Files.write(tmp,
@@ -210,6 +241,9 @@ object Bench {
     // trail it — silence all logging for the remainder of the JVM.
     org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
-    println(json)
+    // last line must survive the driver's 2000-char tail window intact:
+    // full line if it fits, otherwise the slowest-first compact form
+    // (the full line is one line up, and in bench_out.json)
+    println(if (json.length <= 1500) json else buildCompactJson(1500))
   }
 }
