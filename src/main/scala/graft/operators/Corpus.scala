@@ -143,6 +143,53 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Concatenate-and-chunk sequence packing — the layout step that
+    * turns a cleaned corpus into fixed-`budget`-token training
+    * sequences: documents are laid out in deterministic hash order
+    * (md5 of `key`: uniform AND engine-independent, so the layout is
+    * bit-stable across runs, partitionings and engines), virtually
+    * concatenated, and cut every `budget` tokens. Each document gets
+    * its global token offset and the first/last sequence ids its span
+    * touches (a document crossing a cut belongs to both — the
+    * standard "pack then chunk" recipe).
+    *
+    * The global offset is a DISTRIBUTED prefix sum, never one
+    * unbounded window (that would drag the whole corpus through a
+    * single task): rows bucket by the first `bucketChars` hex chars
+    * of the hash — a PREFIX of the sort key, so bucket ranges tile
+    * the total order — per-bucket token totals (≤ 16^bucketChars
+    * rows) collect to the driver for exclusive bucket offsets, and
+    * the within-bucket cumsum runs as 16^bucketChars independent
+    * windows. At 100 TB raise `bucketChars` (4 → 65k buckets): the
+    * collect stays model-sized and window partitions stay
+    * executor-sized. */
+  def packSequences(df: DataFrame, key: Column, nTokens: Column,
+                    budget: Long, bucketChars: Int = 2): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val withK = df
+      .withColumn("_k", md5(key.cast("string")))
+      .withColumn("_b", substring(col("_k"), 1, bucketChars))
+      .withColumn("n_tokens", nTokens.cast("long"))
+    // driver-held model: one (bucket → exclusive token offset) entry
+    // per occupied bucket, bounded by 16^bucketChars
+    val totals = withK.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bucketOffset: Map[String, Long] = totals.map { case (b, t) =>
+      val entry = b -> acc; acc += t; entry
+    }.toMap
+    val wb = Window.partitionBy(col("_b")).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withK
+      .withColumn("tok_offset",
+        element_at(typedLit(bucketOffset), col("_b")) +
+          coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_offset DIV ${budget}L"))
+      .withColumn("seq_last",
+        expr(s"(tok_offset + n_tokens - 1) DIV ${budget}L"))
+      .drop("_k", "_b")
+  }
+
   // ------------------------------------------------------- queries //
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -174,7 +221,12 @@ object Corpus {
           col("est_tokens"), budget = 500L)
         .select(col("doc_id"), col("source"), col("est_tokens"),
           col("cum_tokens"))
-    }))
+    }),
+    "c_pack_sequences" -> ((s, dir) =>
+      packSequences(docs(s, dir), col("doc_id"),
+          size(tokens(col("text"))), budget = 1024L)
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          col("seq_first"), col("seq_last"))))
 
   private val piiText =
     "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
@@ -222,5 +274,21 @@ object Corpus {
         |          CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens,
         |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
         |        FROM documents))
-        |WHERE cum_tokens <= 500""".stripMargin)
+        |WHERE cum_tokens <= 500""".stripMargin,
+    // the oracle restates the SAME md5 total order as ONE unbounded
+    // window (fine at oracle scale); hash equality proves the
+    // bucketed two-level prefix sum computes the identical global
+    // layout — the distributed scan is exact, not approximate
+    "c_pack_sequences" ->
+      """SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(tok_offset // 1024 AS BIGINT) AS seq_first,
+        |  CAST((tok_offset + n_tokens - 1) // 1024 AS BIGINT) AS seq_last
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |          md5(CAST(doc_id AS VARCHAR)) AS k
+        |        FROM documents))""".stripMargin)
 }

@@ -180,4 +180,33 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("b", "doc_id").collect().map(_.getLong(0)).take(9).toSet
     assert(kept.map(_._1).toSet === order)
   }
+
+  test("sequence packing: offsets tile the corpus exactly and chunks respect the budget") {
+    val s = spark; import s.implicits._
+    // varied doc lengths, budget 7 → spans cross chunk cuts
+    val df = (1L to 60L).map(i => (i, Seq.fill((i % 5 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Corpus.packSequences(df, col("doc_id"),
+        size(split(col("text"), " ")), budget = 7L, bucketChars = 1)
+      .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._3)
+    // exact tiling: first offset 0, each next = prev offset + prev len
+    assert(out.head._3 === 0L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2, s"gap/overlap between ${a._1} and ${b._1}")
+    }
+    // chunk ids derive from the offsets at the declared budget
+    out.foreach { case (id, n, off, first, last) =>
+      assert(first === off / 7, s"doc $id seq_first")
+      assert(last === (off + n - 1) / 7, s"doc $id seq_last")
+      assert(last >= first)
+    }
+    // layout is the md5 total order (engine-stable determinism)
+    val expected = df.select(col("doc_id"))
+      .withColumn("k", md5(col("doc_id").cast("string")))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(out.map(_._1).toSeq === expected)
+  }
 }

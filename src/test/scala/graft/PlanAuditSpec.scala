@@ -65,6 +65,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Sort ["), p)
   }
 
+  test("sequence packing: every Window is bucket-partitioned — no single-task global scan") {
+    val p = plan(graft.SparkEntry.queries("c_pack_sequences")(spark, sf))
+    // an unbounded cumsum written naively is `Window [...] ORDER BY`
+    // with NO partition spec → Spark funnels the whole corpus through
+    // one task. The two-level prefix sum must leave only windows
+    // partitioned by the hash-prefix bucket `_b`.
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w =>
+      assert(w.contains("windowspecdefinition(_b#"),
+        s"unpartitioned window in pack plan: $w"))
+  }
+
   test("per-row operators introduce no exchange: b2_project, text analysis") {
     val p1 = plan(Relational.b2Project(spark, sf))
     assert(!p1.contains("Exchange"), p1)
