@@ -62,7 +62,17 @@ object Tables {
     }
   }
 
-  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+  /** Timestamp columns per table: the driver regenerates testdata
+    * between rounds and the physical type of these has already flipped
+    * once (round 6→7: events.ts TIMESTAMP(NANOS) → TIMESTAMP(µs)),
+    * taking 13 queries down. Every column here gets the schema-adaptive
+    * treatment in [[normalize]]. */
+  private val timestampCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** The driver's testdata ships as parquet TIMESTAMP(NANOS) in some
     * generations and plain TIMESTAMP(µs) in others. Adapt to whatever
     * the footer says instead of assuming one:
     *  - NANOS: schema inference itself rejects the type, so retry under
@@ -70,24 +80,24 @@ object Tables {
     *    division (`DIV`, not `/` — the double path loses sub-µs
     *    precision at 2^60 magnitudes), remembering the key so the conf
     *    is re-established at execution time.
-    *  - µs without the UTC flag arrives as TIMESTAMP_NTZ: cast to the
-    *    session-zone TIMESTAMP (session is pinned UTC everywhere) so
-    *    downstream temporal queries and the DuckDB oracle see the same
-    *    instant semantics either way.
-    *  - already TIMESTAMP: pass through. */
+    *  - events.ts as µs without the UTC flag arrives as TIMESTAMP_NTZ:
+    *    cast to the session-zone TIMESTAMP (session is pinned UTC
+    *    everywhere) so downstream temporal queries and the DuckDB
+    *    oracle see the same instant semantics either way. (Orders/
+    *    lineitem dates stay NTZ — that is their current green shape.)
+    *  - already a timestamp: pass through.
+    * embeddings.embedding likewise normalizes to array<float> if a
+    * generation ships doubles (the similarity kernels are float-typed). */
   private def loadFresh(spark: SparkSession, dir: String, name: String,
-                        key: (SparkSession, String, String)): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    if (name != "events") spark.read.parquet(path)
-    else fixEventsTs(rawEvents(spark, path, Some(key)))
-  }
+                        key: (SparkSession, String, String)): DataFrame =
+    normalize(name, rawTable(spark, s"$dir/$name.parquet", Some(key)))
 
-  /** Batch-read events, retrying under the legacy nanos-as-long mode
+  /** Batch-read a table, retrying under the legacy nanos-as-long mode
     * when the footer carries TIMESTAMP(NANOS) (schema inference itself
     * rejects that type). `key` (batch cache key) is remembered so
     * cache hits re-establish the conf at execution time. */
-  private def rawEvents(spark: SparkSession, path: String,
-                        key: Option[(SparkSession, String, String)]): DataFrame =
+  private def rawTable(spark: SparkSession, path: String,
+                       key: Option[(SparkSession, String, String)]): DataFrame =
     try spark.read.parquet(path)
     catch {
       case e: Exception
@@ -98,25 +108,41 @@ object Tables {
         spark.read.parquet(path)
     }
 
-  /** The per-shape ts normalization (see [[loadFresh]]'s scaladoc). */
-  private def fixEventsTs(raw: DataFrame): DataFrame =
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+  /** Per-table, per-shape normalization (see [[loadFresh]]'s scaladoc).
+    * Only repairs KNOWN castable drift; anything else passes through so
+    * a genuinely new schema fails loudly in the query that reads it. */
+  private def normalize(name: String, raw: DataFrame): DataFrame = {
+    val tsFixed = timestampCols.getOrElse(name, Seq.empty)
+      .filter(raw.columns.contains)
+      .foldLeft(raw) { (df, c) =>
+        df.schema(c).dataType match {
+          case LongType =>
+            df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+          case TimestampNTZType if name == "events" =>
+            df.withColumn(c, col(c).cast(TimestampType))
+          case _ => df
+        }
+      }
+    if (name == "embeddings" && raw.columns.contains("embedding"))
+      tsFixed.schema("embedding").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) =>
+          tsFixed.withColumn("embedding",
+            col("embedding").cast("array<float>"))
+        case _ => tsFixed
+      }
+    else tsFixed
+  }
 
   /** Streaming twin of `load(_, _, "events")`: a file-source stream
     * over the same parquet with the same schema-adaptive ts fix —
     * `readStream` needs an explicit schema, so it is inferred through
     * the batch reader (footer-only I/O) first. In the nanos case the
-    * conf set by [[rawEvents]] must survive until microbatches execute;
+    * conf set by [[rawTable]] must survive until microbatches execute;
     * callers run the query within the same session ([[graft.streaming.EventsStream.runOnce]]). */
   def streamEvents(spark: SparkSession, dir: String): DataFrame = {
-    val raw = rawEvents(spark, s"$dir/events.parquet", None)
-    fixEventsTs(
+    val raw = rawTable(spark, s"$dir/events.parquet", None)
+    normalize("events",
       spark.readStream.schema(raw.schema)
         // file-source streaming wants a directory; glob-filter to events
         .option("pathGlobFilter", "events.parquet")

@@ -44,33 +44,37 @@ class TablesSpec extends AnyFunSuite {
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("tables_spec").toString
 
-  /** Writes `$dir/events.parquet` with `ts` as INT64 annotated
+  /** Writes `$dir/$table.parquet` with `tsCol` as INT64 annotated
     * TIMESTAMP(`unit`, isAdjustedToUTC=`utc`), one row per instant. */
-  private def writeEvents(dir: String, unit: TimeUnit, utc: Boolean): String = {
+  private def writeTs(dir: String, table: String, tsCol: String,
+                      unit: TimeUnit, utc: Boolean): String = {
     val schema = Types.buildMessage()
       .addField(Types.required(INT64).named("id"))
       .addField(Types.required(INT64)
-        .as(LogicalTypeAnnotation.timestampType(utc, unit)).named("ts"))
-      .named("events")
+        .as(LogicalTypeAnnotation.timestampType(utc, unit)).named(tsCol))
+      .named(table)
     val scale = unit match {
       case TimeUnit.NANOS  => 1000L
       case TimeUnit.MICROS => 1L
       case TimeUnit.MILLIS => sys.error("unused")
     }
     val writer = ExampleParquetWriter
-      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/$table.parquet"))
       .withType(schema)
       .build()
     val factory = new SimpleGroupFactory(schema)
     micros.zipWithIndex.foreach { case (us, i) =>
       val g = factory.newGroup()
       g.add("id", i.toLong)
-      g.add("ts", us * scale)
+      g.add(tsCol, us * scale)
       writer.write(g)
     }
     writer.close()
     dir
   }
+
+  private def writeEvents(dir: String, unit: TimeUnit, utc: Boolean): String =
+    writeTs(dir, "events", "ts", unit, utc)
 
   private def instants(dir: String): Seq[java.sql.Timestamp] =
     Tables.load(spark, dir, "events")
@@ -109,6 +113,34 @@ class TablesSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     Tables.load(spark, writeEvents(tmpDir(), TimeUnit.MICROS, utc = false), "events").count()
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "false")
+  }
+
+  test("nanos drift on orders/lineitem date columns survives the load") {
+    // the same generation flip that hit events.ts in round 7 could hit
+    // the other timestamp columns next — the loader must adapt there too
+    val ordersDir = writeTs(tmpDir(), "orders", "o_orderdate",
+      TimeUnit.NANOS, utc = false)
+    val o = Tables.load(spark, ordersDir, "orders")
+    assert(o.schema("o_orderdate").dataType === TimestampType)
+    assert(o.count() === micros.size)
+    val liDir = writeTs(tmpDir(), "lineitem", "l_shipdate",
+      TimeUnit.NANOS, utc = false)
+    assert(Tables.load(spark, liDir, "lineitem")
+      .schema("l_shipdate").dataType === TimestampType)
+  }
+
+  test("embeddings shipped as double normalize to array<float>") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    Seq((1L, Seq(0.25, -1.5)), (2L, Seq(0.5, 3.0)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = Tables.load(spark, dir, "embeddings")
+    assert(e.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+    val v = e.orderBy("vec_id").collect()(0).getSeq[Float](1)
+    assert(v === Seq(0.25f, -1.5f))
   }
 
   test("registerAll isolates a corrupted table: other views stay queryable") {
