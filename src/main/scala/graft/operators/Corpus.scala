@@ -190,6 +190,32 @@ object Corpus {
       .drop("_k", "_b")
   }
 
+  /** Overlapping token-window chunking — the RAG / context-window
+    * prep step: each document becomes windows of `window` tokens at
+    * `stride` starts (stride < window ⇒ overlap), the final window
+    * truncated to the tail. Chunk count is closed-form
+    * (1 if n ≤ window, else ⌈(n−window)/stride⌉+1 — no window that a
+    * previous one fully covers), so the whole operator is per-row
+    * generate+slice: zero shuffles, scale-trivial. `chunk_hash` is
+    * md5 of the chunk text — engine-independent, which lets the
+    * DuckDB oracle restate the exact slicing. */
+  def chunkDocs(df: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.withColumn("_toks", tokens(col("text")))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_c", when(col("_n") <= window, lit(1L))
+        .otherwise(expr(s"(_n - ${window}L + ${stride - 1}L) DIV ${stride}L + 1L")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("_c") - 1)))
+      .withColumn("tok_start", col("chunk_id") * stride)
+      .withColumn("n_tokens",
+        least(lit(window.toLong), col("_n") - col("tok_start")))
+      .withColumn("chunk_hash", md5(concat_ws(" ",
+        slice(col("_toks"), (col("tok_start") + 1).cast("int"),
+          col("n_tokens").cast("int")))))
+      .drop("_toks", "_n", "_c")
+  }
+
   // ------------------------------------------------------- queries //
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -226,7 +252,11 @@ object Corpus {
       packSequences(docs(s, dir), col("doc_id"),
           size(tokens(col("text"))), budget = 1024L)
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
-          col("seq_first"), col("seq_last"))))
+          col("seq_first"), col("seq_last"))),
+    "c_chunk_overlap" -> ((s, dir) =>
+      chunkDocs(docs(s, dir), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("tok_start"),
+          col("n_tokens"), col("chunk_hash"))))
 
   private val piiText =
     "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
@@ -290,5 +320,19 @@ object Corpus {
         |  FROM (SELECT doc_id,
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |          md5(CAST(doc_id AS VARCHAR)) AS k
-        |        FROM documents))""".stripMargin)
+        |        FROM documents))""".stripMargin,
+    // exact slicing restated: 1-based inclusive list slices on both
+    // engines; md5 of the joined chunk text makes the window contents
+    // hash-comparable without shipping the text
+    "c_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |        CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM t),
+        |e AS (SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[(chunk_id*48 + 1):(chunk_id*48 + least(64, n - chunk_id*48))], ' ')) AS chunk_hash
+        |FROM e""".stripMargin)
 }

@@ -181,6 +181,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.map(_._1).toSet === order)
   }
 
+  test("chunking: window/stride arithmetic on short, exact and overlapping docs") {
+    val df = docsDf(
+      1L -> "a b c",                    // n=3 < window → 1 chunk of 3
+      2L -> "a b c d e",                // n=5 = window → 1 chunk of 5
+      3L -> (1 to 12).map(i => s"t$i").mkString(" ")) // n=12, W=5,S=3 → ceil(7/3)+1=4 chunks
+    val out = Corpus.chunkDocs(df, window = 5, stride = 3)
+      .select("doc_id", "chunk_id", "tok_start", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.filter(_._1 == 1L) === Seq((1L, 0L, 0L, 3L)))
+    assert(out.filter(_._1 == 2L) === Seq((2L, 0L, 0L, 5L)))
+    assert(out.filter(_._1 == 3L) === Seq(
+      (3L, 0L, 0L, 5L), (3L, 1L, 3L, 5L), (3L, 2L, 6L, 5L), (3L, 3L, 9L, 3L)))
+    // overlap property: consecutive chunks share window-stride tokens,
+    // and the chunk set covers every token position
+    val d3 = out.filter(_._1 == 3L)
+    d3.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + 3, "stride")
+      assert(a._3 + a._4 >= b._3, "no gap")
+    }
+    assert(d3.last._3 + d3.last._4 === 12L, "tail covered")
+  }
+
   test("sequence packing: offsets tile the corpus exactly and chunks respect the budget") {
     val s = spark; import s.implicits._
     // varied doc lengths, budget 7 → spans cross chunk cuts
