@@ -78,11 +78,15 @@ class PlanAuditSpec extends AnyFunSuite {
         s"unpartitioned window in pack plan: $w"))
   }
 
-  test("per-row operators introduce no exchange: b2_project, text analysis") {
+  test("per-row operators introduce no exchange: b2_project, text analysis, chunking") {
     val p1 = plan(Relational.b2Project(spark, sf))
     assert(!p1.contains("Exchange"), p1)
     val p2 = plan(graft.operators.TextAnalysis.queries("t_fingerprint")(spark, sf))
     assert(!p2.contains("Exchange"), p2)
+    // chunking is generate+slice per row — any exchange would mean the
+    // explode accidentally repartitioned
+    val p3 = plan(graft.SparkEntry.queries("c_chunk_overlap")(spark, sf))
+    assert(!p3.contains("Exchange"), p3)
   }
 
   test("b2_project stays inside whole-stage codegen") {
