@@ -168,6 +168,51 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Repeated-span detection — token-level exact-substring dedup in
+    * the shape of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL'22): every length-`spanLen` token
+    * window that occurs more than once ANYWHERE in the corpus is a
+    * duplicated span; per document we report how many of its window
+    * positions are duplicated and the resulting ratio (the
+    * keep/strip signal — Lee et al. excise the spans; the doc-level
+    * ratio is the triage view).
+    *
+    * Scale design: the window stream is (doc_id, window) pairs — one
+    * row per token position, the same O(total tokens) scale as the
+    * shingle stream MinHash already shuffles. The global window count
+    * is one groupBy; the count join keys on the identical column, so
+    * Spark reuses the window-stream exchange (one shuffle of the big
+    * side, not two — pinned by PlanAuditSpec's ReusedExchange audit
+    * elsewhere); the per-doc rollup is a third, doc-keyed shuffle. At
+    * 100 TB the window key would be xxhash64(window) (8-byte keys,
+    * ~50-byte strings carried only to the rollup) — identical
+    * dataflow, hash-collision odds ≈ (#windows)²/2⁶⁵; the string key
+    * here keeps the gate query byte-exact against the SQL oracle.
+    * A suffix-array formulation finds variable-length maximal repeats
+    * but needs a global sort; fixed-L windows at stride 1 dominate it
+    * operationally (any repeat ≥ L surfaces) and stay embarrassingly
+    * parallel.
+    */
+  def repeatedSpans(df: DataFrame, text: Column, spanLen: Int): DataFrame = {
+    val toks = df.select(col("doc_id"), split(lower(text), " ").as("t"))
+    val wins = toks.where(size(col("t")) >= spanLen)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - (spanLen - 1)),
+        i => concat_ws(" ", slice(col("t"), i, lit(spanLen))))).as("w"))
+    val winCount = wins.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val perDoc = wins.join(winCount, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    df.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)).cast("double") *
+          1e4) / 1e4).as("dup_ratio"))
+  }
+
   /** 64-perm MinHash signature — compiled kernel
     * ([[graft.functions.HashExpressions.MinHashSignature]]): one
     * xxHash per shingle, 64 affine permutations in a primitive loop.
@@ -778,6 +823,10 @@ object Dedup {
       exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
     "d_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(docs(s, dir), 0.2)),
+    // L=8: long enough that chance vocabulary collisions vanish —
+    // every duplicated window is a genuinely shared span
+    "d_span_dedup" -> ((s, dir) =>
+      repeatedSpans(docs(s, dir), col("text"), 8)),
     // the high-recall banding regime (32 bands × 2 rows, no estimate
     // gate) proven at the LOWER threshold 0.5: P(miss | J=0.5) =
     // (1-0.5²)^32 ≈ 1e-4 analytically, 0 measured — the oracle has no
@@ -815,6 +864,11 @@ object Dedup {
       "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     "d_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""",
+    // windows restated with DuckDB list slicing: t[i:i+7] is the same
+    // 8-token window Spark's slice(t, i, 8) builds; range(1, n-6) ≡
+    // sequence(1, n-7) — both emit n-7 positions
+    "d_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), win AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS w FROM toks WHERE len(t) >= 8), cnt AS (SELECT w, count(*) AS c FROM win GROUP BY w), per AS (SELECT doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans FROM win JOIN cnt USING (w) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, coalesce(n_dup_spans, 0) AS n_dup_spans, round(CAST(coalesce(n_dup_spans, 0) AS DOUBLE) / CAST(greatest(coalesce(n_windows, 0), 1) AS DOUBLE) * 1e4) / 1e4 AS dup_ratio FROM documents d LEFT JOIN per USING (doc_id)""",
     "d_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN probe p ON s.sh = p.sh WHERE s.doc_id >= 10 GROUP BY s.doc_id""",
     // the oracle has NO LSH and NO index — matching it proves the

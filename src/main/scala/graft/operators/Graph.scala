@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics over the relational tables: PageRank on the
+  * customer–supplier interaction graph (who transacted with whom via
+  * orders ⋈ lineitem). Complements the dedup clusterer's connected
+  * components ([[Dedup.dupClusters]]) with an importance measure —
+  * the two standard iterative-graph shapes a data-curation pipeline
+  * runs (e.g. domain-authority weighting of web-crawl sources before
+  * sampling).
+  *
+  * Scale design: one distinct edge materialization, then per
+  * iteration exactly one shuffle of the edge list (join on src —
+  * ranks arrive shuffled from the previous iteration's groupBy) and
+  * one dst-keyed aggregation. Degrees ride inside the rank rows, so
+  * no per-iteration degree join; the node count is a broadcast
+  * scalar. The undirected (symmetrized) graph means no dangling-mass
+  * term — every node has out-degree ≥ 1 — keeping the update pure
+  * map/reduce. Lineage grows linearly with iterations; past ~20
+  * rounds a `localCheckpoint()` every 10 truncates the plan (the
+  * same pattern [[Dedup.dupClusters]] uses for pointer jumping).
+  */
+object Graph {
+
+  /** Distinct customer–supplier edges: customers and suppliers that
+    * shared at least one order line. Node ids are prefixed ("c123" /
+    * "s45") so the bipartite sides can't collide. */
+  def customerSupplierEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+
+  /** Fixed-iteration damped PageRank over an undirected edge list
+    * (columns `a`, `b`). Returns (node, rank) with rank rounded to
+    * 1e-6 — deterministic up to float reassociation in the neighbor
+    * sums, which the rounding absorbs (same bound as every other
+    * double aggregate in the registry).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val stats = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(stats))
+      .select(col("src"), col("deg"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      val inMass = sym.join(ranks, "src")
+        .select(col("dst"), (col("r") / col("deg")).as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"))
+      ranks = inMass
+        .withColumnRenamed("dst", "src")
+        .join(deg, "src")
+        .crossJoin(broadcast(stats))
+        .select(col("src"), col("deg"),
+          (lit(1 - damping) / col("n") + lit(damping) * col("in_mass")).as("r"))
+    }
+    ranks.select(col("src").as("node"), (round(col("r") * 1e6) / 1e6).as("rank"))
+  }
+
+  private val prIters = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_pagerank" -> ((s, dir) => pageRank(
+      customerSupplierEdges(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem")), prIters)))
+
+  /** The oracle unrolls the same five update steps as chained CTEs —
+    * identical double-operation order (damping constants forced to
+    * DOUBLE so DuckDB's decimal arithmetic can't produce a different
+    * 0.15 than Scala's `1 - 0.85`). */
+  private def prOracleSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val base = "WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, " +
+      "'s' || l_suppkey AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
+      "nn AS (SELECT count(*) AS n FROM deg), " +
+      "r0 AS (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
+    val iterCtes = (1 to iters).map { i =>
+      s"r$i AS (SELECT s.dst AS src, max(d.deg) AS deg, " +
+        s"(1 - $d) / (SELECT n FROM nn) + $d * sum(r.r / r.deg) AS r " +
+        s"FROM sym s JOIN r${i - 1} r ON s.src = r.src " +
+        s"JOIN deg d ON d.src = s.dst GROUP BY s.dst)"
+    }.mkString(", ", ", ", "")
+    s"$base$iterCtes SELECT src AS node, round(r * 1e6) / 1e6 AS rank FROM r$iters"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "g_pagerank" -> prOracleSql(prIters))
+}

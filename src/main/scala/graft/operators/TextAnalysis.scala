@@ -151,6 +151,53 @@ object TextAnalysis {
       .agg(sort_array(collect_set(col("doc_id"))).as("postings"),
         countDistinct(col("doc_id")).as("df"))
 
+  /** BM25 ranked retrieval (Robertson/Sparck-Jones, the Lucene/ES
+    * default scorer) over the same postings shape [[invertedIndex]]
+    * builds — full-text search, the query side of the reference's B17
+    * analyzer DDL (`Useful queries.md` defines the analyzer; scoring
+    * is what a search index exists for).
+    *
+    * Scale design: the term filter lands immediately after the
+    * explode, so only query-term postings enter any shuffle — the tf
+    * groupBy carries O(docs containing a query term), not O(total
+    * tokens). Corpus stats (N, avgdl) and per-term document
+    * frequencies are tiny aggregates broadcast back; the final top-k
+    * is an orderBy+limit that Spark runs as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). At 100 TB you'd persist
+    * [[invertedIndex]] bucketed by token and skip the scan entirely;
+    * the scoring dataflow is identical.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene "plus one"
+    * form — never negative); tf component = tf·(k1+1)/(tf + k1·(1 − b
+    * + b·dl/avgdl)). Both restated verbatim in the DuckDB oracle:
+    * identical double-operation order, so the rounded scores
+    * hash-match exactly.
+    */
+  def bm25TopK(df: DataFrame, text: Column, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col("doc_id"), split(lower(text), " ").as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df_t"))
+    val scored = tf
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("w"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+      .select(col("doc_id"), (round(col("score") * 1e4) / 1e4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the gate compares the posting list's canonical CSV rendering
     // (the driver's pandas harness can't sort ndarray cells); the
@@ -170,7 +217,13 @@ object TextAnalysis {
     "t_token_count" -> ((s, dir) => tokenCounts(docs(s, dir), col("text"))),
     "t_fingerprint" -> ((s, dir) => docs(s, dir).select(
       col("doc_id"), fingerprint(col("text")).as("fp"))),
-    "t_lm_score" -> ((s, dir) => bigramLmScore(docs(s, dir), col("text"))))
+    "t_lm_score" -> ((s, dir) => bigramLmScore(docs(s, dir), col("text"))),
+    // one rare planted term ("dup", df≈5% — idf-dominant) + two
+    // common ones: the ranking exercises both BM25 components
+    "t_bm25" -> ((s, dir) =>
+      bm25TopK(docs(s, dir), col("text"), bm25Terms, 10)))
+
+  private val bm25Terms = Seq("dup", "merge", "scan")
 
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
@@ -197,5 +250,16 @@ object TextAnalysis {
         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
         |scored AS (SELECT b.doc_id, ln(CAST(c.cbg + 1 AS DOUBLE) / CAST(p.cpre + (SELECT v FROM v) AS DOUBLE)) AS lp
         |           FROM bg b JOIN cbg c USING (bg) JOIN cpre p ON split_part(b.bg, ' ', 1) = p.w1)
-        |SELECT doc_id, count(*) AS n_bigrams, round((avg(lp))*1e4)/1e4 AS lm_score FROM scored GROUP BY doc_id""".stripMargin)
+        |SELECT doc_id, count(*) AS n_bigrams, round((avg(lp))*1e4)/1e4 AS lm_score FROM scored GROUP BY doc_id""".stripMargin,
+    // same double-operation ORDER as the Spark plan: constants appear
+    // as the same source literals ((1.2 + 1), 0.25, 0.75) so both
+    // engines fold them to identical doubles before the arithmetic
+    "t_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |dls AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (SELECT doc_id, dl, unnest(t) AS term FROM dls) WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+        |scored AS (SELECT doc_id, ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w FROM tf JOIN dft USING (term) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(w)*1e4)/1e4 AS bm25 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)
 }

@@ -336,6 +336,99 @@ class OperatorsSpec extends AnyFunSuite {
       s"shared phrasing ${scores(1L)} must outscore word salad ${scores(4L)}")
   }
 
+  test("pagerank: mass conserved, symmetry respected, hubs outrank leaves") {
+    val s = spark; import s.implicits._
+    // star a-{b,c,d} plus an isolated edge e-f
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("e", "f"))
+      .toDF("a", "b")
+    val r = Graph.pageRank(edges, 10).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set("a", "b", "c", "d", "e", "f"))
+    // total rank mass = 1 (damped PR over a dangling-free graph)
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+    // b, c, d are exchangeable; e and f are exchangeable
+    assert(r("b") === r("c")); assert(r("c") === r("d"))
+    assert(r("e") === r("f"))
+    // the hub dominates its leaves; a 2-cycle node holds 1/6 mass
+    assert(r("a") > r("b"))
+    assert(math.abs(r("e") - 1.0 / 6) < 1e-4)
+  }
+
+  test("repeated spans: hand-computed duplicated-window counts") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 share the 4-token span "a b c d" at different
+    // offsets; doc 3 is all-unique; doc 4 is too short for a window;
+    // doc 5 repeats a span WITHIN itself (self-repetition counts too)
+    val df = Seq(
+      1L -> "a b c d e f",
+      2L -> "x y a b c d",
+      3L -> "p q r s t u",
+      4L -> "one two",
+      5L -> "m n o p m n o p").toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, col("text"), 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: windows [abcd, bcde, cdef] — abcd repeats (also in doc 2)
+    assert(got(1L) === ((3L, 1L)))
+    // doc 2: [xyab, yabc, abcd] — abcd duplicated
+    assert(got(2L) === ((3L, 1L)))
+    // doc 3: 3 windows, none duplicated
+    assert(got(3L) === ((3L, 0L)))
+    // doc 4: shorter than the window — zero windows, zero dups
+    assert(got(4L) === ((0L, 0L)))
+    // doc 5: [mnop, nopm, opmn, pmno, mnop] — "mnop" occurs twice
+    // globally (both in this doc), so BOTH its positions are dup spans
+    assert(got(5L) === ((5L, 2L)))
+  }
+
+  test("bm25: matches a driver-side reference scorer, ranking and values") {
+    val s = spark; import s.implicits._
+    val corpus = Map(
+      1L -> "apple banana apple cherry",
+      2L -> "banana cherry cherry durian",
+      3L -> "apple apple apple apple",
+      4L -> "durian elderberry fig grape")
+    val df = corpus.toSeq.toDF("doc_id", "text")
+    val terms = Seq("apple", "durian")
+    val got = TextAnalysis.bm25TopK(df, col("text"), terms, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+
+    // independent reference: same formula, naive driver arithmetic
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): Double = terms.map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else {
+        val dft = toks.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * toks(id).size / avgdl))
+      }
+    }.sum
+    val want = corpus.keys.toSeq.map(id => id -> score(id))
+      .filter(_._2 > 0)
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got.map(_._1).toSeq === want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-4, s"got $g want $w")
+    }
+  }
+
+  test("bm25 on the corpus: every hit contains a query term, scores non-increasing") {
+    val terms = Seq("dup", "merge", "scan")
+    val hits = TextAnalysis.bm25TopK(docs, col("text"), terms, 10).collect()
+    assert(hits.nonEmpty)
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    hits.foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ").toSet
+      assert(terms.exists(toks), s"doc ${r.getLong(0)} has no query term")
+    }
+    val scores = hits.map(_.getDouble(1)).toSeq
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+  }
+
   test("materialized snapshots honor spark.graft.snapshotDir (the shared-FS cluster seam)") {
     // on a real cluster a driver-local temp dir is invisible to
     // executors — the conf routes every discovery/label snapshot to a
