@@ -366,6 +366,158 @@ object Similarity {
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => (c.cast("double") * scale / 127.0).cast("float"))
 
+  // ------------------------------------------- product quantization //
+
+  /** Subvector m of an embedding split into `m`-of-`nSub` subspaces. */
+  private def subVec(v: Column, mi: Int, subDim: Int): Column =
+    slice(v, mi * subDim + 1, subDim)
+
+  /** Map-side argmin-L2 code for one subspace against a DRIVER-HELD
+    * codebook — same unrolled-literal shape as [[nearestCell]]:
+    * assignment is a scan-local expression, no crossJoin, no shuffle.
+    * Ties break toward the smaller code (struct ordering). */
+  private def pqNearest(cents: Seq[(Int, Seq[Float])], sub: Column): Column =
+    array_min(array(cents.map { case (cd, ce) =>
+      struct(
+        aggregate(zip_with(sub, typedLit(ce), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, x) => a + x).as("dist"),
+        lit(cd).as("code"))
+    }: _*)).getField("code")
+
+  /** Per-subspace K-centroid codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11), trained by
+    * Lloyd iterations with deterministic seeds (subvectors of the
+    * first `k` vectors). ALL subspaces train in ONE job per
+    * iteration: assignments for every subspace emit as (m, code, sub)
+    * rows from a single scan (explode factor × nSub, but each row
+    * carries dim/nSub floats — the shuffle moves exactly one corpus
+    * width per iteration), then one (m, code) aggregation computes
+    * every mean. The model is nSub×k×subDim floats driver-side — a
+    * model pull, not a data collect. */
+  def pqTrain(embeddings: DataFrame, nSub: Int, k: Int,
+              iters: Int): Map[Int, Seq[(Int, Seq[Float])]] = {
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    val seed = embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("code"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    var books: Map[Int, Seq[(Int, Seq[Float])]] =
+      (0 until nSub).map { mi =>
+        mi -> seed.map { case (cd, v) =>
+          cd -> v.slice(mi * subDim, (mi + 1) * subDim)
+        }.toSeq.sortBy(_._1)
+      }.toMap
+    for (_ <- 0 until iters) {
+      val means = embeddings
+        .select(posexplode(array((0 until nSub).map { mi =>
+          struct(lit(mi).as("m"),
+            pqNearest(books(mi), subVec(col("embedding"), mi, subDim))
+              .as("code"),
+            subVec(col("embedding"), mi, subDim).as("sub"))
+        }: _*)))
+        .select(col("col.m").as("m"), col("col.code").as("code"),
+          col("col.sub").as("sub"))
+        .groupBy(col("m"), col("code"))
+        .agg(array((0 until subDim).map(i =>
+          avg(element_at(col("sub"), i + 1)).cast("float")): _*).as("ce"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+      // dead codes keep their previous centroid (cell count stable)
+      books = books.map { case (mi, cents) =>
+        mi -> cents.map { case (cd, old) =>
+          cd -> means.getOrElse((mi, cd), old)
+        }
+      }
+    }
+    books
+  }
+
+  /** Encode every vector as nSub byte-sized codes plus its true norm
+    * — the PQ-with-stored-norms layout (the codes approximate the
+    * DIRECTION; the exact norm restores magnitude for cosine). 8
+    * bytes + a float per vector at nSub=8: a 64-dim float corpus
+    * compresses 32×, which is why PQ is the memory path at 100 TB. */
+  def pqEncode(embeddings: DataFrame,
+               books: Map[Int, Seq[(Int, Seq[Float])]]): DataFrame = {
+    val nSub = books.size
+    val subDim = books(0).head._2.size
+    embeddings.select(col("vec_id"),
+      array((0 until nSub).map(mi =>
+        pqNearest(books(mi), subVec(col("embedding"), mi, subDim))): _*)
+        .as("codes"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x * x)).as("xnorm"))
+  }
+
+  /** PQ-ADC ANN: asymmetric distance computation (query vs codes)
+    * shortlists, exact cosine reranks. Per query the driver computes
+    * the nSub×k lookup table of subspace dot products; the scan then
+    * scores a vector with nSub ARRAY LOOKUPS instead of a dim-wide
+    * dot product — the table never decodes. Shortlist size trades
+    * recall for rerank cost; parameters proving recall 1 on this
+    * corpus are pinned at the registry entry. At 100 TB the codes
+    * table (32× smaller than the vectors) is what stays hot; only
+    * the ≤`shortlist` rerank rows per query touch the full-width
+    * corpus — combine with the IVF cell layout for the standard
+    * IVF-PQ index. */
+  def pqCosineTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                   nSub: Int = 8, codesPerSub: Int = 64,
+                   refineIters: Int = 2, shortlistFrac: Double = 0.25,
+                   minShortlist: Int = 100): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val books = pqTrain(embeddings, nSub, codesPerSub, refineIters)
+    val subDim = books(0).head._2.size
+    val coded = pqEncode(embeddings, books)
+    // near-random corpora concentrate all pairwise cosines in a tight
+    // band, so the code-domain margin between a true neighbor and the
+    // bulk is thin — the shortlist must scale with N to keep recall
+    // (the honest small-corpus price, same as IVF's 12/16-cell probe
+    // above; on clustered real-embedding corpora a few-percent
+    // shortlist suffices and the fraction is the tuning knob)
+    val shortlist = math.max(minShortlist,
+      math.ceil(embeddings.count() * shortlistFrac).toInt)
+    // query-side model: nQueries × (nSub × k) dot-product LUT
+    val qs = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val lutRows = qs.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = (0 until nSub).map { mi =>
+        books(mi).map { case (_, ce) =>
+          val qsub = qv.slice(mi * subDim, (mi + 1) * subDim)
+          qsub.zip(ce).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        }
+      }
+      org.apache.spark.sql.Row(qid, lut)
+    }
+    val spark = embeddings.sparkSession
+    import org.apache.spark.sql.types._
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq, 1),
+      StructType(Seq(StructField("qid", LongType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+    // ADC score ≈ dot(q, x)/|x| — rank-equivalent to cosine for a
+    // fixed query (|q| is constant per qid and drops out)
+    val adc = coded.crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (a, x) => a + x) / col("xnorm")).as("sim"))
+    val short = topKPerQuery(adc, shortlist).select(col("qid"), col("nid"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val rerank = short
+      .join(embeddings.select(col("vec_id").as("nid"), col("embedding")),
+        "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKPerQuery(rerank, k)
+  }
+
   /** Per-query recall@k of an ANN result against the exact top-k:
     * the hits are the exact rows the ANN search also produced. With
     * parameters that achieve recall 1 this emits (qid, 1.0) per query
@@ -428,6 +580,17 @@ object Similarity {
     // quantization summarized per vector (scale, code checksum, max
     // reconstruction error) — every number deterministic double
     // arithmetic, so the DuckDB restatement hash-matches exactly
+    // oracled recall-1 proof of PQ-ADC: 8×64 codebooks (Lloyd-refined
+    // from deterministic seeds), 25%-of-corpus ADC shortlist, exact
+    // rerank — the oracle computes exact top-5 only, so the hash
+    // match certifies the code-domain shortlist never dropped a true
+    // neighbor (verified at sf0.01 AND sf0.1; 10% missed one → the
+    // 25% margin is 2.5× the measured knife edge on this structure-
+    // free corpus)
+    "s_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      annRecall(pqCosineTopK(e, 10, 5), cosineTopK(e, 10, 5), 5)
+    }),
     "s_quantize" -> ((s, dir) => {
       val q = quantizeInt8(emb(s, dir))
       q.select(col("vec_id"),
@@ -519,6 +682,8 @@ object Similarity {
     "s_lsh_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_ivf_ann" ->
+      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    "s_pq_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_quantize" ->
       """WITH scaled AS (SELECT vec_id, embedding, list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS s FROM embeddings),

@@ -297,6 +297,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batchClosed)
   }
 
+  test("PQ: codebook shape, codes in range, shortlist+rerank recall 1") {
+    val books = Similarity.pqTrain(emb, 8, 16, 1)
+    assert(books.keySet === (0 until 8).toSet)
+    books.values.foreach { cents =>
+      assert(cents.map(_._1) === (0 until 16))
+      assert(cents.forall(_._2.size == 8))
+    }
+    val coded = Similarity.pqEncode(emb, books).collect()
+    assert(coded.length === emb.count())
+    coded.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.size == 8 && codes.forall(c => c >= 0 && c < 16))
+      assert(r.getDouble(2) > 0) // true norm stored alongside codes
+    }
+    val rec = Similarity.annRecall(
+      Similarity.pqCosineTopK(emb, 5, 5),
+      Similarity.cosineTopK(emb, 5, 5), 5).collect()
+    assert(rec.length === 5)
+    assert(rec.forall(_.getDouble(1) == 1.0),
+      rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
+  }
+
   test("int8 quantization: codes bounded, reconstruction within half a step, zero-safe") {
     val q = Similarity.quantizeInt8(emb).collect()
     assert(q.nonEmpty)
