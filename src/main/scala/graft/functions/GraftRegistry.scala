@@ -44,6 +44,15 @@ object GraftRegistry {
     }
   }
 
+  private def staticFloats(e: Expression, what: String): Array[Float] = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toFloatArray()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a float-array literal, got: $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> (es => MinHashSignature(es.head, 64)),
     "simhash64" -> (es => SimHash64(es.head)),
@@ -78,6 +87,16 @@ object GraftRegistry {
     // (pairs with bloom_might_contain_long; numBits a static literal)
     "bloom_longs_agg" -> (es => BloomLongsAgg(es(0),
       staticInt(es(1), "bloom_longs_agg numBits"))),
+    // pq_codes(vec, books, nSub, k) — codebook and shape are static
+    // literals (the driver-trained model baked into the scan)
+    "pq_codes" -> (es => {
+      val nSub = staticInt(es(2), "pq_codes nSub")
+      val k = staticInt(es(3), "pq_codes k")
+      val books = staticFloats(es(1), "pq_codes books")
+      require(nSub > 0 && k > 0 && books.length % (nSub * k) == 0,
+        s"pq_codes books length ${books.length} not divisible by nSub*k")
+      PqCodes(es(0), books, nSub, k)
+    }),
     "ascii_fold" -> (es => AsciiFold(es.head)),
     "snowball_stem" -> (es => SnowballStem(es.head)))
 

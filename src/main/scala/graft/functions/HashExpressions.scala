@@ -132,6 +132,54 @@ object HashExpressions {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** PQ code assignment: embedding array<float> → array<int> of
+    * `nSub` argmin-L2 codes against a codebook held inside the
+    * expression as one flat float array ((m, code)-major, subDim
+    * floats each). One primitive loop per row replaces the nSub×k
+    * unrolled interpreted aggregate-lambda expressions the first
+    * formulation built (~40× on the encode scan at 8×64 books).
+    * Same arithmetic as that formulation: float subtract/multiply,
+    * double accumulate; ties keep the smaller code (strict <).
+    * Dimension mismatch → null (SQL-style), like [[CosineSimilarity]]. */
+  case class PqCodes(child: Expression, books: Array[Float],
+                     nSub: Int, k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private val subDim = books.length / (nSub * k)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != nSub * subDim) return null
+      val codes = new Array[Int](nSub)
+      var m = 0
+      while (m < nSub) {
+        val voff = m * subDim
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val boff = (m * k + c) * subDim
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = a.getFloat(voff + i) - books(boff + i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(m) = best
+        m += 1
+      }
+      new GenericArrayData(codes)
+    }
+    override protected def withNewChildInternal(c: Expression): PqCodes =
+      copy(child = c)
+    override def prettyName: String = "pq_codes"
+  }
+
   /** Morton/Z-order interleave of the low `bits` of two non-negative
     * longs: x occupies even bit positions, y odd. Sorting by the
     * z-value clusters rows that are close in BOTH dimensions — the
@@ -408,6 +456,11 @@ object HashExpressions {
   def bloom_longs_agg(keys: Column, numBits: Int): Column =
     call_function("bloom_longs_agg", keys,
       org.apache.spark.sql.functions.lit(numBits))
+  def pq_codes(vec: Column, books: Array[Float], nSub: Int, k: Int): Column =
+    call_function("pq_codes", vec,
+      org.apache.spark.sql.functions.typedLit(books.toSeq),
+      org.apache.spark.sql.functions.lit(nSub),
+      org.apache.spark.sql.functions.lit(k))
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

@@ -372,17 +372,20 @@ object Similarity {
   private def subVec(v: Column, mi: Int, subDim: Int): Column =
     slice(v, mi * subDim + 1, subDim)
 
-  /** Map-side argmin-L2 code for one subspace against a DRIVER-HELD
-    * codebook — same unrolled-literal shape as [[nearestCell]]:
-    * assignment is a scan-local expression, no crossJoin, no shuffle.
-    * Ties break toward the smaller code (struct ordering). */
-  private def pqNearest(cents: Seq[(Int, Seq[Float])], sub: Column): Column =
-    array_min(array(cents.map { case (cd, ce) =>
-      struct(
-        aggregate(zip_with(sub, typedLit(ce), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (a, x) => a + x).as("dist"),
-        lit(cd).as("code"))
-    }: _*)).getField("code")
+  /** All nSub argmin-L2 codes in one compiled kernel call
+    * ([[graft.functions.HashExpressions.PqCodes]]) — the codebook
+    * bakes into the expression as a flat literal, so assignment is a
+    * single scan-local primitive loop: no crossJoin, no shuffle, and
+    * none of the nSub×k interpreted lambda evaluations the unrolled
+    * struct-array formulation paid (13.2 s → see PERF_r08). Ties
+    * break toward the smaller code. */
+  private def pqCodesCol(books: Map[Int, Seq[(Int, Seq[Float])]]): Column =
+    graft.functions.HashExpressions.pq_codes(col("embedding"),
+      flatBooks(books), books.size, books(0).size)
+
+  /** (m, code)-major flattening of the codebook for the kernel. */
+  private def flatBooks(books: Map[Int, Seq[(Int, Seq[Float])]]): Array[Float] =
+    (0 until books.size).flatMap(mi => books(mi).flatMap(_._2)).toArray
 
   /** Per-subspace K-centroid codebooks (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI'11), trained by
@@ -399,22 +402,26 @@ object Similarity {
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val subDim = dim / nSub
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    // codes are POSITIONS in the codebook (0..k-1 in seed-id order) —
+    // stable even if the seed id range has gaps
     val seed = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("code"), col("embedding"))
+      .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).map(_._2).zipWithIndex
     var books: Map[Int, Seq[(Int, Seq[Float])]] =
       (0 until nSub).map { mi =>
-        mi -> seed.map { case (cd, v) =>
-          cd -> v.slice(mi * subDim, (mi + 1) * subDim)
-        }.toSeq.sortBy(_._1)
+        mi -> seed.map { case (v, idx) =>
+          idx -> v.slice(mi * subDim, (mi + 1) * subDim)
+        }.toSeq
       }.toMap
     for (_ <- 0 until iters) {
       val means = embeddings
+        .select(col("embedding"), pqCodesCol(books).as("codes"))
         .select(posexplode(array((0 until nSub).map { mi =>
           struct(lit(mi).as("m"),
-            pqNearest(books(mi), subVec(col("embedding"), mi, subDim))
-              .as("code"),
+            element_at(col("codes"), mi + 1).as("code"),
             subVec(col("embedding"), mi, subDim).as("sub"))
         }: _*)))
         .select(col("col.m").as("m"), col("col.code").as("code"),
@@ -441,12 +448,9 @@ object Similarity {
     * compresses 32×, which is why PQ is the memory path at 100 TB. */
   def pqEncode(embeddings: DataFrame,
                books: Map[Int, Seq[(Int, Seq[Float])]]): DataFrame = {
-    val nSub = books.size
-    val subDim = books(0).head._2.size
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"),
-      array((0 until nSub).map(mi =>
-        pqNearest(books(mi), subVec(col("embedding"), mi, subDim))): _*)
-        .as("codes"),
+      pqCodesCol(books).as("codes"),
       sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x * x)).as("xnorm"))
   }

@@ -28,7 +28,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
-      "bloom_longs_agg"))
+      "bloom_longs_agg", "pq_codes"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
@@ -55,6 +55,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(b("srp_bucket")(Seq(vec, Literal(4), Literal(0))).eval() != null)
     intercept[IllegalArgumentException](
       b("srp_bucket")(Seq(vec, vec, Literal(0))))
+    // pq_codes: 2 subspaces × 2 codes × 2 dims; vec (1,2,3,4) →
+    // subspace 0 matches code 0 exactly, subspace 1 matches code 1
+    val pqVec = Literal.create(Seq(1.0f, 2.0f, 3.0f, 4.0f),
+      ArrayType(FloatType))
+    val pqBooks = Literal.create(
+      Seq(1.0f, 2.0f, 9.0f, 9.0f, /* m1: */ 9.0f, 9.0f, 3.0f, 4.0f),
+      ArrayType(FloatType))
+    val pqCodes = b("pq_codes")(Seq(pqVec, pqBooks, Literal(2), Literal(2)))
+      .eval().asInstanceOf[ArrayData]
+    assert(pqCodes.toIntArray().toSeq === Seq(0, 1))
+    // dimension mismatch → null, not a crash
+    assert(b("pq_codes")(Seq(vec, pqBooks, Literal(2), Literal(2)))
+      .eval() === null)
   }
 
   test("SQL surface resolves every name after register") {
