@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -27,14 +27,34 @@ import graft.sources.Tables
   */
 object Graph {
 
+  /** Numeric node encoding: customer c ↔ 2c, supplier s ↔ 2s+1 —
+    * every shuffle in the edge build and the PageRank loop carries
+    * 8-byte keys; the display string materializes only at the very
+    * end ([[decodeNode]]). The same move as deduping on the numeric
+    * pair below: strings are presentation, not dataflow. */
+  private[graft] def decodeNode(id: Column): Column =
+    when(id.bitwiseAND(1) === 0, concat(lit("c"), shiftright(id, 1)))
+      .otherwise(concat(lit("s"), shiftright(id, 1)))
+
+  /** Distinct customer–supplier edges in the numeric node encoding. */
+  private[graft] def customerSupplierEdgesNum(orders: DataFrame,
+                                                  lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      // dedup on the NUMERIC pair: the distinct's exchange carries 16
+      // bytes/row instead of two strings (the string-keyed shape was
+      // the whole-query bottleneck at sf0.1)
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+
   /** Distinct customer–supplier edges: customers and suppliers that
     * shared at least one order line. Node ids are prefixed ("c123" /
     * "s45") so the bipartite sides can't collide. */
   def customerSupplierEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
-      .distinct()
+    customerSupplierEdgesNum(orders, lineitem)
+      .select(decodeNode(col("a")).as("a"), decodeNode(col("b")).as("b"))
 
   /** Fixed-iteration damped PageRank over an undirected edge list
     * (columns `a`, `b`). Returns (node, rank) with rank rounded to
@@ -43,21 +63,26 @@ object Graph {
     * double aggregate in the registry).
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // every iteration references the edge set and sender degrees —
-    // WITHOUT a snapshot each of the `iters` plan copies re-derives
-    // the upstream edge join (orders ⋈ lineitem ran ~3·iters times:
-    // 8.2 s → 1.9 s at sf0.1). Node count rides the degree write as
-    // an observe() — zero extra jobs (the CC move).
+    // every iteration references the edge set and sender degrees, and
+    // the degree build reads the edges twice — WITHOUT snapshots each
+    // plan copy re-derives the upstream edge join (orders ⋈ lineitem
+    // ran ~2× per call plus once per iteration). Three bounded
+    // write-and-readbacks: the symmetric edge list (one derivation
+    // total), the degree table (node count rides the write as an
+    // observe() — zero extra jobs, the CC move), and the
+    // degree-annotated edge list the loop scans.
+    val symSnap = Dedup.materialize(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
+      "pr_sym")
     val degObs = org.apache.spark.sql.Observation()
     val degSnap = Dedup.materialize(
-      deg.observe(degObs, coalesce(count(lit(1)), lit(0L)).as("n")),
+      symSnap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .observe(degObs, coalesce(count(lit(1)), lit(0L)).as("n")),
       "pr_deg")
     val n = degObs.get("n").asInstanceOf[Long]
     require(n > 0, "pageRank: empty edge set")
-    val symDeg = Dedup.materialize(sym.join(degSnap, "src"), "pr_edges")
+    val symDeg = Dedup.materialize(symSnap.join(degSnap, "src"), "pr_edges")
     var ranks = degSnap.select(col("src"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       ranks = symDeg.join(ranks, "src")
@@ -72,9 +97,12 @@ object Graph {
   private val prIters = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the whole iteration runs on 8-byte node ids; the "c123"/"s45"
+    // presentation strings appear only in this final projection
     "g_pagerank" -> ((s, dir) => pageRank(
-      customerSupplierEdges(Tables.load(s, dir, "orders"),
-        Tables.load(s, dir, "lineitem")), prIters)))
+      customerSupplierEdgesNum(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem")), prIters)
+      .select(decodeNode(col("node")).as("node"), col("rank"))))
 
   /** The oracle unrolls the same five update steps as chained CTEs —
     * identical double-operation order (damping constants forced to
