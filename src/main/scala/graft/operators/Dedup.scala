@@ -180,10 +180,12 @@ object Dedup {
     * Scale design: the window stream is (doc_id, window) pairs — one
     * row per token position, the same O(total tokens) scale as the
     * shingle stream MinHash already shuffles. The global window count
-    * is one groupBy; the count join keys on the identical column, so
-    * Spark reuses the window-stream exchange (one shuffle of the big
-    * side, not two — pinned by PlanAuditSpec's ReusedExchange audit
-    * elsewhere); the per-doc rollup is a third, doc-keyed shuffle. At
+    * is one groupBy over a SECOND, narrower window pass (Catalyst
+    * prunes doc_id out of it, so the count subtree scans only `text`
+    * — two cheap generate passes beat shuffling the wide stream
+    * twice, and the filter+projection sit under both generates); the
+    * count joins back (broadcast at small corpus sizes, a w-keyed
+    * shuffle at scale) and the per-doc rollup is a doc-keyed shuffle. At
     * 100 TB the window key would be xxhash64(window) (8-byte keys,
     * ~50-byte strings carried only to the rollup) — identical
     * dataflow, hash-collision odds ≈ (#windows)²/2⁶⁵; the string key

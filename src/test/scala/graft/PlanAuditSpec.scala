@@ -251,6 +251,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("bm25: term filter precedes every exchange, stats broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan(graft.SparkEntry.queries("t_bm25")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // corpus stats + per-term dfs come back as broadcasts, never a
+    // shuffle of the postings stream against them
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    // the IN-set restriction to query terms sits below the tf
+    // aggregation (only query-term postings enter the exchange)
+    assert(p.contains("INSET") || p.contains(" IN "), p)
+  }
+
+  test("span dedup: both window passes filter short docs before generating; counts aggregate partially") {
+    val p = plan(graft.SparkEntry.queries("d_span_dedup")(spark, sf))
+    // Catalyst prunes the count pass to `text` only — two narrow
+    // generate passes, each behind the >= L-token filter
+    assert(p.linesIterator.count(_.contains("Generate explode")) >= 2, p)
+    assert(p.linesIterator.count(l =>
+      l.contains("Filter") && l.contains("size(split(lower(text")) >= 2, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("pagerank iterations scan the edge snapshot — the base join never re-executes") {
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val p = plan(graft.operators.Graph.pageRank(
+      graft.operators.Graph.customerSupplierEdgesNum(orders, li), 5))
+    assert(p.contains("pr_edges"), p)
+    // orders ⋈ lineitem must have run ONCE into the snapshots at
+    // call time — the returned iteration plan never touches the base
+    // tables again (5 copies of that join was the first shape's cost)
+    assert(!p.contains("orders.parquet") && !p.contains("lineitem.parquet"), p)
+  }
+
+  test("PQ: code assignment is one scan-local kernel call; no window sort anywhere") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.operators.Similarity.pqCosineTopK(emb, 5, 3))
+    assert(p.contains("pq_codes"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
