@@ -242,6 +242,53 @@ object Merge {
     } finally { d.unpersist(); () }
   }
 
+  /** Change feed between two published versions — the Delta CDF /
+    * Iceberg changelog analog on plain parquet. The two manifests are
+    * compared first: a bucket whose entry points at the SAME
+    * directory in both versions is byte-identical by construction
+    * (bucket directories are immutable), so it is never read — the
+    * diff costs O(buckets touched between the versions), not
+    * O(table). Within touched buckets a full outer join on the merge
+    * key classifies each row: `insert` (no pre-image), `delete` (no
+    * post-image), `update` (images differ, null-safe); unchanged rows
+    * (same key re-merged with identical values) drop out. Returns one
+    * row per changed key with BOTH images as structs (`pre`/`post`)
+    * — callers flatten what they need. Diffing BACKWARD (toV < fromV)
+    * is the same operation and renders the inverse feed (inserts
+    * become deletes), which is how an upsert-only target still
+    * exercises the delete path. */
+  def changesBetween(spark: SparkSession, path: String, fromV: Int,
+                     toV: Int, key: String,
+                     fs: Dfs = Dfs.default): DataFrame = {
+    val (nA, ea) = readManifest(path, fromV, fs)
+    val (nB, eb) = readManifest(path, toV, fs)
+    require(nA == nB, s"bucket counts differ between versions: $nA vs $nB")
+    val touched = (ea.keySet ++ eb.keySet)
+      .filter(b => ea.get(b) != eb.get(b)).toSeq.sorted
+    def side(entries: Map[Long, String]): Option[DataFrame] = {
+      val dirs = touched.flatMap(entries.get).map(rel => s"$path/$rel")
+      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    }
+    val aOpt = side(ea)
+    val bOpt = side(eb)
+    val template = aOpt.orElse(bOpt).getOrElse(
+      readVersioned(spark, path, toV, fs).limit(0))
+    def pack(df: DataFrame, name: String): DataFrame =
+      df.select(col(key),
+        struct(df.columns.filter(_ != key).map(col).toSeq: _*).as(name))
+    val empty = template.limit(0)
+    val a = pack(aOpt.getOrElse(empty), "pre")
+    val b = pack(bOpt.getOrElse(empty), "post")
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("pre").isNull, "insert")
+          .when(col("post").isNull, "delete")
+          .when(!(col("pre") <=> col("post")), "update")
+          .otherwise("none"))
+      .filter(col("change_type") =!= "none")
+      .select(col(key), col("change_type"), col("pre"), col("post"))
+  }
+
   /** Compact the CURRENT version: rewrite every bucket of the latest
     * manifest into fresh single-file-per-bucket directories under a
     * new version, state byte-identical. A long CDC run
@@ -410,10 +457,45 @@ object Merge {
       .reduce(_.unionByName(_))
   }
 
+  /** Oracle-checked change feed: v0 = customers, v1 = one merge with
+    * a balance bump on keys ≡ 0 (mod 3) PLUS inserted synthetic
+    * customers — the forward diff renders updates (both images) and
+    * inserts; the backward diff renders the inverse feed, exercising
+    * `delete`. The DuckDB oracle restates both directions as full
+    * outer joins over the relational states — no manifests, no
+    * versioning machinery; hash equality proves the manifest-pruned
+    * diff computes exactly the relational change set. */
+  def changesDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString
+    writeVersioned(c, path, "c_custkey", nBuckets = 8)
+    val delta = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      .unionByName(c.filter((col("c_custkey") + 1000000) % 5 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("new#"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal")))
+    mergeVersioned(s, path, delta, "c_custkey")
+    def render(d: DataFrame, tag: String): DataFrame =
+      d.select(lit(tag).as("dir"), col("c_custkey"), col("change_type"),
+        col("pre.c_name").as("pre_name"),
+        (org.apache.spark.sql.functions.round(col("pre.c_acctbal") * 1e2) / 1e2)
+          .as("pre_bal"),
+        col("post.c_name").as("post_name"),
+        (org.apache.spark.sql.functions.round(col("post.c_acctbal") * 1e2) / 1e2)
+          .as("post_bal"))
+    render(changesBetween(s, path, 0, 1, "c_custkey"), "fwd")
+      .unionByName(render(changesBetween(s, path, 1, 0, "c_custkey"), "rev"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_merge_upsert" -> (mergeDemo _),
     "m_time_travel" -> (timeTravelDemo _),
-    "m_compact" -> (compactDemo _))
+    "m_compact" -> (compactDemo _),
+    "m_changes" -> (changesDemo _))
 
   val oracle: Map[String, String] = Map(
     // the upsert stated relationally: updated-or-kept customers plus
@@ -430,6 +512,37 @@ object Merge {
            WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
            UNION ALL
            SELECT * FROM delta)""",
+    // both diff directions restated as full outer joins over the
+    // relational states — no manifests, no versioning machinery
+    "m_changes" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+           delta AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+                     FROM base WHERE c_custkey % 3 = 0
+                     UNION ALL
+                     SELECT c_custkey + 1000000, 'new#' || c_name, 0.0
+                     FROM base WHERE (c_custkey + 1000000) % 5 = 0),
+           s1 AS (SELECT * FROM base b
+                  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = b.c_custkey)
+                  UNION ALL SELECT * FROM delta),
+           fwd AS (SELECT 'fwd' AS dir, coalesce(b.c_custkey, s.c_custkey) AS c_custkey,
+                     CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                          WHEN s.c_custkey IS NULL THEN 'delete'
+                          ELSE 'update' END AS change_type,
+                     b.c_name AS pre_name, round((b.c_acctbal)*1e2)/1e2 AS pre_bal,
+                     s.c_name AS post_name, round((s.c_acctbal)*1e2)/1e2 AS post_bal
+                   FROM base b FULL OUTER JOIN s1 s ON b.c_custkey = s.c_custkey
+                   WHERE b.c_custkey IS NULL OR s.c_custkey IS NULL
+                      OR b.c_name <> s.c_name OR b.c_acctbal <> s.c_acctbal),
+           rev AS (SELECT 'rev' AS dir, coalesce(s.c_custkey, b.c_custkey) AS c_custkey,
+                     CASE WHEN s.c_custkey IS NULL THEN 'insert'
+                          WHEN b.c_custkey IS NULL THEN 'delete'
+                          ELSE 'update' END AS change_type,
+                     s.c_name AS pre_name, round((s.c_acctbal)*1e2)/1e2 AS pre_bal,
+                     b.c_name AS post_name, round((b.c_acctbal)*1e2)/1e2 AS post_bal
+                   FROM s1 s FULL OUTER JOIN base b ON s.c_custkey = b.c_custkey
+                   WHERE s.c_custkey IS NULL OR b.c_custkey IS NULL
+                      OR s.c_name <> b.c_name OR s.c_acctbal <> b.c_acctbal)
+         SELECT * FROM fwd UNION ALL SELECT * FROM rev""",
     // every historical state restated relationally: hash equality
     // proves each retained version reconstructs exactly
     "m_time_travel" ->

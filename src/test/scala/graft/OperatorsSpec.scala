@@ -699,6 +699,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed: classifies insert/update/delete, prunes untouched buckets by manifest") {
+    val s = spark; import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_spec").toString
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (17L, "q", 70.0)).toDF("k", "name", "bal")
+    Merge.writeVersioned(v0, path, "k", nBuckets = 8)
+    // update key 2, insert key 9, re-merge key 3 UNCHANGED
+    Merge.mergeVersioned(spark, path,
+      Seq((2L, "b", 25.0), (9L, "i", 90.0), (3L, "c", 30.0))
+        .toDF("k", "name", "bal"), "k")
+    val fwd = Merge.changesBetween(spark, path, 0, 1, "k")
+    val got = fwd.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 3 re-merged with identical values → NOT in the feed;
+    // key 1/17 untouched → not in the feed
+    assert(got === Map(2L -> "update", 9L -> "insert"))
+    val images = fwd.filter(col("k") === 2L).select(
+      col("pre.bal"), col("post.bal")).head()
+    assert(images.getDouble(0) === 20.0 && images.getDouble(1) === 25.0)
+    // manifest pruning: the diff must never open a carried-forward
+    // bucket directory (key 17's bucket was untouched by the merge)
+    val files = fwd.inputFiles
+    assert(files.nonEmpty)
+    val v0Dirs = files.filter(_.contains("/_data/v0/"))
+    val v1Dirs = files.filter(_.contains("/_data/v1/"))
+    assert(v1Dirs.nonEmpty)
+    // every v0 file read must belong to a bucket the merge touched —
+    // i.e. the same _mb= bucket ids that appear among the v1 files
+    val bucketOfFile = (f: String) =>
+      f.split("/").find(_.startsWith("_mb=")).getOrElse("")
+    assert(v0Dirs.map(bucketOfFile).toSet.subsetOf(
+      v1Dirs.map(bucketOfFile).toSet),
+      s"diff read a carried-forward bucket: ${files.mkString("\n")}")
+    // reverse diff renders the inverse feed
+    val rev = Merge.changesBetween(spark, path, 1, 0, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev === Map(2L -> "update", 9L -> "delete"))
+  }
+
   test("merge swap recovery: a staged complete copy heals a crash-deleted bucket") {
     val dir = java.nio.file.Files.createTempDirectory("rec_spec").toString
     val t = spark.range(0, 1000)
