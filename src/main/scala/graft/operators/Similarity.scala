@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -289,6 +289,117 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
     topKPerQuery(cand, k)
+  }
+
+  // ------------------------------------------------ IVF-PQ on disk //
+
+  /** Persist the composed IVF-PQ index (the standard billion-scale
+    * ANN layout): cell-partitioned parquet whose rows carry BOTH the
+    * PQ codes and the full vector. Parquet's columnar reads give the
+    * two access paths from one layout: the ADC pass projects only
+    * (vec_id, codes, xnorm) — ~9 bytes of hot data per vector at
+    * nSub=8 instead of a 256-byte float row — and the exact rerank
+    * projects `embedding` for shortlist rows only, from the already
+    * partition-pruned probe cells. Models persist beside the data
+    * (`centroids`, `books`), so a search session needs no training. */
+  def writeIvfPqIndex(embeddings: DataFrame, path: String,
+                      nCells: Int = 16, refineIters: Int = 2,
+                      nSub: Int = 8, codesPerSub: Int = 64,
+                      pqIters: Int = 2): Unit = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    val centroids = refinedCentroids(embeddings, nCells, refineIters)
+    val books = pqTrain(embeddings, nSub, codesPerSub, pqIters)
+    centroidsDf(spark, centroids)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        books.toSeq.flatMap { case (m, cents) =>
+          cents.map { case (cd, ce) => Row(m, cd, ce) } }, 1),
+      StructType(Seq(StructField("m", IntegerType),
+        StructField("code", IntegerType),
+        StructField("ce", ArrayType(FloatType)))))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/books")
+    embeddings.select(col("vec_id"),
+        pqCodesCol(books).as("codes"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x * x)).as("xnorm"),
+        col("embedding"),
+        nearestCell(centroids, col("embedding")).as("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probed ADC search over a persisted [[writeIvfPqIndex]] layout:
+    * probe cells come from the persisted centroid model (scan-local
+    * literal expression), the codes columns of ONLY the probed
+    * directories ADC-score against a driver-built per-query LUT,
+    * the k-bounded shortlist reranks exactly against the `embedding`
+    * column of the same pruned directories. Queries are a SMALL
+    * query set (collected driver-side for the LUT — bounded by
+    * nQueries, not data). */
+  def searchIvfPqIndex(spark: SparkSession, queries: DataFrame,
+                       path: String, k: Int, nProbe: Int = 12,
+                       shortlistFrac: Double = 0.25,
+                       minShortlist: Int = 100): DataFrame = {
+    graft.functions.HashExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+    val books: Map[Int, Seq[(Int, Seq[Float])]] =
+      spark.read.parquet(s"$path/books")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+        .groupBy(_._1)
+        .map { case (m, rows) =>
+          m -> rows.sortBy(_._2).map(r => r._2 -> r._3).toSeq
+        }
+    val nSub = books.size
+    val subDim = books(0).head._2.size
+    val qs = queries.select(col("qid"), col("qe")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val lutRows = qs.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = (0 until nSub).map { mi =>
+        books(mi).map { case (_, ce) =>
+          val qsub = qv.slice(mi * subDim, (mi + 1) * subDim)
+          qsub.zip(ce).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        }
+      }
+      org.apache.spark.sql.Row(qid, lut)
+    }
+    import org.apache.spark.sql.types._
+    val lutDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq, 1),
+      StructType(Seq(StructField("qid", LongType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+    // per-query probe cells, collected as a bounded (qid → cells) model
+    val probes = queries
+      .select(col("qid"), explode(topCells(centroids, col("qe"), nProbe)).as("pc"))
+      .select(col("qid"), col("pc.cell").as("cell"))
+    val cellSet = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nCells values
+    val n = spark.read.parquet(s"$path/cells").count()
+    val shortlist = math.max(minShortlist,
+      math.ceil(n * shortlistFrac).toInt)
+    val index = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cellSet.toIndexedSeq: _*))
+    val adc = index
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lutDf), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (aggregate(
+          zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, c + 1)),
+          lit(0.0), (a, x) => a + x) / col("xnorm")).as("sim"))
+    val short = topKPerQuery(adc, shortlist).select(col("qid"), col("nid"))
+    val rerank = short
+      .join(index.select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .join(broadcast(queries.select(col("qid"), col("qe"))), "qid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKPerQuery(rerank, k)
   }
 
   /** The pruned index scan of [[searchIvfIndex]], exposed for plan
@@ -595,6 +706,19 @@ object Similarity {
       val e = emb(s, dir)
       annRecall(pqCosineTopK(e, 10, 5), cosineTopK(e, 10, 5), 5)
     }),
+    // oracled recall-1 proof of the COMPOSED on-disk index: IVF cell
+    // pruning (12/16 probe, as s_ivf_ann) × PQ-ADC shortlisting (25%,
+    // as s_pq_ann) × exact rerank, all over the persisted layout —
+    // write + model reload + search per run, no in-memory carryover
+    "s_ivfpq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq").toString
+      writeIvfPqIndex(e, path)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      annRecall(searchIvfPqIndex(s, q, path, 5), cosineTopK(e, 10, 5), 5)
+    }),
     "s_quantize" -> ((s, dir) => {
       val q = quantizeInt8(emb(s, dir))
       q.select(col("vec_id"),
@@ -688,6 +812,8 @@ object Similarity {
     "s_ivf_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_pq_ann" ->
+      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    "s_ivfpq_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_quantize" ->
       """WITH scaled AS (SELECT vec_id, embedding, list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS s FROM embeddings),

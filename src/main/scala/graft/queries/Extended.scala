@@ -81,6 +81,20 @@ object Extended {
         coalesce(col("F"), lit(0L)).as("n_finished"),
         coalesce(col("P"), lit(0L)).as("n_pending"))
 
+  /** Unpivot (melt): wide per-line measures → long (measure, value)
+    * rows via the native Dataset.unpivot — a Generate (Expand) per
+    * row, zero shuffles; the inverse of [[qPivot]]. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("value"), 2).as("value"))
+
   /** Right outer join (parts never ordered keep nulls → flagged). */
   def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir)("lineitem").groupBy(col("l_partkey"))
@@ -357,6 +371,7 @@ object Extended {
     "x_first_last" -> (qFirstLast _),
     "x_percentile" -> (qPercentile _),
     "x_pivot" -> (qPivot _),
+    "x_unpivot" -> (qUnpivot _),
     "x_outer_join" -> (qOuterJoin _),
     "x_full_outer" -> (qFullOuter _),
     "x_cross_join" -> (qCrossJoin _),
@@ -412,6 +427,13 @@ object Extended {
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, round((quantile_cont(l_extendedprice, 0.5))*1e2)/1e2 AS exact_p50, TRUE AS parts_within_5pct, TRUE AS p50_within_5pct FROM lineitem GROUP BY l_returnflag",
     "x_pivot" ->
       "SELECT o_custkey, count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open, count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending FROM orders GROUP BY o_custkey",
+    // the relational definition of melt: one UNION ALL branch per
+    // measure (same rows the Expand emits, engine-neutral)
+    "x_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, round((l_quantity)*1e2)/1e2 AS value FROM lineitem
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', round((l_extendedprice)*1e2)/1e2 FROM lineitem
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', round((l_discount)*1e2)/1e2 FROM lineitem
+         UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', round((l_tax)*1e2)/1e2 FROM lineitem""",
     "x_outer_join" ->
       "SELECT p_partkey, coalesce(n_lines, 0) AS n_lines FROM (SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY l_partkey) li RIGHT JOIN part ON l_partkey = p_partkey",
     "x_full_outer" ->

@@ -319,6 +319,31 @@ class OperatorsSpec extends AnyFunSuite {
       rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
   }
 
+  test("IVF-PQ on disk: recall 1 vs exact, ADC pass reads only probed cell directories") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    Similarity.writeIvfPqIndex(emb, path, nCells = 8, refineIters = 1,
+      nSub = 8, codesPerSub = 16, pqIters = 1)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val got = Similarity.searchIvfPqIndex(spark, q, path, k = 3,
+      nProbe = 6, shortlistFrac = 0.5)
+    val rec = Similarity.annRecall(got, Similarity.cosineTopK(emb, 5, 3), 3)
+      .collect()
+    assert(rec.length === 5)
+    assert(rec.forall(_.getDouble(1) == 1.0),
+      rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
+    // pruning: a single query probes 3 cells — the literal IN filter
+    // must reach PartitionFilters on the codes scan (directories
+    // outside the probe set are never listed, let alone read; same
+    // contract as the IVF-Flat index test above)
+    val one = Similarity.searchIvfPqIndex(spark,
+      q.filter(col("qid") === 0L), path, k = 3,
+      nProbe = 3, shortlistFrac = 0.5)
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), p)
+  }
+
   test("int8 quantization: codes bounded, reconstruction within half a step, zero-safe") {
     val q = Similarity.quantizeInt8(emb).collect()
     assert(q.nonEmpty)
