@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Graph, Layout, Merge, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Bpe, Corpus, Dedup, Fuzzy, Graph, Layout, Merge, Multimodal, Profile, Similarity, Skew, TextAnalysis}
 import graft.queries.{Extended, Relational, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,11 +23,13 @@ object SparkEntry {
     Relational.queries ++ Extended.queries ++ Temporal.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ TextFunctions.queries ++ Skew.queries ++
-      Merge.queries ++ Corpus.queries ++ Layout.queries ++ Graph.queries
+      Merge.queries ++ Corpus.queries ++ Layout.queries ++ Graph.queries ++
+      Fuzzy.queries ++ Bpe.queries ++ Profile.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Extended.oracle ++ Temporal.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ TextFunctions.oracle ++ Skew.oracle ++
-      Merge.oracle ++ Corpus.oracle ++ Layout.oracle ++ Graph.oracle
+      Merge.oracle ++ Corpus.oracle ++ Layout.oracle ++ Graph.oracle ++
+      Fuzzy.oracle ++ Bpe.oracle ++ Profile.oracle
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed BPE (byte-pair-encoding) tokenizer training — the
+  * vocabulary-learning step every LLM data pipeline runs before
+  * token counting, packing, or dedup-by-token. Sennrich-style
+  * dictionary BPE: train on the (word, frequency) table, not the
+  * raw corpus, so after ONE corpus-wide word-count shuffle every
+  * merge iteration runs over a vocabulary-sized table (Heaps' law:
+  * ~millions of distinct words for 100 TB of text — a broadcast-
+  * sized frame, iterated in memory).
+  *
+  * Representation: a word's token sequence is one delimited string,
+  * `|t1||t2||...|` — every token wrapped in `|` on both sides. That
+  * makes "merge pair (a,b) everywhere, leftmost-first, non-
+  * overlapping" EXACTLY `replace(s, "|a||b|", "|ab|")`: the doubled
+  * inner delimiter keeps each token's own brackets intact on both
+  * sides of a match, so consecutive matches never share boundary
+  * characters and the standard continue-after-replacement scan of
+  * `replace` implements greedy left-to-right merging. Both engines'
+  * `replace` have those semantics, which is what lets the DuckDB
+  * oracle restate the WHOLE training loop (pair counting, argmax
+  * with (count DESC, pair ASC) tie-break, merge application) as
+  * eight unrolled CTE stages over the same strings — the hash match
+  * certifies every intermediate vocabulary state, not just the
+  * final table.
+  *
+  * Scale shape: one wide shuffle (word count), then per merge a
+  * vocabulary-sized pair-count aggregation and a single-row argmax
+  * collect (the driver holds only the merge table — nMerges rows).
+  * Merge application is a stacked codegen'd `replace` on the
+  * persisted vocab frame; no per-row loops, no UDFs, no growth in
+  * partition count. Real trainers batch merges per counting pass;
+  * one-merge-per-pass is the exact-reference semantics the oracle
+  * can certify.
+  */
+object Bpe {
+
+  /** `|c1||c2||...|` character-delimited form of a word. Built via
+    * 1-based substr over a sequence (NOT `split(w, "")`) so the
+    * DuckDB restatement (`list_transform(range(...), substring)`)
+    * is character-identical. */
+  def charDelim(w: Column): Column =
+    concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), "||"),
+      lit("|"))
+
+  /** Adjacent-pair strings `"a b"` of a delimited token sequence.
+    * Guarded for single-token words — Spark's `sequence(1, 0)`
+    * counts DOWN rather than producing an empty list. */
+  def pairsOf(s: Column): Column = {
+    val tk = split(s.substr(lit(2), length(s) - 2), "\\|\\|")
+    when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One merge applied everywhere (see object doc for why this is
+    * exact greedy leftmost non-overlapping merging). */
+  def applyMerge(s: Column, a: String, b: String): Column =
+    replace(s, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+
+  /** The (word, cnt) training dictionary: corpus words with empty
+    * strings and delimiter-carrying words dropped (the latter so
+    * token text can never contain the representation's delimiter —
+    * mirrored verbatim in the oracle's WHERE). */
+  def wordCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Train `nMerges` BPE merges; returns the merge table
+    * (merge_rank, pair, merged, cnt) — the tokenizer model. Runs
+    * eagerly (one vocabulary-sized Spark job per merge, one-row
+    * collect each); the returned frame is the driver-held model
+    * materialized as literals, so downstream writes replay nothing. */
+  def train(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val wc = wordCounts(docs, text).persist()
+    try {
+      var cur = wc.select(col("w"), charDelim(col("w")).as("s"), col("cnt"))
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var exhausted = false
+      for (r <- 1 to nMerges if !exhausted) {
+        val top = cur
+          .select(explode(pairsOf(col("s"))).as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((r, pair, a + b, top(0).getLong(1)))
+          cur = cur.withColumn("s", applyMerge(col("s"), a, b))
+        }
+      }
+      import spark.implicits._
+      merges.result().toDF("merge_rank", "pair", "merged", "cnt")
+    } finally { wc.unpersist(); () }
+  }
+
+  /** Tokenized form of every dictionary word under `merges` (the
+    * trained model as (rank, a, b) triples): word → final token
+    * array. The encode path: corpora re-tokenize by broadcast-
+    * joining words against this vocab table — no per-document
+    * merge loops anywhere. */
+  def encodeVocab(docs: DataFrame, text: Column,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val start = wordCounts(docs, text)
+      .select(col("w"), charDelim(col("w")).as("s"), col("cnt"))
+    val done = merges.foldLeft(start) { case (df, (a, b)) =>
+      df.withColumn("s", applyMerge(col("s"), a, b))
+    }
+    done.select(col("w"),
+      split(col("s").substr(lit(2), length(col("s")) - 2), "\\|\\|")
+        .as("tokens"), col("cnt"))
+  }
+
+  /** Per-document BPE token count under a freshly trained model —
+    * the end-to-end trainer+encoder composition the registry gates.
+    * The vocab join broadcasts (vocabulary ≪ corpus). */
+  def tokenCount(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val model = train(docs, text, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => { val Array(a, b) = r.getString(1).split(" ", 2); (a, b) })
+    val vocab = encodeVocab(docs, text, model.toSeq)
+      .select(col("w"), size(col("tokens")).as("n_tok"))
+    docs.select(col("doc_id"), explode(split(text, " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+      .join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tok")).as("n_bpe_tokens"))
+  }
+
+  // ------------------------------------------------------- queries //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_train" -> ((s, dir) =>
+      train(Tables.load(s, dir, "documents"), col("text"), 8)),
+    "t_bpe_encode" -> ((s, dir) =>
+      tokenCount(Tables.load(s, dir, "documents"), col("text"), 8)))
+
+  /** The full training loop restated as DuckDB SQL: word counts →
+    * char-delimited t0 → per merge r an argmax CTE (m_r) and the
+    * post-merge vocabulary (t_r), chained `nMerges` deep, each
+    * stage reading the previous one and the chosen pair via scalar
+    * subqueries. No literals derived from data anywhere — the SQL
+    * is static and DuckDB re-derives every merge itself, so hash
+    * equality certifies the entire distributed loop. */
+  private def trainOracleStages(nMerges: Int): String = {
+    val chars =
+      "list_transform(range(1, length(w) + 1), i -> substring(w, i, 1))"
+    // MATERIALIZED: every t_r is referenced twice (by m_{r+1} and
+    // t_{r+1}); inlining would expand the chain 2^nMerges-fold
+    val base =
+      "wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '' AND w NOT LIKE '%|%' GROUP BY w), " +
+      s"t0 AS MATERIALIZED (SELECT w, '|' || array_to_string($chars, '||') || '|' AS s, cnt FROM wc)"
+    def pairs(src: String) =
+      s"SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS pair, cnt FROM (SELECT string_split(substring(s, 2, length(s) - 2), '||') AS tk, cnt FROM $src)"
+    val stages = (1 to nMerges).map { r =>
+      val prev = s"t${r - 1}"
+      s"m$r AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (${pairs(prev)}) GROUP BY pair ORDER BY c DESC, pair LIMIT 1), " +
+      s"t$r AS MATERIALIZED (SELECT w, replace(s, '|' || split_part((SELECT pair FROM m$r), ' ', 1) || '||' || split_part((SELECT pair FROM m$r), ' ', 2) || '|', '|' || replace((SELECT pair FROM m$r), ' ', '') || '|') AS s, cnt FROM $prev)"
+    }
+    s"WITH $base, ${stages.mkString(", ")}"
+  }
+
+  private def trainOracleSql(nMerges: Int): String = {
+    val sel = (1 to nMerges)
+      .map(r => s"SELECT $r AS merge_rank, pair, replace(pair, ' ', '') AS merged, c AS cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    s"${trainOracleStages(nMerges)} SELECT CAST(merge_rank AS INTEGER) AS merge_rank, pair, merged, cnt FROM ($sel)"
+  }
+
+  private def encodeOracleSql(nMerges: Int): String =
+    s"${trainOracleStages(nMerges)} " +
+    s"SELECT d.doc_id, CAST(sum(len(string_split(substring(v.s, 2, length(v.s) - 2), '||'))) AS BIGINT) AS n_bpe_tokens " +
+    s"FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) d " +
+    s"JOIN t$nMerges v USING (w) WHERE d.w <> '' AND d.w NOT LIKE '%|%' GROUP BY d.doc_id"
+
+  val oracle: Map[String, String] = Map(
+    "t_bpe_train" -> trainOracleSql(8),
+    "t_bpe_encode" -> encodeOracleSql(8))
+}

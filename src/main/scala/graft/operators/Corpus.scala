@@ -218,6 +218,45 @@ object Corpus {
 
   // ------------------------------------------------------- queries //
 
+  /** DSIR-style data selection (Xie et al. '23): per-document
+    * importance weight log(p̂_target/p̂_source) under hashed-bigram
+    * bag-of-features models — the cheap importance-resampling signal
+    * for steering a web-scale mix toward a target distribution (here:
+    * `isTarget` rows are the target sample, the whole frame the
+    * source). Features are word bigrams hashed into `nBuckets` md5
+    * buckets (engine/run-stable); both multinomials are add-one
+    * smoothed; a document's weight is the sum of its bigrams' bucket
+    * log-ratios.
+    *
+    * Scale shape: one bigram shuffle for the two count tables (tiny:
+    * ≤ nBuckets rows each, broadcast back joined onto the bigram
+    * stream), one per-doc aggregation. Resampling itself is then
+    * [[stratifiedSample]]/[[tokenBudgetSample]] keyed on the weight —
+    * no new machinery. */
+  def dsirWeights(df: DataFrame, text: Column, isTarget: Column,
+                  nBuckets: Int = 1024): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val bg = df.select(col("doc_id"), isTarget.as("tgt"),
+        explode(graft.functions.HashExpressions
+          .word_ngrams2(tokens(text))).as("bgs"))
+      .select(col("doc_id"), col("tgt"),
+        (TextAnalysis.md5Bucket16(col("bgs")) % nBuckets).as("b"))
+    val cs = bg.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val ct = bg.filter(col("tgt")).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = bg.agg(count(lit(1)).as("ts"),
+      count(when(col("tgt"), 1)).as("tt"))
+    val ratios = cs.join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("tt") + nBuckets).cast("double")) -
+          log((col("cs") + 1).cast("double") /
+            (col("ts") + nBuckets).cast("double"))).as("lr"))
+    bg.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(sum(col("lr"))).as("dsir_weight"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -256,7 +295,10 @@ object Corpus {
     "c_chunk_overlap" -> ((s, dir) =>
       chunkDocs(docs(s, dir), window = 64, stride = 48)
         .select(col("doc_id"), col("chunk_id"), col("tok_start"),
-          col("n_tokens"), col("chunk_hash"))))
+          col("n_tokens"), col("chunk_hash"))),
+    // target = the English slice; weights should lift en documents
+    "c_dsir_weights" -> ((s, dir) =>
+      dsirWeights(docs(s, dir), col("text"), col("lang") === "en")))
 
   private val piiText =
     "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
@@ -334,5 +376,22 @@ object Corpus {
         |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
         |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[(chunk_id*48 + 1):(chunk_id*48 + least(64, n - chunk_id*48))], ' ')) AS chunk_hash
-        |FROM e""".stripMargin)
+        |FROM e""".stripMargin,
+    // same bigram construction as t_lm_score's oracle, same md5
+    // bucket formula as t_hash_split's, same add-one smoothing and
+    // cast placement as the Spark plan — the per-doc sum is the only
+    // reassociation point and rides the shared 1e4 rounding
+    "c_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, tgt, CAST(('0x' || substring(md5(bgs), 1, 4)) AS INTEGER) % 1024 AS b
+        |       FROM (SELECT doc_id, tgt, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgs FROM toks)),
+        |cs AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM bg GROUP BY b),
+        |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bg WHERE tgt GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM bg) AS ts, (SELECT count(*) FROM bg WHERE tgt) AS tt),
+        |r AS (SELECT cs.b,
+        |        ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+        |        ln(CAST(cs.cs + 1 AS DOUBLE) / CAST(ts + 1024 AS DOUBLE)) AS lr
+        |      FROM cs LEFT JOIN ct ON cs.b = ct.b CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams, round(sum(lr)*1e4)/1e4 AS dsir_weight
+        |FROM bg JOIN r ON bg.b = r.b GROUP BY doc_id""".stripMargin)
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Edit-distance fuzzy join — entity-resolution / near-duplicate
+  * matching over string keys (the "same supplier spelled two ways"
+  * problem a training-data pipeline hits when fusing corpora).
+  *
+  * Blocking is the whole game at scale: a naive θ-join on
+  * `levenshtein(a, b) <= τ` is a cross join (10^10 × 10^10 pairs at
+  * 100 TB). This uses the deletion-neighborhood method (FastSS /
+  * SymSpell): every string emits its ≤τ-character-deletion variants
+  * as join keys; two strings within edit distance τ ALWAYS share at
+  * least one variant (align an optimal edit script, delete the
+  * edited positions from each side — at most τ per side — and both
+  * collapse to the same string). Candidates are pairs sharing a key;
+  * an exact `levenshtein` filter then removes false positives, so
+  * the result is EXACT — the blocking theorem only guarantees no
+  * false negatives, which the DuckDB brute-force oracle certifies.
+  *
+  * Why not segment blocking (PassJoin-style prefix/suffix pigeonhole)?
+  * Generated-ID corpora like TPC-H's `Customer#000000042` share long
+  * constant prefixes, so the prefix segment hashes the ENTIRE table
+  * into one bucket and the candidate set degenerates to the cross
+  * join. Deletion variants keep the discriminating characters in
+  * every key: buckets stay O(1) regardless of shared affixes.
+  *
+  * Scale shape: explode ×(L+1 per deletion level) → one narrow
+  * shuffle on short, near-unique keys → per-bucket pair expansion
+  * (bounded by bucket size) → distinct → verify. No cross join
+  * anywhere; the verify filter runs on candidates only. Key volume
+  * is L^τ/τ! per string — τ=1 (the common dedup setting) is L+1
+  * keys; τ=2 is ~L²/2, still far below any quadratic blowup.
+  */
+object Fuzzy {
+
+  /** All variants of `s` reachable by deleting at most `tau`
+    * characters (including `s` itself), distinct. Pure codegen'd
+    * array/string expressions — per-row map work, no shuffle.
+    * Single-char deletion at 1-based position i is
+    * `substr(1, i-1) || substr(i+1, len)`; `tau` levels expand the
+    * frontier through `flatten ∘ transform`. Empty strings pass
+    * through as themselves (the `sequence` guard — Spark's
+    * `sequence(1, 0)` would count DOWN, not produce the empty
+    * list). */
+  def deletionVariants(s: Column, tau: Int): Column = {
+    def oneLevel(k: Column): Column =
+      when(length(k) === 0, array())
+        .otherwise(transform(sequence(lit(1), length(k)),
+          i => concat(k.substr(lit(1), i - lit(1)),
+            k.substr(i + lit(1), length(k)))))
+    var keys = array(s)
+    for (_ <- 1 to tau)
+      keys = array_distinct(concat(keys, flatten(transform(keys, oneLevel(_)))))
+    keys
+  }
+
+  /** Exact edit-distance self-join over the distinct values of
+    * `key` in `df`: all unordered pairs (a < b) with
+    * `levenshtein(a, b) <= tau`, plus the distance. Deletion-
+    * neighborhood blocking + exact verify (see object doc). */
+  def editSelfJoin(df: DataFrame, key: Column, tau: Int): DataFrame = {
+    val keyed = df.select(key.as("nm")).distinct()
+      .select(col("nm"), explode(deletionVariants(col("nm"), tau)).as("dk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.dk") === col("b.dk") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= tau)
+  }
+
+  // ------------------------------------------------------- queries //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // all customer-name pairs within one edit — on this corpus the
+    // 18-char names share a 9-char constant prefix (the segment-
+    // blocking worst case the object doc describes); the deletion
+    // keys stay selective and the hash match against the DuckDB
+    // CROSS-JOIN oracle proves the blocking lossless
+    "t_fuzzy_join" -> ((s, dir) =>
+      editSelfJoin(Tables.load(s, dir, "customer"), col("c_name"), 1)
+        .select(col("name_a"), col("name_b"), col("dist").cast("int"))))
+
+  // the oracle has NO blocking in it: brute-force levenshtein over
+  // all ordered pairs. Hash equality certifies the deletion-
+  // neighborhood candidate set contains every true pair.
+  val oracle: Map[String, String] = Map(
+    "t_fuzzy_join" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+}

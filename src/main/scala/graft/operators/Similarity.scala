@@ -650,6 +650,62 @@ object Similarity {
       .groupBy(col("qid"))
       .agg((count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
 
+  /** SemDeDup (Abbas et al. '23): semantic deduplication of an
+    * embedding corpus — cluster, then within each cluster drop every
+    * vector that has a sufficiently-similar peer, keeping one
+    * representative per near-duplicate group. The pruning policy is
+    * deterministic: a vector is dropped iff a SMALLER-id cluster-mate
+    * sits at cosine ≥ `tau` (the paper keeps the entry closest to the
+    * centroid; an id-based keeper is order- and run-stable, which the
+    * hash gate needs).
+    *
+    * `cluster` is caller-supplied: the registry entry uses a
+    * closed-form SRP bucket (so the DuckDB oracle can re-derive the
+    * clustering from literal hyperplane signs); production would pass
+    * [[nearestCell]] over k-means centroids — the spec pins that
+    * variant against brute force. Scale shape: ONE shuffle on the
+    * cluster key, pairwise work bounded by cluster size (k is chosen
+    * ~N/⟨cluster⟩ precisely to cap it — the paper's 50k clusters for
+    * 5 B embeddings), survivors via a broadcast-able anti join on the
+    * narrow dropped-id set. */
+  def semanticDedup(embeddings: DataFrame, cluster: Column,
+                    tau: Double): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val c = embeddings.select(col("vec_id"), col("embedding"),
+      cluster.cast("long").as("cl"))
+    val dropped = c.as("a")
+      .join(c.as("b"),
+        col("a.cl") === col("b.cl") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    c.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cl"))
+  }
+
+  /** Scan-local k-means cell assignment (vec_id, cl) over a freshly
+    * refined driver-held model — the clustering itself as a
+    * first-class output (feeds [[semanticDedup]], per-cluster
+    * sampling, stratified stats). */
+  def kmeansAssign(embeddings: DataFrame, nCells: Int,
+                   refineIters: Int): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"),
+      nearestCell(refinedCentroids(embeddings, nCells, refineIters),
+        col("embedding")).cast("long").as("cl"))
+  }
+
+  /** [[semanticDedup]] over the k-means clustering — the production
+    * SemDeDup shape (the registry entry uses SRP clusters so DuckDB
+    * can re-derive them; this variant is pinned against brute force
+    * in OperatorsSpec). */
+  def kmeansSemanticDedup(embeddings: DataFrame, nCells: Int,
+                          refineIters: Int, tau: Double): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    semanticDedup(embeddings,
+      nearestCell(refinedCentroids(embeddings, nCells, refineIters),
+        col("embedding")), tau)
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -718,6 +774,18 @@ object Similarity {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       annRecall(searchIvfPqIndex(s, q, path, 5), cosineTopK(e, 10, 5), 5)
+    }),
+    // SemDeDup with a closed-form clustering (table-0 4-bit SRP
+    // bucket → 16 clusters) and the corpus-calibrated 0.4 threshold
+    // (see s_embed_neardup). ORACLED as a mechanism restatement: the
+    // DuckDB SQL re-derives the clusters from LITERAL hyperplane
+    // signs, re-runs the within-cluster pairwise cosine, and applies
+    // the same smaller-id-wins keep policy — hash equality certifies
+    // clustering, candidate generation, and pruning end to end.
+    "s_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.functions.HashExpressions.registerSrp(e.sparkSession, 4, 1)
+      semanticDedup(e, srpBucket(col("embedding"), 4, 0), 0.4)
     }),
     "s_quantize" -> ((s, dir) => {
       val q = quantizeInt8(emb(s, dir))
@@ -791,6 +859,25 @@ object Similarity {
     s"""WITH bk AS ($bk), sized AS (SELECT tbl, bucket FROM bk GROUP BY tbl, bucket HAVING count(*) BETWEEN 2 AND $maxBucket), cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id JOIN sized s ON s.tbl = x.tbl AND s.bucket = x.bucket), vecs AS (SELECT c.id_a, c.id_b, a.embedding AS ea, b.embedding AS eb FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b), scored AS (SELECT id_a, id_b, $dotAB / (${normSql("ea")} * ${normSql("eb")}) AS sim FROM vecs) SELECT id_a, id_b, round(sim*1e4)/1e4 AS sim FROM scored WHERE sim >= $threshold"""
   }
 
+  /** [[semanticDedup]] restated over the literal table-0 sign matrix
+    * (same mechanism-restatement shape as [[nearDupOracleSql]]):
+    * cluster = Σ 2^h·(proj_h > 0), within-cluster a<b pairwise cosine
+    * over the identical sequential double fold, dropped = larger ids
+    * of ≥-threshold pairs, survivors = the rest. */
+  private def semanticDedupOracleSql(tau: Double, bits: Int,
+                                     dim: Int): String = {
+    def proj(plane: Int): String = {
+      val s = (0 until dim).map(srpSign(plane, _)).mkString("[", ",", "]")
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(embedding) + 1), j -> CAST(embedding[j] AS DOUBLE) * CAST(($s)[j] AS DOUBLE))), (a, x) -> a + x)"
+    }
+    val bucket = (0 until bits).map(h =>
+      s"(CASE WHEN ${proj(h)} > 0 THEN ${1L << h} ELSE 0 END)")
+      .mkString(" + ")
+    val dotAB =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    s"""WITH bk AS (SELECT vec_id, CAST($bucket AS BIGINT) AS cl, embedding FROM (SELECT vec_id, CASE WHEN len(embedding) = $dim THEN embedding ELSE error('embedding dim must be $dim') END AS embedding FROM embeddings)), cand AS (SELECT b.vec_id AS ib, a.embedding AS ea, b.embedding AS eb FROM bk a JOIN bk b ON a.cl = b.cl AND a.vec_id < b.vec_id), dropped AS (SELECT DISTINCT ib AS vec_id FROM cand WHERE $dotAB / (${normSql("ea")} * ${normSql("eb")}) >= $tau) SELECT vec_id, cl FROM bk WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+  }
+
   // DuckDB-side double fold, bit-identical to the Spark expressions.
   private val dotSql =
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), (acc, x) -> acc + x)"
@@ -825,5 +912,7 @@ object Similarity {
     // mechanism restatement over the literal sign matrix — see
     // nearDupOracleSql; parameters mirror the query entry exactly
     "s_embed_neardup" -> nearDupOracleSql(
-      threshold = 0.4, bits = 8, tables = 16, maxBucket = 64, dim = 64))
+      threshold = 0.4, bits = 8, tables = 16, maxBucket = 64, dim = 64),
+    "s_semantic_dedup" -> semanticDedupOracleSql(
+      tau = 0.4, bits = 4, dim = 64))
 }

@@ -232,4 +232,21 @@ class CorpusSpec extends AnyFunSuite {
       .orderBy("k").collect().map(_.getLong(0)).toSeq
     assert(out.map(_._1).toSeq === expected)
   }
+
+  test("dsir weights: target-distribution documents score higher") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val w = Corpus.dsirWeights(docs, col("text"), col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_weight") / col("n_bigrams")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // per-bigram mean log-ratio must separate en (target) from rest.
+    // (No absolute-sign claim: add-one smoothing over 1024 buckets
+    // biases every ratio slightly negative when the target sample is
+    // small — the selection signal is the GAP, which resampling ranks
+    // on.)
+    assert(w(true) > w(false) + 0.05,
+      s"en mean ${w(true)} should clearly exceed non-en ${w(false)}")
+  }
 }

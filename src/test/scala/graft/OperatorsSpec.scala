@@ -890,4 +890,122 @@ class OperatorsSpec extends AnyFunSuite {
       }.filter(_._2 > 0)
     assert(got === truth)
   }
+
+  test("fuzzy join tau=2: deletion-neighborhood equals brute-force levenshtein") {
+    val sup = Tables.load(spark, sf, "supplier")
+    val got = Fuzzy.editSelfJoin(sup, col("s_name"), 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val names = sup.select(col("s_name")).distinct().collect()
+      .map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names if a < b
+      d = levenshteinRef(a, b) if d <= 2
+    } yield (a, b) -> d).toMap
+    assert(brute.nonEmpty, "fixture should contain distance<=2 name pairs")
+    assert(got === brute)
+  }
+
+  test("fuzzy join: deletion variants handle empty and 1-char strings") {
+    import spark.implicits._
+    val tiny = Seq("", "a", "b", "ab").toDF("nm")
+    val got = Fuzzy.editSelfJoin(tiny, col("nm"), 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // every pair here is within one edit except ("", "ab") (distance 2)
+    assert(got === Set("" -> "a", "" -> "b", "a" -> "b", "a" -> "ab", "ab" -> "b"))
+  }
+
+  test("kmeans semantic dedup: survivors equal driver-side brute force") {
+    val assign = Similarity.kmeansAssign(emb, 8, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // the kernel's exact fold: per-index float→double, sequential
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.keySet.filter { id =>
+      !vecs.keySet.exists(o => o < id && assign(o) == assign(id) &&
+        cos(vecs(o), vecs(id)) >= 0.4)
+    }
+    val got = Similarity.kmeansSemanticDedup(emb, 8, 1, 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === expect)
+    // reported cluster ids match the standalone assignment
+    got.foreach { case (id, cl) => assert(cl === assign(id)) }
+    assert(got.size < vecs.size, "corpus should contain semantic dups at 0.4")
+  }
+
+  test("bpe train: merge table equals an independent driver-side reference") {
+    val got = Bpe.train(docs, col("text"), 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // reference: plain-Scala Sennrich dictionary BPE over the same
+    // word counts — greedy leftmost merge, (count desc, pair asc)
+    var vocab: Map[Vector[String], Long] = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains("|"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, ws) =>
+        w.toCharArray.map(_.toString).toVector -> ws.length.toLong
+      }
+    val expect = (1 to 8).map { r =>
+      val counts = vocab.toSeq.flatMap { case (toks, cnt) =>
+        toks.zip(toks.tail).map(p => p -> cnt)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def mergeOne(toks: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length)
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        out.result()
+      }
+      vocab = vocab.toSeq.map { case (t, n) => mergeOne(t) -> n }
+        .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+      (r, s"$a $b", a + b, c)
+    }
+    assert(got.toSeq === expect)
+  }
+
+  test("bpe: greedy leftmost merging on repeated symbols") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aaa aaaa b")).toDF("doc_id", "text")
+    val m = Bpe.train(tiny, col("text"), 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+    // "aaa" pairs: (a,a)x2; "aaaa": (a,a)x3 → merge 1 = "a a" cnt 5.
+    // after: "aaa"→[aa,a], "aaaa"→[aa,aa] → pairs: (aa,a)x1, (aa,aa)x1
+    // → tie broken lexicographically: "aa a" < "aa aa"
+    assert(m(0) === ((1, "a a", 5L)))
+    assert(m(1) === ((2, "aa a", 1L)))
+  }
+
+  test("bpe encode: token counts reconstruct documents exactly") {
+    val n = Bpe.tokenCount(docs, col("text"), 4)
+    // every document's BPE token count is bounded by its char count
+    // (merges only shrink) and at least its word count
+    val joined = n.join(docs, "doc_id")
+      .select(col("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("nw"), length(col("text")).as("nc"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(0) <= r.getInt(2) && r.getLong(0) >= r.getInt(1)) }
+  }
+
+  /** Textbook Wagner–Fischer, the truth reference for the spec. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
