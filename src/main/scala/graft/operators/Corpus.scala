@@ -216,6 +216,98 @@ object Corpus {
       .drop("_toks", "_n", "_c")
   }
 
+  /** Model-based quality filtering — the in-engine analog of the
+    * fastText quality classifier every web-scale pipeline runs
+    * (CCNet / LLaMA-style): a Naive Bayes model over bucketed
+    * per-document features (length, mean token length, stopword
+    * ratio), self-distilled from the Gopher heuristic's weak labels
+    * ([[TextAnalysis.quality]]'s keep flag), then scored back over
+    * the whole corpus as a log-likelihood ratio.
+    *
+    * Everything — training AND inference — is relational, so the
+    * model fits in the same job that applies it and the DuckDB
+    * oracle can restate it exactly: feature bucketing is per-row
+    * integer math, each feature's (value, class) count table is a
+    * model-sized aggregate (≤ ~30 rows) broadcast back onto the
+    * corpus, and the score is a fixed-order sum of add-one-smoothed
+    * log ratios. At 100 TB the corpus is scanned twice (once to
+    * count, once to score) and shuffles only the model-sized count
+    * tables — the classifier costs two scans, zero corpus shuffles.
+    */
+  def nbQualityModel(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val mtl = (nChars - nTokens + 1).cast("double") / nTokens.cast("double")
+    val stopRatio = size(filter(toks,
+        t => t.isInCollection(TextAnalysis.enStopwords)))
+      .cast("double") / nTokens.cast("double")
+    val feats = df.select(col("doc_id"),
+      (nTokens >= 10 && mtl >= 2.0 && mtl <= 12.0).as("keep"),
+      least(floor(nTokens.cast("double") / 10.0), lit(20.0)).cast("long")
+        .as("lb"),
+      floor(mtl).cast("long").as("mb"),
+      floor(stopRatio * 10.0).cast("long").as("sb"))
+    val tot = feats.agg(
+      count(when(col("keep"), 1)).as("nk"),
+      count(when(not(col("keep")), 1)).as("nd"))
+    // per-feature likelihood-ratio table: tiny (distinct bucket
+    // values × 2 class counts), smoothing denominator nK+V / nD+V
+    // with V = that feature's observed-value count
+    def featModel(c: String): DataFrame = {
+      val fm = feats.groupBy(col(c)).agg(
+        count(when(col("keep"), 1)).as("ck"),
+        count(when(not(col("keep")), 1)).as("cd"))
+      val vf = fm.agg(count(lit(1)).as("vf"))
+      fm.crossJoin(broadcast(vf)).crossJoin(broadcast(tot))
+        .select(col(c),
+          (log((col("ck") + 1).cast("double") /
+              (col("nk") + col("vf")).cast("double")) -
+            log((col("cd") + 1).cast("double") /
+              (col("nd") + col("vf")).cast("double"))).as(s"llr_$c"))
+    }
+    val score = log((col("nk") + 1).cast("double")) -
+      log((col("nd") + 1).cast("double")) +
+      col("llr_lb") + col("llr_mb") + col("llr_sb")
+    feats
+      .join(broadcast(featModel("lb")), Seq("lb"))
+      .join(broadcast(featModel("mb")), Seq("mb"))
+      .join(broadcast(featModel("sb")), Seq("sb"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lb"), col("mb"), col("sb"),
+        r4(score).as("nb_score"),
+        (r4(score) > 0).as("nb_keep"))
+  }
+
+  /** Temperature-scaled source mixing — the GPT-3-style mixture
+    * recipe: source s gets a document quota ∝ |s|^α (α < 1 flattens
+    * the mix toward small sources), filled in deterministic
+    * md5-bucket order. Quota arithmetic is EXACT integers end to
+    * end — weights are round(|s|^α · 1e6) longs, the normalizer is
+    * an integer sum, quotas are integer `(total·w) DIV Σw` — so no
+    * float-summation order can flip a boundary document on either
+    * engine. Per-source counts are a broadcast-sized aggregate; the
+    * data pass is one scan + a per-source rank window (a source
+    * larger than a partition pre-splits by bucket range at real
+    * scale, the [[packSequences]] tiling). */
+  def temperatureMix(df: DataFrame, classCol: Column, key: Column,
+                     total: Long, alphaPct: Int = 50): DataFrame = {
+    val counts = df.groupBy(classCol.as("_cls")).agg(count(lit(1)).as("_cnt"))
+    val weights = counts.withColumn("_w",
+      round(pow(col("_cnt").cast("double"), lit(alphaPct / 100.0)) * 1e6)
+        .cast("long"))
+    val sumw = weights.agg(sum(col("_w")).as("_sumw"))
+    val quotas = weights.crossJoin(broadcast(sumw))
+      .select(col("_cls"),
+        expr(s"(${total}L * _w) DIV _sumw").as("quota"))
+    val rank = row_number().over(Window.partitionBy(classCol)
+      .orderBy(TextAnalysis.md5Bucket16(key).asc, key.asc))
+    df.withColumn("mix_rank", rank.cast("long"))
+      .join(broadcast(quotas), classCol <=> col("_cls"))
+      .filter(col("mix_rank") <= col("quota"))
+      .drop("_cls")
+  }
+
   // ------------------------------------------------------- queries //
 
   /** DSIR-style data selection (Xie et al. '23): per-document
@@ -298,7 +390,14 @@ object Corpus {
           col("n_tokens"), col("chunk_hash"))),
     // target = the English slice; weights should lift en documents
     "c_dsir_weights" -> ((s, dir) =>
-      dsirWeights(docs(s, dir), col("text"), col("lang") === "en")))
+      dsirWeights(docs(s, dir), col("text"), col("lang") === "en")),
+    "c_quality_model" -> ((s, dir) =>
+      nbQualityModel(docs(s, dir), col("text"))),
+    "c_temperature_mix" -> ((s, dir) =>
+      temperatureMix(docs(s, dir), col("source"), col("doc_id"),
+          total = 200L, alphaPct = 50)
+        .select(col("doc_id"), col("source"), col("mix_rank"),
+          col("quota"))))
 
   private val piiText =
     "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
@@ -393,5 +492,60 @@ object Corpus {
         |        ln(CAST(cs.cs + 1 AS DOUBLE) / CAST(ts + 1024 AS DOUBLE)) AS lr
         |      FROM cs LEFT JOIN ct ON cs.b = ct.b CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_bigrams, round(sum(lr)*1e4)/1e4 AS dsir_weight
-        |FROM bg JOIN r ON bg.b = r.b GROUP BY doc_id""".stripMargin)
+        |FROM bg JOIN r ON bg.b = r.b GROUP BY doc_id""".stripMargin,
+    // the full NB train+score restated relationally: same bucketing
+    // integer math, same add-one smoothing, same fixed-order sum of
+    // the three log ratios plus the prior, shared 1e4 rounding
+    "c_quality_model" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    (n >= 10 AND mtl >= 2.0 AND mtl <= 12.0) AS keep,
+        |    CAST(least(floor(CAST(n AS DOUBLE) / 10.0), 20.0) AS BIGINT) AS lb,
+        |    CAST(floor(mtl) AS BIGINT) AS mb,
+        |    CAST(floor(sr * 10.0) AS BIGINT) AS sb
+        |  FROM (
+        |    SELECT doc_id, n,
+        |      CAST(nc - n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS mtl,
+        |      CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS sr
+        |    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n, length(text) AS nc,
+        |            len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS hits
+        |          FROM documents))),
+        |tot AS (SELECT count(*) FILTER (WHERE keep) AS nk,
+        |               count(*) FILTER (WHERE NOT keep) AS nd FROM f),
+        |mlb AS (SELECT lb, count(*) FILTER (WHERE keep) AS ck,
+        |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY lb),
+        |llb AS (SELECT lb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
+        |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_lb
+        |        FROM mlb CROSS JOIN (SELECT count(*) AS vf FROM mlb) CROSS JOIN tot),
+        |mmb AS (SELECT mb, count(*) FILTER (WHERE keep) AS ck,
+        |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY mb),
+        |lmb AS (SELECT mb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
+        |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_mb
+        |        FROM mmb CROSS JOIN (SELECT count(*) AS vf FROM mmb) CROSS JOIN tot),
+        |msb AS (SELECT sb, count(*) FILTER (WHERE keep) AS ck,
+        |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY sb),
+        |lsb AS (SELECT sb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
+        |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_sb
+        |        FROM msb CROSS JOIN (SELECT count(*) AS vf FROM msb) CROSS JOIN tot)
+        |SELECT f.doc_id, f.lb, f.mb, f.sb,
+        |  round((ln(CAST(nk+1 AS DOUBLE)) - ln(CAST(nd+1 AS DOUBLE))
+        |         + llr_lb + llr_mb + llr_sb)*1e4)/1e4 AS nb_score,
+        |  round((ln(CAST(nk+1 AS DOUBLE)) - ln(CAST(nd+1 AS DOUBLE))
+        |         + llr_lb + llr_mb + llr_sb)*1e4)/1e4 > 0 AS nb_keep
+        |FROM f JOIN llb USING (lb) JOIN lmb USING (mb) JOIN lsb USING (sb)
+        |CROSS JOIN tot""".stripMargin,
+    // exact-integer quota arithmetic restated: round(|s|^0.5·1e6)
+    // BIGINT weights, integer-sum normalizer, integer-div quotas —
+    // no float summation anywhere a boundary doc could flip
+    "c_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |w AS (SELECT source, CAST(round(pow(CAST(cnt AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS w FROM c),
+        |q AS (SELECT source, CAST((200 * w) // (SELECT sum(w) FROM w) AS BIGINT) AS quota FROM w),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS BIGINT) AS mix_rank
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, r.mix_rank, q.quota
+        |FROM r JOIN q USING (source) WHERE mix_rank <= quota""".stripMargin)
 }

@@ -706,9 +706,25 @@ object Similarity {
         col("embedding")), tau)
   }
 
+  /** Per-label embedding centroids, computed FULLY distributed (the
+    * labeled-prototype complement of the driver-held IVF centroid
+    * model): posexplode to (label, dim, value) and aggregate. Map-side
+    * partial aggregation collapses every partition to ≤ labels×dims
+    * running sums before the shuffle, so the exchange carries model-
+    * sized rows regardless of corpus size — this is how you compute
+    * class prototypes (for classification, SemDeDup seeding, or
+    * per-source embedding drift monitoring) over 100 TB without any
+    * driver collect. */
+  def labelCentroids(df: DataFrame): DataFrame =
+    df.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (round(avg(col("v").cast("double")) * 1e4) / 1e4).as("c"))
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_centroids" -> ((s, dir) => labelCentroids(emb(s, dir))),
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
     // oracled recall-1 proof of the multi-table SRP-LSH search: 3-bit
     // × 24-table banding recovers the exact top-5 of every query on
@@ -892,6 +908,11 @@ object Similarity {
   // therefore PROVES the deterministic ANN search recovered the full
   // exact top-5 for every query — the d_minhash_exact proof shape.
   val oracle: Map[String, String] = Map(
+    "s_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n,
+        |  round(avg(CAST(embedding[i] AS DOUBLE))*1e4)/1e4 AS c
+        |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     "s_cosine_topk" ->
       s"""$exactTop5Sql SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5""",
     "s_lsh_ann" ->

@@ -198,7 +198,72 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Sparse TF-IDF document-similarity join — the inverted-index
+    * all-pairs shape (the sparse-vector complement of the dense ANN
+    * family in [[Similarity]]): documents are TF-IDF vectors over
+    * 3-gram shingle features, candidate pairs come from joining the
+    * postings of SHARED features, and cosine = dot/(‖a‖‖b‖) over the
+    * pruned feature space.
+    *
+    * The scale lever is df pruning: features in more than `maxDf`
+    * documents are dropped BEFORE the pair join, so each posting list
+    * contributes ≤ maxDf·(maxDf−1)/2 pairs — the candidate set is
+    * bounded per feature instead of quadratic in a hot feature's
+    * postings (exactly why every production similarity join prunes
+    * stop-features first; they carry ~zero idf weight anyway).
+    * Norms, idf and the pair dot products are all defined over the
+    * SAME pruned space, so the DuckDB oracle restates the operator
+    * exactly — pruning is the model, not an approximation of some
+    * other oracle. One shuffle on the feature key for the pair join,
+    * one on the (a,b) pair key for the dot aggregation; both narrow.
+    */
+  def tfidfSimilarPairs(df: DataFrame, text: Column, maxDf: Int,
+                        minCosine: Double): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val feats = df.select(col("doc_id"),
+        explode(graft.functions.HashExpressions
+          .word_ngrams3(split(text, " "))).as("f"))
+      .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val dfF = feats.groupBy(col("f")).agg(count(lit(1)).as("df_f"))
+      .filter(col("df_f") <= maxDf)
+    val w = feats.join(dfF, "f").crossJoin(broadcast(nDocs))
+      .select(col("f"), col("doc_id"),
+        (col("tf") * log((col("n_docs") + 1).cast("double") /
+          (col("df_f") + 1).cast("double"))).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.as("a").join(w.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("dot") / (col("na") * col("nb")) * 1e4) / 1e4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Heavy-hitter vocabulary mining: the top-k corpus tokens by
+    * frequency — the vocabulary-building / stopword-discovery pass
+    * that seeds BPE training ([[Bpe]]) and frequency-based filters.
+    * Shape at 100 TB: explode → hash-partial count (map-side combine
+    * collapses each partition to its local vocabulary before any
+    * shuffle — the shuffle carries ≤ |vocab| rows per partition, not
+    * tokens) → TakeOrderedAndProject top-k, never a global sort. Ties
+    * break on the token so the boundary is total-ordered. */
+  def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame =
+    df.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_vocab_topk" -> ((s, dir) =>
+      vocabTopK(docs(s, dir), col("text"), 100)),
+    "t_tfidf_sim" -> ((s, dir) =>
+      tfidfSimilarPairs(docs(s, dir), col("text"),
+        maxDf = 5, minCosine = 0.2)),
     // the gate compares the posting list's canonical CSV rendering
     // (the driver's pandas harness can't sort ndarray cells); the
     // array-valued index is the library function above
@@ -228,6 +293,25 @@ object TextAnalysis {
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "t_vocab_topk" ->
+      "SELECT token, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY freq DESC, token LIMIT 100",
+    // the pruned TF-IDF space restated whole: same shingles, same
+    // +1-smoothed idf, same df cutoff, same norm definition — the
+    // cosine threshold applies to the ROUNDED value on both engines
+    "t_tfidf_sim" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS f FROM t),
+        |tf AS (SELECT doc_id, f, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |dff AS (SELECT f, count(*) AS df_f FROM tf GROUP BY f HAVING count(*) <= 5),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.f, tf.doc_id, tf.tf * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df_f + 1 AS DOUBLE)) AS w
+        |      FROM tf JOIN dff USING (f) CROSS JOIN n),
+        |nm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.f = b.f AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm) * 1e4)/1e4 AS cosine
+        |FROM p JOIN nm na ON p.doc_a = na.doc_id JOIN nm nb ON p.doc_b = nb.doc_id
+        |WHERE round(dot / (na.nrm * nb.nrm) * 1e4)/1e4 >= 0.2""".stripMargin,
     "t_inverted_index" ->
       "SELECT token, coalesce(array_to_string(list_sort(list(DISTINCT doc_id)), ','), '') AS postings, count(DISTINCT doc_id) AS df FROM (SELECT unnest(string_split(lower(text), ' ')) AS token, doc_id FROM documents) GROUP BY token",
     "t_hash_split" ->

@@ -177,7 +177,53 @@ object Temporal {
           .as("ffill"))
   }
 
+  /** Cohort retention matrix — the product-analytics staple: users
+    * cohorted by first-active day, and for each (cohort, day-offset)
+    * cell the count of cohort users active that day. Scale shape:
+    * the cohort table and the distinct (user, day) activity set are
+    * both user-keyed aggregations, so the join is co-partitioned on
+    * user_id (one shuffle each side, no re-exchange), and the final
+    * (cohort, offset) rollup is calendar-bounded — days², not
+    * events. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("DAY", col("ts"))).as("cohort"))
+    val active = ev
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** First-order Markov transition counts over per-user event
+    * sequences — the "what happens after a click" model. The lag
+    * window shuffles once on user_id (per-user histories are
+    * partition-sized; a pathological user pre-splits by time range);
+    * the transition matrix itself is |event_types|² rows, so the
+    * per-row probability normalization windows over a model-sized
+    * table, not the corpus. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counts = ev
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type")))
+          .cast("double") * 1e4) / 1e4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention" -> (retention _),
+    "q_event_transitions" -> (eventTransitions _),
     "q_funnel" -> (funnel _),
     "q_resample" -> (resampleDaily _),
     "q_asof_join" -> (asofPurchaseSignup _),
@@ -195,6 +241,22 @@ object Temporal {
     "q_sessionize" -> (sessionizeBatch _))
 
   val oracle: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort, a.day) AS INTEGER) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) * 1e4)/1e4 AS p
+        |FROM c""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),

@@ -249,4 +249,109 @@ class CorpusSpec extends AnyFunSuite {
     assert(w(true) > w(false) + 0.05,
       s"en mean ${w(true)} should clearly exceed non-en ${w(false)}")
   }
+
+  test("nb quality model: agrees with its weak labels on separable docs") {
+    val s = spark; import s.implicits._
+    // 20 clearly-good docs (12 tokens, sane word lengths) and 20
+    // clearly-bad one-word docs: NB trained on the Gopher flag must
+    // reproduce it when the classes are this separated
+    val good = (1L to 20L).map(i =>
+      (i, ("the quick brown fox jumps over lazy dogs near " +
+        s"river bend $i")))
+    val bad = (21L to 40L).map(i => (i, s"x$i"))
+    val df = (good ++ bad).toDF("doc_id", "text")
+    val out = Corpus.nbQualityModel(df, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    good.foreach { case (id, _) => assert(out(id), s"doc $id should keep") }
+    bad.foreach { case (id, _) => assert(!out(id), s"doc $id should drop") }
+  }
+
+  test("nb quality model: scores are partitioning-independent") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    def run(parts: Int) =
+      Corpus.nbQualityModel(docs.repartition(parts), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(run(3) === run(13))
+  }
+
+  test("temperature mix: exact integer quotas, prefix-closed selection") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 500L).map(i => (i, "mid")) ++
+      (501L to 504L).map(i => (i, "tiny"))).toDF("doc_id", "src")
+    val out = Corpus.temperatureMix(df, col("src"), col("doc_id"),
+      total = 100L, alphaPct = 50)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas = (100 * round(sqrt(n)*1e6)) DIV sum: sqrt flattens the
+    // 100:25:1 ratio to 20:10:2
+    val w = Map("big" -> math.round(math.sqrt(400.0) * 1e6),
+      "mid" -> math.round(math.sqrt(100.0) * 1e6),
+      "tiny" -> math.round(math.sqrt(4.0) * 1e6))
+    val sumw = w.values.sum
+    val avail = Map("big" -> 400L, "mid" -> 100L, "tiny" -> 4L)
+    // a flattened quota can exceed a tiny source's size — selection
+    // is without replacement, so the source contributes all it has
+    w.foreach { case (src, ws) =>
+      assert(bySrc(src) === math.min((100L * ws) / sumw, avail(src)), src) }
+    // α=100 (no temperature) recovers proportional quotas
+    val prop = Corpus.temperatureMix(df, col("src"), col("doc_id"),
+        total = 100L, alphaPct = 100)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("big") === (100L * 400L * 1000000L) / (504L * 1000000L))
+    // deterministic: the selected set is identical across partitionings
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.temperatureMix(df.repartition(7), col("src"),
+        col("doc_id"), total = 100L, alphaPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // prefix-closed: shrinking the total selects a subset
+    val small = Corpus.temperatureMix(df, col("src"), col("doc_id"),
+        total = 50L, alphaPct = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+  }
+
+  test("tfidf similarity: near-dup pair found, df pruning drops hot features") {
+    val s = spark; import s.implicits._
+    import graft.operators.TextAnalysis
+    // docs 1/2 share a rare 5-token run (near-dups); "common phrase
+    // here" is planted in ALL 6 docs so df=6 > maxDf=3 prunes it —
+    // without pruning it would link every doc to every other
+    val base = "alpha beta gamma delta epsilon"
+    val df = Seq(
+      1L -> s"common phrase here $base one",
+      2L -> s"common phrase here $base two",
+      3L -> "common phrase here x1 y1 z1 w1 v1",
+      4L -> "common phrase here x2 y2 z2 w2 v2",
+      5L -> "common phrase here x3 y3 z3 w3 v3",
+      6L -> "common phrase here x4 y4 z4 w4 v4").toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfidfSimilarPairs(df, col("text"),
+        maxDf = 3, minCosine = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set(1L -> 2L))
+  }
+
+  test("label centroids: exact means per (label, dim)") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 3.0f), 0), (2L, Seq(3.0f, 5.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelCentroids(df)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0, 0)) === ((2L, 2.0)) && out((0, 1)) === ((2L, 4.0)))
+    assert(out((1, 0)) === ((1L, 10.0)) && out((1, 1)) === ((1L, 20.0)))
+  }
+
+  test("vocab top-k: exact counts, ties broken on token") {
+    val df = docsDf(1L -> "b b b a a c", 2L -> "a c d", 3L -> "e")
+    val out = graft.operators.TextAnalysis.vocabTopK(df, col("text"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a=3, b=3 (tie → a first), c=2, then d/e tie at 1 → d
+    assert(out.toSeq === Seq("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+  }
 }
