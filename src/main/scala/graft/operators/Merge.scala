@@ -188,20 +188,37 @@ object Merge {
 
   /** Read a published version (default: latest). Rows come straight
     * from the manifest's immutable bucket directories; the layout
-    * column is not materialized (it re-derives from the key). */
+    * column is not materialized (it re-derives from the key).
+    * `mergeSchema` because a version can span schema generations:
+    * after an evolving merge ([[mergeVersioned]] widens), carried-
+    * forward buckets still hold the old column set — the union
+    * schema is the version's schema, missing columns read as null.
+    * (The option costs a footer read per file; a manifest-recorded
+    * schema — the Delta/Iceberg move — replaces it at larger file
+    * counts without touching this API.) */
   def readVersioned(spark: SparkSession, path: String,
                     version: Int = -1, fs: Dfs = Dfs.default): DataFrame = {
     val v = if (version >= 0) version else versions(path, fs).last
     val (_, entries) = readManifest(path, v, fs)
     val dirs = entries.values.toSeq.sorted.map(rel => s"$path/$rel")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Upsert `delta`, publishing a new version. Touched buckets are
     * read via the CURRENT manifest (pruned by construction — only
     * their directories are listed), merged, written immutably under
     * the new version's directory; untouched buckets carry their old
-    * directories forward in the manifest, byte-identical. */
+    * directories forward in the manifest, byte-identical.
+    *
+    * Schema evolution is additive-by-merge: a delta with NEW columns
+    * widens the touched buckets (surviving old rows take null there),
+    * a delta missing old columns takes null in them — the
+    * `allowMissingColumns` union, the Delta `mergeSchema` behavior.
+    * Untouched buckets keep their old files; [[readVersioned]]'s
+    * merged-footer read presents every version under its union
+    * schema, and [[compactVersioned]] rewrites history-free targets
+    * onto the evolved schema when the mixed layout should be
+    * normalized. */
   def mergeVersioned(spark: SparkSession, path: String, delta: DataFrame,
                      key: String, fs: Dfs = Dfs.default): Unit = {
     val cur = versions(path, fs).last
@@ -216,11 +233,11 @@ object Merge {
       val oldDirs = touched.toSeq.flatMap(entries.get).map(rel => s"$path/$rel")
       val old =
         if (oldDirs.isEmpty) None
-        else Some(spark.read.parquet(oldDirs: _*)
+        else Some(spark.read.option("mergeSchema", "true").parquet(oldDirs: _*)
           .withColumn("_mb", bucketOf(col(key), nBuckets)))
       val deltaKeys = d.select(col(key).as("_d_key")).distinct()
       val merged = old.map(_.join(deltaKeys, col(key) === col("_d_key"), "left_anti")
-          .drop("_d_key").unionByName(d))
+          .drop("_d_key").unionByName(d, allowMissingColumns = true))
         .getOrElse(d)
       val next = cur + 1
       val staging = s"$path/_m_staging_v$next"
@@ -267,15 +284,28 @@ object Merge {
       .filter(b => ea.get(b) != eb.get(b)).toSeq.sorted
     def side(entries: Map[Long, String]): Option[DataFrame] = {
       val dirs = touched.flatMap(entries.get).map(rel => s"$path/$rel")
-      if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
     }
     val aOpt = side(ea)
     val bOpt = side(eb)
     val template = aOpt.orElse(bOpt).getOrElse(
       readVersioned(spark, path, toV, fs).limit(0))
+    // both images pack to ONE struct type — the union of the two
+    // versions' columns (pre-side order first) with nulls filling a
+    // side's missing fields — so the null-safe image comparison still
+    // analyzes when the diff spans a schema evolution, and an added
+    // column shows up as null→value updates
+    val fields = scala.collection.mutable.LinkedHashMap[
+      String, org.apache.spark.sql.types.DataType]()
+    (aOpt.toSeq ++ bOpt.toSeq :+ template).foreach(_.schema.fields.foreach(
+      f => if (f.name != key && !fields.contains(f.name))
+        fields += f.name -> f.dataType))
     def pack(df: DataFrame, name: String): DataFrame =
       df.select(col(key),
-        struct(df.columns.filter(_ != key).map(col).toSeq: _*).as(name))
+        struct(fields.toSeq.map { case (n, t) =>
+          (if (df.columns.contains(n)) col(n) else lit(null).cast(t)).as(n)
+        }: _*).as(name))
     val empty = template.limit(0)
     val a = pack(aOpt.getOrElse(empty), "pre")
     val b = pack(bOpt.getOrElse(empty), "post")
@@ -306,7 +336,9 @@ object Merge {
     val next = cur + 1
     val dirs = entries.values.toSeq.sorted.map(rel => s"$path/$rel")
     val staging = s"$path/_m_staging_v$next"
-    spark.read.parquet(dirs: _*)
+    // mergeSchema: compaction is also where a schema-evolved target's
+    // mixed-generation layout normalizes onto the union schema
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
       .withColumn("_mb", bucketOf(col(key), nBuckets))
       .repartition(nBuckets, col("_mb"))
       .write.mode(SaveMode.Overwrite).partitionBy("_mb").parquet(staging)

@@ -762,6 +762,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rev === Map(2L -> "update", 9L -> "delete"))
   }
 
+  test("schema evolution: widening merge, per-version schemas, CDC across the boundary") {
+    val s = spark; import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_evo_spec").toString
+    // v0: (k, name); many keys so the merge touches SOME buckets and
+    // carries others forward with the old column set
+    val v0 = (0L until 64L).map(i => (i, s"n$i")).toDF("k", "name")
+    Merge.writeVersioned(v0, path, "k", nBuckets = 8)
+    // v1: delta adds a `score` column, touching keys 1 (update) and
+    // 100 (insert) only
+    Merge.mergeVersioned(spark, path,
+      Seq((1L, "n1x", 0.5), (100L, "new", 0.9)).toDF("k", "name", "score"),
+      "k")
+    // latest reads under the UNION schema: evolved rows carry score,
+    // rows from carried-forward old-schema buckets read null
+    val v1 = Merge.readVersioned(spark, path, 1)
+    assert(v1.columns.toSet === Set("k", "name", "score"))
+    val byK = v1.collect()
+      .map(r => r.getLong(r.fieldIndex("k")) ->
+        Option(r.get(r.fieldIndex("score")))).toMap
+    assert(byK(1L) === Some(0.5) && byK(100L) === Some(0.9))
+    assert(byK(0L).isEmpty && byK(63L).isEmpty)
+    assert(byK.size === 65)
+    // time travel: v0 keeps its original narrow schema
+    assert(!Merge.readVersioned(spark, path, 0).columns.contains("score"))
+    // CDC across the evolution boundary: both images pack to one
+    // struct type; the added column appears as null→value
+    val feed = Merge.changesBetween(spark, path, 0, 1, "k")
+    val types = feed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(types === Map(1L -> "update", 100L -> "insert"))
+    val img = feed.filter(col("k") === 1L)
+      .select(col("pre.score"), col("post.score")).head()
+    assert(img.isNullAt(0) && img.getDouble(1) === 0.5)
+    // a second widening merge + compaction normalizes the layout on
+    // the union schema and the history still reconstructs
+    Merge.mergeVersioned(spark, path,
+      Seq((2L, "n2x", 0.1)).toDF("k", "name", "score"), "k")
+    val v3 = Merge.compactVersioned(spark, path, "k")
+    val compacted = Merge.readVersioned(spark, path, v3)
+    assert(compacted.count() === 65 &&
+      compacted.columns.contains("score"))
+    assert(Merge.readVersioned(spark, path, 0).count() === 64)
+  }
+
   test("merge swap recovery: a staged complete copy heals a crash-deleted bucket") {
     val dir = java.nio.file.Files.createTempDirectory("rec_spec").toString
     val t = spark.range(0, 1000)

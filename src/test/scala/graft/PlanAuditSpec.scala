@@ -293,6 +293,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("nb quality model: model tables broadcast — the corpus is never shuffled") {
+    val p = plan(graft.SparkEntry.queries("c_quality_model")(spark, sf))
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast model joins:\n$p")
+    // no exchange may partition on doc_id — the corpus-side stream
+    // stays map-side; only model-sized aggregates shuffle
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(doc_id")), p)
+  }
+
+  test("vocab top-k: partial count before the exchange, top-k without global sort") {
+    val p = plan(graft.SparkEntry.queries("t_vocab_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final count:\n$p")
+  }
+
+  test("tfidf similarity: candidate pairs come from an equi-join on the feature, no cartesian") {
+    val p = plan(graft.SparkEntry.queries("t_tfidf_sim")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair join keys on the shared feature — an equi-join, never
+    // a nested-loop over documents (the only nested-loop allowed is
+    // the 1-row n_docs scalar broadcast, which is a Cross build)
+    assert(p.contains("Join [f#") || p.contains("Join [coalesce(f#") ||
+      p.linesIterator.exists(l => l.contains("HashJoin [f#")), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("Cross")), p)
+  }
+
+  test("temperature mix: quota table broadcasts; one rank window per class") {
+    val p = plan(graft.SparkEntry.queries("c_temperature_mix")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("row_number")), p)
+  }
+
+  test("event transitions: probability window partitions on prev_type over the aggregated matrix") {
+    val p = plan(graft.SparkEntry.queries("q_event_transitions")(spark, sf))
+    // the lag window shuffles on user_id; the normalization window
+    // shuffles on prev_type and consumes the COUNTED matrix (its
+    // exchange sits above the aggregate), never raw events
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("hashpartitioning(prev_type"), p)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final transition count:\n$p")
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
