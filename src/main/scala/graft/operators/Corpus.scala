@@ -397,10 +397,69 @@ object Corpus {
       temperatureMix(docs(s, dir), col("source"), col("doc_id"),
           total = 200L, alphaPct = 50)
         .select(col("doc_id"), col("source"), col("mix_rank"),
-          col("quota"))))
+          col("quota"))),
+    // the curation→mixing→layout END of the training-data pipeline
+    // composed as one program: NB quality filter (model trained on
+    // the whole corpus) → temperature-scaled source mix → sequence
+    // packing of the selection. One relational oracle restates the
+    // whole chain, proving the three stages COMPOSE (the
+    // p_dedup_pipeline shape for this session's operators).
+    "p_mix_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keep = nbQualityModel(d, col("text"))
+        .filter(col("nb_keep")).select(col("doc_id"))
+      val kept = d.join(keep, Seq("doc_id"), "left_semi")
+      val mixed = temperatureMix(kept, col("source"), col("doc_id"),
+        total = 150L, alphaPct = 50)
+      packSequences(mixed, col("doc_id"),
+          size(tokens(col("text"))), budget = 512L)
+        .select(col("doc_id"), col("source"), col("mix_rank"),
+          col("n_tokens"), col("tok_offset"), col("seq_first"),
+          col("seq_last"))
+    }))
 
   private val piiText =
     "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  /** The NB model's train CTEs, shared by the `c_quality_model`
+    * oracle and the composed-pipeline oracle (`p_mix_pipeline`) —
+    * one definition so the restatements cannot drift apart. */
+  private val nbCtes =
+    """f AS (
+      |  SELECT doc_id,
+      |    (n >= 10 AND mtl >= 2.0 AND mtl <= 12.0) AS keep,
+      |    CAST(least(floor(CAST(n AS DOUBLE) / 10.0), 20.0) AS BIGINT) AS lb,
+      |    CAST(floor(mtl) AS BIGINT) AS mb,
+      |    CAST(floor(sr * 10.0) AS BIGINT) AS sb
+      |  FROM (
+      |    SELECT doc_id, n,
+      |      CAST(nc - n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS mtl,
+      |      CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS sr
+      |    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n, length(text) AS nc,
+      |            len(list_filter(string_split(text, ' '),
+      |              t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS hits
+      |          FROM documents))),
+      |tot AS (SELECT count(*) FILTER (WHERE keep) AS nk,
+      |               count(*) FILTER (WHERE NOT keep) AS nd FROM f),
+      |mlb AS (SELECT lb, count(*) FILTER (WHERE keep) AS ck,
+      |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY lb),
+      |llb AS (SELECT lb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
+      |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_lb
+      |        FROM mlb CROSS JOIN (SELECT count(*) AS vf FROM mlb) CROSS JOIN tot),
+      |mmb AS (SELECT mb, count(*) FILTER (WHERE keep) AS ck,
+      |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY mb),
+      |lmb AS (SELECT mb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
+      |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_mb
+      |        FROM mmb CROSS JOIN (SELECT count(*) AS vf FROM mmb) CROSS JOIN tot),
+      |msb AS (SELECT sb, count(*) FILTER (WHERE keep) AS ck,
+      |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY sb),
+      |lsb AS (SELECT sb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
+      |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_sb
+      |        FROM msb CROSS JOIN (SELECT count(*) AS vf FROM msb) CROSS JOIN tot)""".stripMargin
+
+  private val nbScoreExpr =
+    """ln(CAST(nk+1 AS DOUBLE)) - ln(CAST(nd+1 AS DOUBLE))
+      |         + llr_lb + llr_mb + llr_sb""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "c_repetition" ->
@@ -497,42 +556,10 @@ object Corpus {
     // integer math, same add-one smoothing, same fixed-order sum of
     // the three log ratios plus the prior, shared 1e4 rounding
     "c_quality_model" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    (n >= 10 AND mtl >= 2.0 AND mtl <= 12.0) AS keep,
-        |    CAST(least(floor(CAST(n AS DOUBLE) / 10.0), 20.0) AS BIGINT) AS lb,
-        |    CAST(floor(mtl) AS BIGINT) AS mb,
-        |    CAST(floor(sr * 10.0) AS BIGINT) AS sb
-        |  FROM (
-        |    SELECT doc_id, n,
-        |      CAST(nc - n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS mtl,
-        |      CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS sr
-        |    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n, length(text) AS nc,
-        |            len(list_filter(string_split(text, ' '),
-        |              t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS hits
-        |          FROM documents))),
-        |tot AS (SELECT count(*) FILTER (WHERE keep) AS nk,
-        |               count(*) FILTER (WHERE NOT keep) AS nd FROM f),
-        |mlb AS (SELECT lb, count(*) FILTER (WHERE keep) AS ck,
-        |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY lb),
-        |llb AS (SELECT lb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
-        |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_lb
-        |        FROM mlb CROSS JOIN (SELECT count(*) AS vf FROM mlb) CROSS JOIN tot),
-        |mmb AS (SELECT mb, count(*) FILTER (WHERE keep) AS ck,
-        |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY mb),
-        |lmb AS (SELECT mb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
-        |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_mb
-        |        FROM mmb CROSS JOIN (SELECT count(*) AS vf FROM mmb) CROSS JOIN tot),
-        |msb AS (SELECT sb, count(*) FILTER (WHERE keep) AS ck,
-        |               count(*) FILTER (WHERE NOT keep) AS cd FROM f GROUP BY sb),
-        |lsb AS (SELECT sb, ln(CAST(ck+1 AS DOUBLE)/CAST(nk+vf AS DOUBLE)) -
-        |               ln(CAST(cd+1 AS DOUBLE)/CAST(nd+vf AS DOUBLE)) AS llr_sb
-        |        FROM msb CROSS JOIN (SELECT count(*) AS vf FROM msb) CROSS JOIN tot)
+      s"""WITH $nbCtes
         |SELECT f.doc_id, f.lb, f.mb, f.sb,
-        |  round((ln(CAST(nk+1 AS DOUBLE)) - ln(CAST(nd+1 AS DOUBLE))
-        |         + llr_lb + llr_mb + llr_sb)*1e4)/1e4 AS nb_score,
-        |  round((ln(CAST(nk+1 AS DOUBLE)) - ln(CAST(nd+1 AS DOUBLE))
-        |         + llr_lb + llr_mb + llr_sb)*1e4)/1e4 > 0 AS nb_keep
+        |  round(($nbScoreExpr)*1e4)/1e4 AS nb_score,
+        |  round(($nbScoreExpr)*1e4)/1e4 > 0 AS nb_keep
         |FROM f JOIN llb USING (lb) JOIN lmb USING (mb) JOIN lsb USING (sb)
         |CROSS JOIN tot""".stripMargin,
     // exact-integer quota arithmetic restated: round(|s|^0.5·1e6)
@@ -547,5 +574,35 @@ object Corpus {
         |          ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS BIGINT) AS mix_rank
         |      FROM documents)
         |SELECT r.doc_id, r.source, r.mix_rank, q.quota
-        |FROM r JOIN q USING (source) WHERE mix_rank <= quota""".stripMargin)
+        |FROM r JOIN q USING (source) WHERE mix_rank <= quota""".stripMargin,
+    // the whole pipeline as one statement: the NB train CTEs are the
+    // SHARED nbCtes block, the mix/pack stages restate the same
+    // integer quota arithmetic, md5 rank order and one-window prefix
+    // sum as their standalone oracles — hash equality proves the
+    // staged Spark program computes the composition exactly
+    "p_mix_pipeline" ->
+      s"""WITH $nbCtes,
+        |scored AS (SELECT f.doc_id
+        |           FROM f JOIN llb USING (lb) JOIN lmb USING (mb) JOIN lsb USING (sb) CROSS JOIN tot
+        |           WHERE round(($nbScoreExpr)*1e4)/1e4 > 0),
+        |kept AS (SELECT d.* FROM documents d JOIN scored s ON d.doc_id = s.doc_id),
+        |c2 AS (SELECT source, count(*) AS cnt FROM kept GROUP BY source),
+        |wq AS (SELECT source, CAST(round(pow(CAST(cnt AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS w FROM c2),
+        |q AS (SELECT source, CAST((150 * w) // (SELECT sum(w) FROM wq) AS BIGINT) AS quota FROM wq),
+        |r AS (SELECT doc_id, source, text,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS BIGINT) AS mix_rank
+        |      FROM kept),
+        |m AS (SELECT r.doc_id, r.source, r.mix_rank, r.text FROM r JOIN q USING (source) WHERE mix_rank <= quota),
+        |p AS (SELECT doc_id, source, mix_rank,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        md5(CAST(doc_id AS VARCHAR)) AS k FROM m),
+        |o AS (SELECT doc_id, source, mix_rank, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |      FROM p)
+        |SELECT doc_id, source, mix_rank, n_tokens, tok_offset,
+        |  CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+        |  CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+        |FROM o""".stripMargin)
 }
