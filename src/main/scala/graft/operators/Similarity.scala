@@ -719,7 +719,12 @@ object Similarity {
     df.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(count(lit(1)).as("n"),
-        (round(avg(col("v").cast("double")) * 1e4) / 1e4).as("c"))
+        // + 0.0 folds IEEE −0.0 into +0.0: a near-zero mean's SIGN is
+        // summation-order noise, and ±0.0 — numerically equal —
+        // render differently, which desyncs canonical row order in
+        // engine-compare harnesses (bit at 10× where per-dim means of
+        // near-random floats round to ±0.0)
+        (round(avg(col("v").cast("double")) * 1e4) / 1e4 + 0.0).as("c"))
 
   // ------------------------------------------------------- queries //
 
@@ -910,7 +915,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n,
-        |  round(avg(CAST(embedding[i] AS DOUBLE))*1e4)/1e4 AS c
+        |  round(avg(CAST(embedding[i] AS DOUBLE))*1e4)/1e4 + 0.0 AS c
         |FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)
         |GROUP BY 1, 2""".stripMargin,
     "s_cosine_topk" ->
