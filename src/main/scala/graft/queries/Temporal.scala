@@ -238,6 +238,11 @@ object Temporal {
     // no-op) — the stream-stream interval join's oracled twin
     "q_stream_join" -> ((s, dir) =>
       graft.streaming.EventsStream.clickAttribution(events(s, dir))),
+    // stream-static dimension enrichment's oracled batch twin — the
+    // same function the streaming spec drives micro-batched
+    "q_stream_enrich" -> ((s, dir) =>
+      graft.streaming.EventsStream.enrichWithCustomer(
+        events(s, dir), Tables.load(s, dir, "customer"))),
     "q_sessionize" -> (sessionizeBatch _))
 
   val oracle: Map[String, String] = Map(
@@ -279,6 +284,8 @@ object Temporal {
       "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, count(*) AS n, round((sum(value))*1e2)/1e2 AS total_value FROM events GROUP BY 1, 2",
     "q_stream_join" ->
       "SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id, CAST(epoch_us(a.ts) AS BIGINT) AS view_us, CAST(epoch_us(b.ts) AS BIGINT) AS click_us FROM events a JOIN events b ON a.user_id = b.user_id AND a.event_type = 'view' AND b.event_type = 'click' AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE",
+    "q_stream_enrich" ->
+      "SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey",
     "q_sessionize" ->
       "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events FROM (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 30*60*1000000 THEN 1 ELSE 0 END AS brk FROM events)) GROUP BY user_id, session_id")
 }

@@ -115,6 +115,25 @@ object EventsStream {
         unix_micros(col("click_ts")).as("click_us"))
   }
 
+  /** Stream-static dimension enrichment — the remaining core
+    * Structured Streaming join shape (stream-stream is
+    * [[clickAttribution]]): each event joined to its user's customer
+    * dimension row. The static side re-resolves per micro-batch (so
+    * a dimension refresh is picked up without restarting) and
+    * BROADCASTS — stream state is ZERO because the static side never
+    * buffers, the property that makes dimension enrichment free at
+    * any stream rate. Left join: an event without a dimension row
+    * survives with nulls (dropped-dim rows must not drop facts). The
+    * SAME function on a batch frame is the DuckDB-oracled twin
+    * (`q_stream_enrich`). */
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(
+        broadcast(customer.select(col("c_custkey").as("user_id"),
+          col("c_name"), col("c_mktsegment"))),
+        Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+
   /** Drive a streaming query synchronously from a batch parquet dir
     * (memory sink) — the local smoke path; swap `readStream` source +
     * `writeStream` sink for kafka/delta in deployment. */

@@ -583,6 +583,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static enrichment matches its batch twin; static side broadcasts") {
+    // dimension enrichment as a real micro-batched stream against the
+    // STATIC customer table must emit exactly the batch twin's rows
+    val stream = Tables.streamEvents(spark, sf)
+    val dim = Tables.load(spark, sf, "customer")
+    val q = EventsStream.enrichWithCustomer(stream, dim).writeStream
+      .outputMode("append").format("memory").queryName("ops_stream_enrich")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ops_stream_enrich").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val batchDf = EventsStream.enrichWithCustomer(
+      Tables.load(spark, sf, "events"), dim)
+    val batch = batchDf.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(batch.nonEmpty && streamed === batch)
+    // zero stream state: the static side broadcasts, no shuffle of
+    // the event stream, no stateful operator in the plan
+    val p = batchDf.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(event_id") &&
+      !p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
   test("embedding near-dup: hot-bucket guard bounds a degenerate bucket") {
     // 300 identical vectors co-bucket in EVERY table — without the
     // cap the self-pairing is quadratic (300 choose 2 = 44850 pairs);
