@@ -242,22 +242,42 @@ object Corpus {
     val stopRatio = size(filter(toks,
         t => t.isInCollection(TextAnalysis.enStopwords)))
       .cast("double") / nTokens.cast("double")
-    val feats = df.select(col("doc_id"),
-      (nTokens >= 10 && mtl >= 2.0 && mtl <= 12.0).as("keep"),
-      least(floor(nTokens.cast("double") / 10.0), lit(20.0)).cast("long")
-        .as("lb"),
-      floor(mtl).cast("long").as("mb"),
-      floor(stopRatio * 10.0).cast("long").as("sb"))
-    val tot = feats.agg(
-      count(when(col("keep"), 1)).as("nk"),
-      count(when(not(col("keep")), 1)).as("nd"))
+    // featurization (tokenize + stopword lambda per doc) is the
+    // operator's dominant cost — snapshot it so train AND score read
+    // the 5-int-per-doc feature table instead of re-tokenizing the
+    // corpus (one text scan total, the fastText-pipeline shape of
+    // "extract features once, fit+apply on the features")
+    val feats = Dedup.materialize(
+      df.select(col("doc_id"),
+        (nTokens >= 10 && mtl >= 2.0 && mtl <= 12.0).as("keep"),
+        least(floor(nTokens.cast("double") / 10.0), lit(20.0)).cast("long")
+          .as("lb"),
+        floor(mtl).cast("long").as("mb"),
+        floor(stopRatio * 10.0).cast("long").as("sb")),
+      "nb_feats")
+    // ONE training scan: the three per-feature count tables melt into
+    // a single (feature, value, class-counts) aggregation — the naive
+    // formulation (tot + one groupBy per feature) re-featurized the
+    // corpus four times, which at 100× dominated the operator. Class
+    // totals and each feature's value count (the smoothing V) derive
+    // from the melted model, which is ≤ ~3×30 rows.
+    val melted = Dedup.materialize(
+      feats.select(col("keep"),
+          explode(map(
+            lit("lb"), col("lb"), lit("mb"), col("mb"),
+            lit("sb"), col("sb"))).as(Seq("feat", "v")))
+        .groupBy(col("feat"), col("v"))
+        .agg(count(when(col("keep"), 1)).as("ck"),
+          count(when(not(col("keep")), 1)).as("cd")),
+      "nb_model")
+    val tot = melted.filter(col("feat") === "lb")
+      .agg(sum(col("ck")).as("nk"), sum(col("cd")).as("nd"))
     // per-feature likelihood-ratio table: tiny (distinct bucket
     // values × 2 class counts), smoothing denominator nK+V / nD+V
     // with V = that feature's observed-value count
     def featModel(c: String): DataFrame = {
-      val fm = feats.groupBy(col(c)).agg(
-        count(when(col("keep"), 1)).as("ck"),
-        count(when(not(col("keep")), 1)).as("cd"))
+      val fm = melted.filter(col("feat") === c)
+        .select(col("v").as(c), col("ck"), col("cd"))
       val vf = fm.agg(count(lit(1)).as("vf"))
       fm.crossJoin(broadcast(vf)).crossJoin(broadcast(tot))
         .select(col(c),

@@ -227,10 +227,17 @@ object TextAnalysis {
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val dfF = feats.groupBy(col("f")).agg(count(lit(1)).as("df_f"))
       .filter(col("df_f") <= maxDf)
-    val w = feats.join(dfF, "f").crossJoin(broadcast(nDocs))
-      .select(col("f"), col("doc_id"),
-        (col("tf") * log((col("n_docs") + 1).cast("double") /
-          (col("df_f") + 1).cast("double"))).as("w"))
+    // snapshot the weighted postings ONCE: the subtree above (explode
+    // + two aggregations) would otherwise re-execute three times (the
+    // self-join's two sides + the norms) — at 100× that was 3× the
+    // whole featurization cost. Same checkpoint-between-stages move
+    // as the dedup pipeline's candidate snapshots.
+    val w = Dedup.materialize(
+      feats.join(dfF, "f").crossJoin(broadcast(nDocs))
+        .select(col("f"), col("doc_id"),
+          (col("tf") * log((col("n_docs") + 1).cast("double") /
+            (col("df_f") + 1).cast("double"))).as("w")),
+      "tfidf_w")
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     w.as("a").join(w.as("b"),

@@ -179,24 +179,24 @@ object Temporal {
 
   /** Cohort retention matrix — the product-analytics staple: users
     * cohorted by first-active day, and for each (cohort, day-offset)
-    * cell the count of cohort users active that day. Scale shape:
-    * the cohort table and the distinct (user, day) activity set are
-    * both user-keyed aggregations, so the join is co-partitioned on
-    * user_id (one shuffle each side, no re-exchange), and the final
-    * (cohort, offset) rollup is calendar-bounded — days², not
-    * events. */
-  def retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val cohorts = ev.groupBy(col("user_id"))
-      .agg(min(date_trunc("DAY", col("ts"))).as("cohort"))
-    val active = ev
+    * cell the count of cohort users active that day. Scale shape: ONE
+    * events shuffle — a single user-keyed aggregation computes the
+    * cohort (min day) AND the distinct active-day set together
+    * (collect_set partial-merges map-side; per-user state is bounded
+    * by the calendar, ~30 entries), then the exploded (cohort,
+    * offset) rollup counts rows, which ARE distinct users by
+    * construction. (The textbook two-aggregations-plus-join shape
+    * shuffles events twice and re-exchanges for the join; this is
+    * the same result one exchange earlier.) */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
-      .distinct()
-    active.join(cohorts, "user_id")
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort"), collect_set(col("day")).as("days"))
+      .select(col("cohort"), explode(col("days")).as("day"))
       .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         datediff(col("day"), col("cohort")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-  }
+      .agg(count(lit(1)).as("n_users"))
 
   /** First-order Markov transition counts over per-user event
     * sequences — the "what happens after a click" model. The lag
