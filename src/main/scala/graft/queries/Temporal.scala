@@ -221,7 +221,27 @@ object Temporal {
           .cast("double") * 1e4) / 1e4)
   }
 
+  /** Declarative gap-sessions via Spark's native `session_window` —
+    * the Catalyst-operator twin of the two custom-state sessionizers
+    * ([[sessionizeBatch]]'s lag/cumsum windows and
+    * `EventsStream.sessionize`'s flatMapGroupsWithState): one
+    * aggregation, merging windows engine-side. Same one-shuffle
+    * shape as any keyed agg; in streaming mode the identical
+    * expression runs with watermark-bounded state. A session's end
+    * is last-event + gap (the session_window contract) — the oracle
+    * restates that closed form. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_session_window" -> (sessionWindows _),
     "q_retention" -> (retention _),
     "q_event_transitions" -> (eventTransitions _),
     "q_funnel" -> (funnel _),
@@ -246,6 +266,22 @@ object Temporal {
     "q_sessionize" -> (sessionizeBatch _))
 
   val oracle: Map[String, String] = Map(
+    // gap-sessionize via lag/cumsum (the q_sessionize mechanism),
+    // then restate session_window's bounds: start = first event,
+    // end = last event + gap
+    "q_session_window" ->
+      """WITH s AS (SELECT user_id, ts,
+        |             CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 30*60*1000000 THEN 1 ELSE 0 END AS brk,
+        |             event_id
+        |           FROM events),
+        |g AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM s)
+        |SELECT user_id,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS end_us,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q_retention" ->
       """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1),
         |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)

@@ -537,6 +537,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bucketed === naive)
   }
 
+  test("session_window agrees with the lag/cumsum sessionizer") {
+    // two independent mechanisms — Catalyst's native session_window
+    // merge and the windowed gap-break formulation — must produce the
+    // same (user, n_events-per-session) multiset
+    def multiset(rows: Array[(Long, Long)]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    val native = multiset(
+      graft.queries.Temporal.sessionWindows(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(3))))
+    val lagged = multiset(
+      graft.queries.Temporal.sessionizeBatch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))))
+    assert(native.nonEmpty && native === lagged)
+  }
+
   test("embedding near-dup: no false positives, recall >= 0.8 of brute force") {
     // max pairwise cosine in this corpus ≈ 0.5 — threshold 0.4 hits
     // the tail; at that angle (≈66°) 16-table/4-bit SRP recall is ~0.94
