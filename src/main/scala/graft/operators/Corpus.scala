@@ -328,6 +328,32 @@ object Corpus {
       .drop("_cls")
   }
 
+  /** Length-bucketed training-batch assembly — the padding-
+    * minimization recipe for non-packed fine-tuning: documents bucket
+    * by ⌊log₂(tokens)⌋ (≤2× length spread inside a bucket), fill
+    * fixed-size batches in deterministic md5 order within each
+    * bucket, and report per-batch padding waste (1 − Σtokens /
+    * (max·n) — what the batch actually pads to). One narrow shuffle
+    * on the bucket key; the per-bucket rank window is the
+    * [[tokenBudgetSample]] caveat — a hot bucket pre-splits by md5
+    * range at real scale. */
+  def lengthBucketBatches(df: DataFrame, key: Column, nTokens: Column,
+                          batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("_lb"))
+      .orderBy(TextAnalysis.md5Bucket16(key).asc, key.asc)
+    df.withColumn("_n", nTokens.cast("long"))
+      .withColumn("_lb", floor(log2(col("_n"))).cast("long"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(_rn - 1) DIV $batchSize"))
+      .groupBy(col("_lb").as("len_bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("_n")).as("max_tokens"),
+        sum(col("_n")).as("sum_tokens"))
+      .withColumn("pad_frac",
+        r4(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("max_tokens") * col("n_docs")).cast("double")))
+  }
+
   // ------------------------------------------------------- queries //
 
   /** DSIR-style data selection (Xie et al. '23): per-document
@@ -418,6 +444,11 @@ object Corpus {
           total = 200L, alphaPct = 50)
         .select(col("doc_id"), col("source"), col("mix_rank"),
           col("quota"))),
+    "c_length_batches" -> ((s, dir) => {
+      val d = docs(s, dir)
+      lengthBucketBatches(d, col("doc_id"),
+        size(tokens(col("text"))), batchSize = 16)
+    }),
     // the curation→mixing→layout END of the training-data pipeline
     // composed as one program: NB quality filter (model trained on
     // the whole corpus) → temperature-scaled source mix → sequence
@@ -595,6 +626,16 @@ object Corpus {
         |      FROM documents)
         |SELECT r.doc_id, r.source, r.mix_rank, q.quota
         |FROM r JOIN q USING (source) WHERE mix_rank <= quota""".stripMargin,
+    "c_length_batches" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n, CAST(floor(log2(n)) AS BIGINT) AS lb,
+        |        row_number() OVER (PARTITION BY CAST(floor(log2(n)) AS BIGINT)
+        |          ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS rn
+        |      FROM t)
+        |SELECT lb AS len_bucket, CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+        |  count(*) AS n_docs, max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  round((1.0 - CAST(sum(n) AS DOUBLE) / CAST(max(n) * count(*) AS DOUBLE))*1e4)/1e4 AS pad_frac
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // the whole pipeline as one statement: the NB train CTEs are the
     // SHARED nbCtes block, the mix/pack stages restate the same
     // integer quota arithmetic, md5 rank order and one-window prefix

@@ -347,6 +347,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(out((1, 0)) === ((1L, 10.0)) && out((1, 1)) === ((1L, 20.0)))
   }
 
+  test("length batches: full batches except per-bucket tails, bounded padding") {
+    val s = spark; import s.implicits._
+    // lengths 4-7 share bucket 2, 8-15 bucket 3
+    val df = ((1L to 50L).map(i => (i, Seq.fill(4 + (i % 4).toInt)("w").mkString(" "))) ++
+      (51L to 60L).map(i => (i, Seq.fill(9)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = Corpus.lengthBucketBatches(df, col("doc_id"),
+        size(split(col("text"), " ")), batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    // bucket 2: 50 docs → batches of 8,8,8,8,8,8,2; bucket 3: 10 → 8,2
+    val sizes2 = out.filter(_._1._1 == 2L).values.map(_._1).toSeq.sorted
+    assert(sizes2 === Seq(2L, 8L, 8L, 8L, 8L, 8L, 8L))
+    val sizes3 = out.filter(_._1._1 == 3L).values.map(_._1).toSeq.sorted
+    assert(sizes3 === Seq(2L, 8L))
+    // within a log2 bucket max/min < 2 → padding waste < 0.5 always
+    assert(out.values.forall(_._3 < 0.5), out.toString)
+    // deterministic across partitionings
+    val again = Corpus.lengthBucketBatches(df.repartition(7), col("doc_id"),
+        size(split(col("text"), " ")), batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    assert(again === out)
+  }
+
   test("vocab top-k: exact counts, ties broken on token") {
     val df = docsDf(1L -> "b b b a a c", 2L -> "a c d", 3L -> "e")
     val out = graft.operators.TextAnalysis.vocabTopK(df, col("text"), 4)

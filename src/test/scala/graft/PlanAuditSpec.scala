@@ -340,6 +340,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final transition count:\n$p")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the 100-TB join pattern: fact partitioned on the join key's
+    // date/dim column, dimension filtered at query time — Spark
+    // injects a runtime subquery filter into the fact scan so only
+    // matching partitions are read (no static predicate exists)
+    val dir = java.nio.file.Files.createTempDirectory("dpp_spec").toString
+    import org.apache.spark.sql.functions.{col, date_format}
+    graft.sources.Tables.load(spark, sf, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // a dim table on disk with a selective flag: DPP requires a real
+    // filtered build side (a bare local relation is not considered
+    // selective by the PartitionPruning rule)
+    import org.apache.spark.sql.functions.row_number
+    import org.apache.spark.sql.expressions.Window
+    fact.select(col("day")).distinct()
+      .withColumn("flag",
+        (row_number().over(Window.orderBy(col("day"))) <= 2).cast("int"))
+      .withColumnRenamed("day", "d")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("flag") === 1)
+    val q = fact.join(dim, col("day") === col("d"))
+      .groupBy(col("day")).count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected runtime partition pruning in:\n$p")
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
