@@ -431,6 +431,29 @@ object Merge {
         .as("acctbal"))
   }
 
+  /** Oracle-checked SCHEMA EVOLUTION on the versioned target: v0 =
+    * narrow customers (key, name), v1 = a widening delta adding a
+    * `tier` column on keys ≡ 0 (mod 4). The latest read must present
+    * the union schema with carried-forward old-schema rows null in
+    * `tier` — restated relationally as a left join of the upsert onto
+    * the tier assignments. Exercises the allowMissingColumns union on
+    * touched buckets AND the merged-footer read across the mixed-
+    * generation layout in one gate-checked query. */
+  def evolveDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    writeVersioned(c, path, "c_custkey", nBuckets = 8)
+    val delta = c.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"),
+        concat(lit("t#"), col("c_name")).as("c_name"),
+        (col("c_custkey") % 3).cast("int").as("tier"))
+    mergeVersioned(s, path, delta, "c_custkey")
+    readVersioned(s, path)
+      .select(col("c_custkey"), col("c_name"), col("tier"))
+  }
+
   /** Oracle-checked time travel: v0 = customers, v1 = balance bump on
     * keys ≡ 0 (mod 3), v2 = rename on keys ≡ 0 (mod 7) — where the v2
     * delta is DERIVED BY READING v1, so the read path feeds the write
@@ -525,6 +548,7 @@ object Merge {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_merge_upsert" -> (mergeDemo _),
+    "m_evolve" -> (evolveDemo _),
     "m_time_travel" -> (timeTravelDemo _),
     "m_compact" -> (compactDemo _),
     "m_changes" -> (changesDemo _))
@@ -544,6 +568,16 @@ object Merge {
            WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = c.c_custkey)
            UNION ALL
            SELECT * FROM delta)""",
+    // the widened table stated relationally: upserted rows carry a
+    // tier, untouched rows extend with null — no manifests, no
+    // mixed-schema parquet in the oracle at all
+    "m_evolve" ->
+      """WITH delta AS (
+           SELECT c_custkey, 't#' || c_name AS c_name,
+                  CAST(c_custkey % 3 AS INTEGER) AS tier
+           FROM customer WHERE c_custkey % 4 = 0)
+         SELECT c.c_custkey, coalesce(d.c_name, c.c_name) AS c_name, d.tier
+         FROM customer c LEFT JOIN delta d ON c.c_custkey = d.c_custkey""",
     // both diff directions restated as full outer joins over the
     // relational states — no manifests, no versioning machinery
     "m_changes" ->
