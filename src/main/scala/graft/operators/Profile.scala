@@ -39,12 +39,55 @@ object Profile {
         "(column_name, n_nulls, n_distinct, min_s, max_s, avg_len)"))
   }
 
+  /** Declarative constraint validation — the Deequ/Great-Expectations
+    * shape: each constraint is (name, observed metric, pass
+    * predicate) over the lineitem drop — completeness, composite-key
+    * uniqueness, range compliance, distribution sanity. ALL metrics
+    * compute in one `agg` (a single table scan with partial
+    * aggregation — the cheapest possible audit at 100 TB) and the
+    * 1-row result reshapes to one row per constraint via `stack`;
+    * a pipeline gates a new drop on `filter(!passed).isEmpty`.
+    * Verdicts evaluate on the ROUNDED observed value and are
+    * restated as literal comparisons in the oracle, so pass/fail
+    * itself hash-compares. */
+  def lineitemAudit(df: DataFrame): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    val metrics: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      ("complete_orderkey",
+        count(col("l_orderkey")).cast("double") / n, _ === 1.0),
+      ("unique_line_key",
+        countDistinct(col("l_orderkey"), col("l_linenumber")).cast("double") / n,
+        _ === 1.0),
+      ("qty_in_range",
+        sum(when(col("l_quantity").between(1, 50), 1).otherwise(0))
+          .cast("double") / n, _ === 1.0),
+      ("discount_bounded",
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1)
+          .otherwise(0)).cast("double"), _ === 0.0),
+      ("mean_qty_sane",
+        avg(col("l_quantity")), c => c >= 10.0 && c <= 40.0))
+    val wide = df.agg(metrics.head._2.as(metrics.head._1),
+      metrics.tail.map(m => m._2.as(m._1)): _*)
+    val groups = metrics.map(m => s"'${m._1}', `${m._1}`")
+    val long = wide.select(expr(
+      s"stack(${metrics.size}, ${groups.mkString(", ")}) AS " +
+        "(check_name, observed_raw)"))
+      .select(col("check_name"),
+        (round(col("observed_raw") * 1e4) / 1e4).as("observed"))
+    val passed = metrics.foldLeft(lit(false)) { (acc, m) =>
+      when(col("check_name") === m._1, m._3(col("observed"))).otherwise(acc)
+    }
+    long.withColumn("passed", passed)
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_profile" -> ((s, dir) =>
       profile(Tables.load(s, dir, "documents"),
-        Seq("doc_id", "text", "lang", "source", "n_chars"))))
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "c_constraints" -> ((s, dir) =>
+      lineitemAudit(Tables.load(s, dir, "lineitem"))))
 
   private def colSql(c: String): String =
     s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
@@ -56,5 +99,21 @@ object Profile {
 
   val oracle: Map[String, String] = Map(
     "c_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
-      .map(colSql).mkString(" UNION ALL "))
+      .map(colSql).mkString(" UNION ALL "),
+    // the audit restated: one aggregate CTE, five literal rows — the
+    // pass predicates become explicit comparisons on the ROUNDED
+    // observed values so the verdicts hash-compare
+    "c_constraints" ->
+      """WITH m AS (SELECT
+        |  CAST(count(l_orderkey) AS DOUBLE) / count(*) AS complete_orderkey,
+        |  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*) AS unique_line_key,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS qty_in_range,
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS discount_bounded,
+        |  avg(l_quantity) AS mean_qty_sane
+        |FROM lineitem)
+        |SELECT 'complete_orderkey' AS check_name, round(complete_orderkey*1e4)/1e4 AS observed, round(complete_orderkey*1e4)/1e4 = 1.0 AS passed FROM m
+        |UNION ALL SELECT 'unique_line_key', round(unique_line_key*1e4)/1e4, round(unique_line_key*1e4)/1e4 = 1.0 FROM m
+        |UNION ALL SELECT 'qty_in_range', round(qty_in_range*1e4)/1e4, round(qty_in_range*1e4)/1e4 = 1.0 FROM m
+        |UNION ALL SELECT 'discount_bounded', round(discount_bounded*1e4)/1e4, round(discount_bounded*1e4)/1e4 = 0.0 FROM m
+        |UNION ALL SELECT 'mean_qty_sane', round(mean_qty_sane*1e4)/1e4, round(mean_qty_sane*1e4)/1e4 >= 10.0 AND round(mean_qty_sane*1e4)/1e4 <= 40.0 FROM m""".stripMargin)
 }
