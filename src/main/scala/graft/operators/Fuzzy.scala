@@ -60,10 +60,27 @@ object Fuzzy {
   /** Exact edit-distance self-join over the distinct values of
     * `key` in `df`: all unordered pairs (a < b) with
     * `levenshtein(a, b) <= tau`, plus the distance. Deletion-
-    * neighborhood blocking + exact verify (see object doc). */
+    * neighborhood blocking + exact verify (see object doc).
+    *
+    * Two "obvious" refinements were measured and REJECTED on this
+    * corpus (both made it slower; kept as notes so they aren't
+    * re-tried blindly): (a) verifying with `levenshtein` BEFORE the
+    * pair-dedup — the full O(|a|·|b|) DP on every candidate costs
+    * more than deduping near-duplicate-free candidates first
+    * (7.6 s → 11 s at sf0.1); (b) a PassJoin-style deletion-POSITION
+    * diagonal filter — it requires keeping duplicate keys per
+    * position, and on zero-run generated IDs (`Customer#000…`) a
+    * length-k run contributes k duplicate keys per string, growing
+    * the candidate stream ~k× before the filter prunes it
+    * (7.6 s → 12 s). */
   def editSelfJoin(df: DataFrame, key: Column, tau: Int): DataFrame = {
-    val keyed = df.select(key.as("nm")).distinct()
-      .select(col("nm"), explode(deletionVariants(col("nm"), tau)).as("dk"))
+    // snapshot the exploded key table: the self-join would otherwise
+    // run the distinct + variant expansion twice (once per side)
+    val keyed = Dedup.materialize(
+      df.select(key.as("nm")).distinct()
+        .select(col("nm"),
+          explode(deletionVariants(col("nm"), tau)).as("dk")),
+      "fuzzy_keys")
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.dk") === col("b.dk") && col("a.nm") < col("b.nm"))
