@@ -240,7 +240,25 @@ object Temporal {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"))
 
+  /** Sliding (hopping) 1-hour windows at a 15-minute slide — each
+    * event lands in windowSize/slide = 4 windows. Completes the
+    * window-type trio (tumbling `q_stream_window`, session
+    * `q_session_window`, sliding here); the same expression runs
+    * streaming with a watermark, state = open windows only. Spark
+    * expands the 4 memberships per row BEFORE the aggregation's
+    * map-side partial combine, so the shuffle still carries
+    * (window, type) partials, not events. */
+  def slidingRollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("value")) * 1e2) / 1e2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"), col("total_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sliding_window" -> (slidingRollup _),
     "q_session_window" -> (sessionWindows _),
     "q_retention" -> (retention _),
     "q_event_transitions" -> (eventTransitions _),
@@ -266,6 +284,17 @@ object Temporal {
     "q_sessionize" -> (sessionizeBatch _))
 
   val oracle: Map[String, String] = Map(
+    // each event expands to its 4 containing hop windows via epoch-µs
+    // integer arithmetic (Spark's hop grid is epoch-aligned; so is
+    // this one — both grids are multiples of 15 min from epoch)
+    "q_sliding_window" ->
+      """WITH x AS (SELECT event_type, value,
+        |             make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000) AS ws,
+        |             epoch_us(ts) AS tus
+        |           FROM events, (SELECT unnest(range(0, 4)) AS k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n, round(sum(value)*1e2)/1e2 AS total_value
+        |FROM x WHERE tus < epoch_us(ws) + 3600000000 GROUP BY 1, 2""".stripMargin,
     // gap-sessionize via lag/cumsum (the q_sessionize mechanism),
     // then restate session_window's bounds: start = first event,
     // end = last event + gap
