@@ -598,6 +598,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("watermark drops events older than the horizon; in-horizon late data still counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc: org.apache.spark.sql.Encoder[EventsStream.Ev] =
+      org.apache.spark.sql.Encoders.product[EventsStream.Ev]
+    val mem = MemoryStream[EventsStream.Ev](enc, spark.sqlContext)
+    val q = EventsStream.windowedRollup(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("ops_late_drop")
+      .start()
+    def ev(id: Long, iso: String) = EventsStream.Ev(id,
+      java.sql.Timestamp.from(java.time.Instant.parse(iso)), 1L, "view", 1.0)
+    // batch 1: 10:05 event + 12:30 event → watermark 12:20 closes the
+    // 10:00 window (append emits it with n=1)
+    mem.addData(ev(1, "2024-01-01T10:05:00Z"), ev(2, "2024-01-01T12:30:00Z"))
+    q.processAllAvailable()
+    // batch 2: 10:10 is BELOW the 12:20 watermark → must be dropped
+    // (its window already closed); 12:15 is late but its window's
+    // state is still open → must count; 14:30 advances the watermark
+    // past 13:00, closing the 12:00 window
+    mem.addData(ev(3, "2024-01-01T10:10:00Z"),
+      ev(4, "2024-01-01T12:15:00Z"), ev(5, "2024-01-01T14:30:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val byHour = spark.table("ops_late_drop").collect()
+      .map(r => r.getTimestamp(0).toInstant.toString -> r.getLong(2)).toMap
+    assert(byHour("2024-01-01T10:00:00Z") === 1L,
+      s"late event below the watermark must not resurrect a closed window: $byHour")
+    assert(byHour("2024-01-01T12:00:00Z") === 2L,
+      s"in-horizon late event must count toward its open window: $byHour")
+    assert(!byHour.contains("2024-01-01T14:00:00Z"),
+      "a window the watermark has not passed must not be emitted in append mode")
+  }
+
   test("stream-static enrichment matches its batch twin; static side broadcasts") {
     // dimension enrichment as a real micro-batched stream against the
     // STATIC customer table must emit exactly the batch twin's rows
