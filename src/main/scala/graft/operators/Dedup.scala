@@ -841,17 +841,50 @@ object Dedup {
     // the classic near-exact-dup contract (Manku et al., WWW'07 run
     // 64-bit signatures at radius 3). 16-bit chunk keys keep every
     // bucket discriminative at corpus scale, unlike the 4-bit proof
-    // kernel above. NOT SQL-oracle-expressible (the truth set is
-    // defined by signature Hamming, and measured near-dup pairs at
-    // J ≥ 0.9 on this corpus reach Hamming 10, so no Jaccard
-    // threshold reproduces it) → registered rows-only; completeness
-    // AND soundness are pinned by the brute-force spec instead
+    // kernel above. The truth set is defined by signature Hamming (no
+    // Jaccard threshold reproduces it), so the DuckDB oracle gets the
+    // deterministic signatures as a literal VALUES table and restates
+    // banding + radius relationally ([[simhashProdOracle]]); the
+    // brute-force spec additionally pins completeness AND soundness
     // (OperatorsSpec "production simhash banding").
-    "d_simhash_prod" -> ((s, dir) =>
+    "d_simhash_prod" -> ((s, dir) => {
+      simhashProdCtx = Some((s, dir))
       simhashPairs(docs(s, dir), maxHamming = 3, nChunks = 4,
-        sigOf = simhashShingled)))
+        sigOf = simhashShingled)
+    }))
 
-  val oracle: Map[String, String] = Map(
+  /** Set by the `d_simhash_prod` builder; lets [[simhashProdOracle]]
+    * regenerate the literal signature table for the SAME session/dir
+    * the query ran against. Verify/VerifyOne dump oracle SQL only
+    * after every query future has completed, so the stash is always
+    * populated when the dynamic oracle is rendered. */
+  @volatile private var simhashProdCtx: Option[(SparkSession, String)] = None
+
+  /** `d_simhash_prod`'s oracle, rendered at dump time. The per-doc
+    * 64-bit shingle-SimHash signatures are fully deterministic
+    * (xxhash64 seed-42 bit votes), so they are inlined as a literal
+    * VALUES table — the same literal-inlining trick as `t_analyze`'s
+    * stem map and `s_embed_neardup`'s SRP sign matrix — and DuckDB
+    * independently recomputes 4×16-bit chunk banding (band-equality
+    * self-join) and the `bit_count(xor) <= 3` radius from the raw
+    * signatures. Hash equality therefore proves the distributed
+    * banded discovery emits exactly the Hamming ≤ 3 pair set. The
+    * collect is oracle-dump-only (never in the benched query path)
+    * and bounded at gate scale (500 rows at sf0.01). */
+  private def simhashProdOracle: Map[String, String] = simhashProdCtx match {
+    case None => Map.empty
+    case Some((s, dir)) =>
+      graft.functions.HashExpressions.register(s)
+      val sigs = docs(s, dir)
+        .select(col("doc_id"), simhashShingled(col("text")).as("sig"))
+        .collect()
+        .map(r => s"(${r.getLong(0)}, CAST(${r.getLong(1)} AS BIGINT))")
+        .mkString(", ")
+      Map("d_simhash_prod" ->
+        s"""WITH sigs(doc_id, sig) AS (VALUES $sigs), chunks AS (SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS chunk FROM sigs, (VALUES (0), (1), (2), (3)) bands(b)), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3""")
+  }
+
+  def oracle: Map[String, String] = simhashProdOracle ++ Map(
     // the WHOLE pipeline restated relationally: quality gate, exact
     // dedup keep-min, exact J>=0.8 pairs among survivors, recursive
     // transitive closure, canonical-only survivors, md5 split tag —
