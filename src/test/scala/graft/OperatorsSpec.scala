@@ -173,6 +173,36 @@ class OperatorsSpec extends AnyFunSuite {
       l.contains("PartitionFilters") && l.contains("cell")), p)
   }
 
+  test("ensureIvfIndex restart protocol: reuse on matching meta, rebuild on drift") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_ensure").toString
+    // first ensure builds (no meta yet)
+    assert(!Similarity.ensureIvfIndex(emb, path, nCells = 8, refineIters = 1))
+    val metaFile = new java.io.File(s"$path/_index_meta.tsv")
+    assert(metaFile.exists())
+    val builtAt = metaFile.lastModified()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val first = Similarity.searchIvfIndex(spark, path, queries, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // second ensure with identical params + corpus reuses: returns
+    // true, leaves the layout untouched, search is byte-identical —
+    // the fresh-JVM restart path (nothing here relies on session state)
+    assert(Similarity.ensureIvfIndex(emb, path, nCells = 8, refineIters = 1))
+    assert(metaFile.lastModified() === builtAt, "reuse must not rewrite")
+    val again = Similarity.searchIvfIndex(spark, path, queries, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === first)
+    // parameter drift forces a rebuild (meta mismatch)
+    assert(!Similarity.ensureIvfIndex(emb, path, nCells = 16, refineIters = 1))
+    // corpus drift forces a rebuild too (fingerprint mismatch)
+    assert(!Similarity.ensureIvfIndex(emb.filter(col("vec_id") < 100),
+      path, nCells = 16, refineIters = 1))
+    // a torn build (data present, meta missing) reads as absent
+    new java.io.File(s"$path/_index_meta.tsv").delete()
+    assert(!Similarity.ensureIvfIndex(emb.filter(col("vec_id") < 100),
+      path, nCells = 16, refineIters = 1))
+  }
+
   test("IVF-ANN: k-means refinement preserves cell count and seed-level recall") {
     val exact = Similarity.cosineTopK(emb, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -251,6 +251,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("persisted IVF probe reads ONLY the probed cell directories") {
+    // the claim behind the on-disk layout: a search touches nProbe of
+    // nCells partition directories and partition pruning keeps the
+    // rest off the scan's file list entirely. inputFiles is the
+    // ground truth (the actual files the executed scan would read),
+    // stronger than matching PartitionFilters text.
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_prune_audit").toString
+    graft.operators.Similarity.writeIvfIndex(emb, path, nCells = 16,
+      refineIters = 2)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val search = graft.operators.Similarity
+      .searchIvfIndex(spark, path, q, 3, nProbe = 2)
+    search.collect() // populate the scan's driver-side metrics
+    // walk INTO AQE stages: executedPlan is AdaptiveSparkPlanExec and
+    // TreeNode.collect does not descend through query stages
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val cellScans = scans(search.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains(path)))
+    assert(cellScans.nonEmpty, "no cells scan in the executed plan")
+    // "number of partitions read" is the post-pruning directory count
+    val partsRead = cellScans.map(_.metrics("numPartitions").value).sum
+    assert(partsRead <= 2,
+      s"1 query x nProbe=2 must touch <= 2 cell dirs, read $partsRead")
+    val onDisk = new java.io.File(s"$path/cells").listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(partsRead < onDisk,
+      s"probe read all $onDisk cell dirs - no pruning")
+  }
+
   test("bm25: term filter precedes every exchange, stats broadcast, top-k is TakeOrderedAndProject") {
     val p = plan(graft.SparkEntry.queries("t_bm25")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
