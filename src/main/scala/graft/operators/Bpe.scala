@@ -105,6 +105,121 @@ object Bpe {
     } finally { wc.unpersist(); () }
   }
 
+  /** Batched trainer: identical output to [[train]] (per-merge
+    * sequential semantics), bounded Spark jobs. Each counting pass
+    * collects the top candidates ONCE and a driver-side guard selects
+    * the longest candidate PREFIX that provably equals what the
+    * sequential argmax loop would pick — so a 32k-merge vocabulary
+    * costs ~32k/⟨batch⟩ pair-count jobs instead of 32k, and
+    * `localCheckpoint` every `checkpointEvery` merges truncates the
+    * stacked-`replace` lineage the one-merge loop let grow unbounded.
+    *
+    * The guard (why batched ≡ sequential, ALWAYS — not just "where
+    * prefixes don't interact"; non-interaction is what the guard
+    * PROVES, falling back to batch=1 = exact sequential otherwise).
+    * Candidates come sorted by the argmax order (count DESC, pair
+    * ASC). A prefix p_1..p_m is taken only while, for each next p_j:
+    *
+    *  1. p_j shares no token with any earlier selected pair's tokens
+    *     or merged string — so merges p_1..p_{j-1} destroy none of
+    *     p_j's occurrences and create none (p_j's count is unchanged
+    *     when sequential recounts at step j);
+    *  2. no merge p_i (i<j) can CREATE a pair that would outrank p_j
+    *     at step j. A created pair carries the merged token m_i; its
+    *     post-merge count is ≤ old(x, m_i) + old(x, a_i) on the left
+    *     (every created occurrence consumed an (x, a_i) occurrence;
+    *     m_i may pre-exist as an ordinary token string) and
+    *     symmetrically ≤ old(m_i, y) + old(b_i, y) on the right. If
+    *     every old pair whose SECOND token is a_i, FIRST token is b_i,
+    *     or that contains m_i at all, has count < ⌈cnt(p_j)/2⌉, both
+    *     addends are below half and no created pair reaches cnt(p_j)
+    *     — strictly, so ties (which the pair-ASC order could award to
+    *     an unpredictable m_i-string) are impossible. The check scans
+    *     the collected candidate list, which is only valid if that
+    *     list COVERS every pair with count ≥ ⌈cnt(p_j)/2⌉ — when the
+    *     collect was truncated at a floor above that, the guard stops
+    *     the batch instead of guessing.
+    *
+    * Decreased pairs can't spoil either: a pair ranked after p_j only
+    * loses count, and everything ranked before p_j is in the selected
+    * prefix (destroyed by its own merge). Applying the selected
+    * merges left-to-right is exactly what sequential does between
+    * recounts, so the vocab state entering the next pass is
+    * identical. */
+  def trainBatched(docs: DataFrame, text: Column, nMerges: Int,
+                   batchK: Int = 16, checkpointEvery: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    val wc = wordCounts(docs, text).persist()
+    try {
+      var cur = wc.select(col("w"), charDelim(col("w")).as("s"), col("cnt"))
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var done = 0
+      var sinceCheckpoint = 0
+      var exhausted = false
+      while (done < nMerges && !exhausted) {
+        val nCand = math.max(64, 4 * batchK)
+        val cands = cur
+          .select(explode(pairsOf(col("s"))).as("pair"), col("cnt"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(nCand).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        if (cands.isEmpty) exhausted = true
+        else {
+          val complete = cands.length < nCand // collect saw every pair
+          val floor = cands.last._2
+          val batch = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, String, Long)]
+          var lefts = Set.empty[String]  // a_i of selected pairs
+          var rights = Set.empty[String] // b_i of selected pairs
+          var merged = Set.empty[String] // their merged strings
+          var stop = false
+          for ((pair, cnt) <- cands.take(math.min(batchK, cands.length))
+               if !stop && done + batch.size < nMerges) {
+            val Array(a, b) = pair.split(" ", 2)
+            val m = a + b
+            if (batch.isEmpty) {
+              batch += ((pair, a, b, cnt))
+              lefts = Set(a); rights = Set(b); merged = Set(m)
+            } else {
+              val half = (cnt + 1) / 2 // ⌈cnt/2⌉
+              val covered = complete || floor < half
+              val toks = lefts ++ rights
+              val disjoint = !toks(a) && !toks(b) && !merged(a) &&
+                !merged(b) && !toks(m) && !merged(m)
+              // a selected pair (a_i, b_i) never matches this pattern
+              // itself: disjointness keeps a_i out of `rights` and b_i
+              // out of `lefts` (and its merge destroys it anyway)
+              val spoiler = cands.exists { case (qp, qc) =>
+                qc >= half && {
+                  val Array(qa, qb) = qp.split(" ", 2)
+                  lefts(qb) || rights(qa) || merged(qa) || merged(qb)
+                }
+              }
+              if (disjoint && covered && !spoiler) {
+                batch += ((pair, a, b, cnt))
+                lefts += a; rights += b; merged += m
+              } else stop = true
+            }
+          }
+          val sel = batch.toSeq
+          for ((pair, a, b, cnt) <- sel) {
+            done += 1
+            merges += ((done, pair, a + b, cnt))
+            cur = cur.withColumn("s", applyMerge(col("s"), a, b))
+          }
+          sinceCheckpoint += sel.size
+          if (sinceCheckpoint >= checkpointEvery) {
+            cur = cur.localCheckpoint()
+            sinceCheckpoint = 0
+          }
+        }
+      }
+      import spark.implicits._
+      merges.result().toDF("merge_rank", "pair", "merged", "cnt")
+    } finally { wc.unpersist(); () }
+  }
+
   /** Tokenized form of every dictionary word under `merges` (the
     * trained model as (rank, a, b) triples): word → final token
     * array. The encode path: corpora re-tokenize by broadcast-
@@ -143,6 +258,14 @@ object Bpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train" -> ((s, dir) =>
       train(Tables.load(s, dir, "documents"), col("text"), 8)),
+    // the batched trainer against the SAME per-merge oracle: the
+    // guard proves batched ≡ sequential, so one hash certifies both
+    // the equivalence on this corpus and every intermediate state
+    // (batchK=4 so the 8-merge gate actually exercises multi-merge
+    // passes, not one big batch)
+    "t_bpe_batch" -> ((s, dir) =>
+      trainBatched(Tables.load(s, dir, "documents"), col("text"), 8,
+        batchK = 4)),
     "t_bpe_encode" -> ((s, dir) =>
       tokenCount(Tables.load(s, dir, "documents"), col("text"), 8)))
 
@@ -186,5 +309,6 @@ object Bpe {
 
   val oracle: Map[String, String] = Map(
     "t_bpe_train" -> trainOracleSql(8),
+    "t_bpe_batch" -> trainOracleSql(8),
     "t_bpe_encode" -> encodeOracleSql(8))
 }

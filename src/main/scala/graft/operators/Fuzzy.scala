@@ -100,6 +100,18 @@ object Fuzzy {
     // CROSS-JOIN oracle proves the blocking lossless
     "t_fuzzy_join" -> ((s, dir) =>
       editSelfJoin(Tables.load(s, dir, "customer"), col("c_name"), 1)
+        .select(col("name_a"), col("name_b"), col("dist").cast("int"))),
+    // τ=2 exercises the MULTI-LEVEL deletion frontier (the
+    // `deletionVariants` loop runs twice — level-2 keys are deletions
+    // of deletions), which the τ=1 gate never touches. On a
+    // deterministic 5% key sample: τ=2 keys are ~L²/2 per string and
+    // the near-collision candidate volume on shared-prefix IDs grows
+    // with τ, so the sample keeps BOTH the Spark candidate stream and
+    // the DuckDB brute-force oracle affordable at every gated SF while
+    // certifying the same losslessness theorem at the deeper radius.
+    "t_fuzzy_join2" -> ((s, dir) =>
+      editSelfJoin(Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") % 20 === 0), col("c_name"), 2)
         .select(col("name_a"), col("name_b"), col("dist").cast("int"))))
 
   // the oracle has NO blocking in it: brute-force levenshtein over
@@ -110,5 +122,11 @@ object Fuzzy {
       """SELECT a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM customer a JOIN customer b ON a.c_name < b.c_name
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "t_fuzzy_join2" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |WHERE a.c_custkey % 20 = 0 AND b.c_custkey % 20 = 0
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)
 }

@@ -62,7 +62,29 @@ object Graph {
     * sums, which the rounding absorbs (same bound as every other
     * double aggregate in the registry).
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame =
+    pageRankBounded(edges, iters, damping, tol = 0.0)
+
+  /** Convergence-mode PageRank: run until the max per-node rank change
+    * drops to `tol` (L∞ — the standard power-iteration stopping rule)
+    * or `maxIters`, whichever first. Each checked iteration
+    * materializes the rank vector (`localCheckpoint`) and measures the
+    * delta with one node-keyed join — two extra narrow jobs per
+    * iteration, the price of knowing when to stop; the fixed-iteration
+    * path ([[pageRank]], tol=0) stays one lazy plan with zero
+    * mid-loop actions. Throws if `maxIters` passes without reaching
+    * `tol` — an unconverged importance ranking must fail loudly, the
+    * same contract as [[Dedup.dupClusters]]'s pointer jumping. */
+  def pageRankConverged(edges: DataFrame, maxIters: Int, tol: Double,
+                        damping: Double = 0.85): DataFrame = {
+    require(tol > 0, "pageRankConverged: tol must be positive")
+    pageRankBounded(edges, maxIters, damping, tol)
+  }
+
+  private val checkpointEvery = 10
+
+  private def pageRankBounded(edges: DataFrame, iters: Int,
+                              damping: Double, tol: Double): DataFrame = {
     // every iteration references the edge set and sender degrees, and
     // the degree build reads the edges twice — WITHOUT snapshots each
     // plan copy re-derives the upstream edge join (orders ⋈ lineitem
@@ -84,13 +106,35 @@ object Graph {
     require(n > 0, "pageRank: empty edge set")
     val symDeg = Dedup.materialize(symSnap.join(degSnap, "src"), "pr_edges")
     var ranks = degSnap.select(col("src"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to iters) {
-      ranks = symDeg.join(ranks, "src")
+    var converged = false
+    var i = 0
+    while (i < iters && !converged) {
+      i += 1
+      val next = symDeg.join(ranks, "src")
         .select(col("dst"), (col("r") / col("deg")).as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"))
         .select(col("dst").as("src"),
           (lit((1 - damping) / n) + lit(damping) * col("in_mass")).as("r"))
+      if (tol > 0) {
+        // convergence mode: pin this iteration's vector (also the
+        // lineage truncation) and measure the L∞ step
+        val pinned = next.localCheckpoint()
+        val delta = pinned.as("n").join(ranks.as("p"), "src")
+          .agg(max(abs(col("n.r") - col("p.r")))).head().getDouble(0)
+        converged = delta <= tol
+        ranks = pinned
+      } else {
+        ranks = next
+        // long fixed runs: truncate the per-iteration lineage growth
+        // before the plan deepens past what the optimizer re-walks
+        // cheaply (never triggers at the 5-iteration oracle depth)
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
+      }
     }
+    if (tol > 0 && !converged)
+      throw new IllegalStateException(
+        s"pageRank did not converge to tol=$tol within $iters iterations")
     ranks.select(col("src").as("node"), (round(col("r") * 1e6) / 1e6).as("rank"))
   }
 

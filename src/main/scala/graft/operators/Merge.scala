@@ -274,6 +274,26 @@ object Merge {
     * is the same operation and renders the inverse feed (inserts
     * become deletes), which is how an upsert-only target still
     * exercises the delete path. */
+  /** Lossless widening for a column whose type differs between two
+    * diffed versions: integral→wider-integral→double, float→double,
+    * int/long→decimal-free double only. Anything not on the lattice
+    * (string↔numeric, nested types, decimal scale changes) fails fast
+    * with the column named — the caller should migrate the data, not
+    * get an analysis error from a struct-type mismatch. */
+  private[graft] def widenOrFail(name: String,
+                          a: org.apache.spark.sql.types.DataType,
+                          b: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val order: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    val ia = order.indexOf(a); val ib = order.indexOf(b)
+    if (ia >= 0 && ib >= 0) order(math.max(ia, ib))
+    else throw new IllegalArgumentException(
+      s"changesBetween: type evolution unsupported for column '$name': " +
+        s"$a vs $b (only numeric widening is diffable)")
+  }
+
   def changesBetween(spark: SparkSession, path: String, fromV: Int,
                      toV: Int, key: String,
                      fs: Dfs = Dfs.default): DataFrame = {
@@ -298,13 +318,27 @@ object Merge {
     // column shows up as null→value updates
     val fields = scala.collection.mutable.LinkedHashMap[
       String, org.apache.spark.sql.types.DataType]()
-    (aOpt.toSeq ++ bOpt.toSeq :+ template).foreach(_.schema.fields.foreach(
-      f => if (f.name != key && !fields.contains(f.name))
-        fields += f.name -> f.dataType))
+    (aOpt.toSeq ++ bOpt.toSeq :+ template).foreach(_.schema.fields.foreach {
+      f =>
+        if (f.name != key) fields.get(f.name) match {
+          case None => fields += f.name -> f.dataType
+          case Some(t) if t == f.dataType => ()
+          case Some(t) =>
+            // a column whose TYPE evolved between the versions: widen
+            // along the numeric lattice when lossless, else fail fast —
+            // silently packing mismatched struct fields would surface
+            // later as an opaque analysis error on the full-outer diff
+            fields += f.name -> widenOrFail(f.name, t, f.dataType)
+        }
+    })
+    // EVERY side casts to the recorded union type (not just the
+    // null-filled absent columns) so the pre/post struct types agree
+    // even when the diff spans a type evolution
     def pack(df: DataFrame, name: String): DataFrame =
       df.select(col(key),
         struct(fields.toSeq.map { case (n, t) =>
-          (if (df.columns.contains(n)) col(n) else lit(null).cast(t)).as(n)
+          (if (df.columns.contains(n)) col(n).cast(t)
+           else lit(null).cast(t)).as(n)
         }: _*).as(name))
     val empty = template.limit(0)
     val a = pack(aOpt.getOrElse(empty), "pre")

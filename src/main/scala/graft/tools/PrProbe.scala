@@ -25,8 +25,23 @@ object PrProbe {
     val edges = Graph.customerSupplierEdgesNum(orders, li)
     val ec = t("edges.count")(edges.count())
     println(s"PROBE n_edges $ec")
-    for (i <- 1 to 2)
-      t(s"pageRank run$i")(Graph.pageRank(edges, 5).count())
+    // fixed-iteration slope: flat marginal cost per iteration is the
+    // evidence that the every-10 localCheckpoint keeps the plan from
+    // deepening (without it the 40-iteration run re-walks a 40-join
+    // lineage each optimization pass)
+    var prev = 0.0
+    for (n <- Seq(5, 10, 20, 40)) {
+      val s0 = System.nanoTime()
+      Graph.pageRank(edges, n).count()
+      val sec = (System.nanoTime() - s0) / 1e9
+      val slope = if (prev > 0) f" (+${(sec - prev)}%.2f s for the added iters)" else ""
+      println(f"PROBE pageRank iters=$n ${sec}%.2f s$slope")
+      prev = sec
+    }
+    t("pageRankConverged tol=1e-7 maxIters=100") {
+      val r = Graph.pageRankConverged(edges, 100, 1e-7)
+      println(s"PROBE converged rows=${r.count()}")
+    }
     spark.stop()
   }
 }

@@ -349,6 +349,42 @@ class OperatorsSpec extends AnyFunSuite {
       rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
   }
 
+  test("PQ on a CLUSTERED corpus: recall 1 at a 5% shortlist") {
+    // the sf corpus is near-random, which is why the registry gate
+    // apologizes with a 25% shortlist; this fixture has the structure
+    // PQ is designed for — 32 well-separated clusters — and certifies
+    // the few-percent-shortlist regime the knob targets at scale:
+    // 2048 vectors × shortlistFrac 0.05 = the exact minShortlist=100
+    // floor, so the ADC pass really shortlists 1-in-20.
+    val dim = 64; val nClusters = 32; val perCluster = 64
+    def mix(x0: Long): Long = { // splitmix64 — deterministic noise
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unif(seed: Long): Float = // in [-1, 1)
+      ((mix(seed) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat
+    val centers = Array.tabulate(nClusters)(c =>
+      Array.tabulate(dim)(d => unif(c.toLong * 1031 + d)))
+    val rows = (0 until nClusters * perCluster).map { id =>
+      val c = id % nClusters // interleaved: codebook seeds (first 64
+      val v = Array.tabulate(dim) { d => // ids) span every cluster
+        centers(c)(d) + 0.05f * unif(1000003L + id.toLong * 131 + d)
+      }
+      (id.toLong, v.toSeq, c)
+    }
+    val s = spark; import s.implicits._
+    val clustered = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val rec = Similarity.annRecall(
+      Similarity.pqCosineTopK(clustered, 10, 5, shortlistFrac = 0.05),
+      Similarity.cosineTopK(clustered, 10, 5), 5).collect()
+    assert(rec.length === 10)
+    assert(rec.forall(_.getDouble(1) == 1.0),
+      rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
+  }
+
   test("IVF-PQ on disk: recall 1 vs exact, ADC pass reads only probed cell directories") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
     Similarity.writeIvfPqIndex(emb, path, nCells = 8, refineIters = 1,
@@ -429,6 +465,29 @@ class OperatorsSpec extends AnyFunSuite {
     // the hub dominates its leaves; a 2-cycle node holds 1/6 mass
     assert(r("a") > r("b"))
     assert(math.abs(r("e") - 1.0 / 6) < 1e-4)
+  }
+
+  test("pagerank convergence: tol stop matches a deep fixed run; non-convergence throws") {
+    val s = spark; import s.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("e", "f"))
+      .toDF("a", "b")
+    // epsilon-converged must agree with a fixed run deep enough to be
+    // the fixpoint (both round to 1e-6, so agreement is exact)
+    // 120 fixed iterations: 0.85^120 ≈ 3e-9 residual, far inside the
+    // 1e-6 rounding (60 was NOT enough — 0.85^60 ≈ 6e-5 still moves
+    // the 6th decimal, which is itself evidence the tol stop is the
+    // better contract)
+    val conv = Graph.pageRankConverged(edges, 200, 1e-9).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val deep = Graph.pageRank(edges, 120).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(conv === deep)
+    // a budget too small to reach tol fails loudly, never returns a
+    // half-converged ranking
+    val ex = intercept[IllegalStateException] {
+      Graph.pageRankConverged(edges, 2, 1e-12)
+    }
+    assert(ex.getMessage.contains("converge"), ex.getMessage)
   }
 
   test("repeated spans: hand-computed duplicated-window counts") {
@@ -660,6 +719,46 @@ class OperatorsSpec extends AnyFunSuite {
       "a window the watermark has not passed must not be emitted in append mode")
   }
 
+  test("stream-stream join: a click past the watermark must not match its view") {
+    // the late-data contract of clickAttribution's 30-minute
+    // watermarks, pinned with the same two-batch MemoryStream shape as
+    // the windowed-rollup test: batch 1 advances the global watermark,
+    // batch 2 offers one below-watermark click (must be dropped — its
+    // view's buffered state is also already evicted) and one
+    // in-horizon click (must match)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc: org.apache.spark.sql.Encoder[EventsStream.Ev] =
+      org.apache.spark.sql.Encoders.product[EventsStream.Ev]
+    val mem = MemoryStream[EventsStream.Ev](enc, spark.sqlContext)
+    val q = EventsStream.clickAttribution(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("ops_ss_late")
+      .start()
+    def ev(id: Long, user: Long, kind: String, iso: String) =
+      EventsStream.Ev(id,
+        java.sql.Timestamp.from(java.time.Instant.parse(iso)), user, kind, 1.0)
+    // batch 1: view v1 matched by click c1; view v2 + click c2 at the
+    // same instant (strict > means no match) push BOTH branch
+    // watermarks to 11:30
+    mem.addData(
+      ev(1, 1L, "view", "2024-01-01T10:00:00Z"),
+      ev(2, 1L, "click", "2024-01-01T10:10:00Z"),
+      ev(3, 2L, "view", "2024-01-01T12:00:00Z"),
+      ev(4, 2L, "click", "2024-01-01T12:00:00Z"))
+    q.processAllAvailable()
+    // batch 2: click 5 at 10:20 is inside v1's 30-min attribution
+    // window but BELOW the 11:30 watermark → dropped, never attributed;
+    // click 6 at 12:10 is in-horizon → attributed to v2
+    mem.addData(
+      ev(5, 1L, "click", "2024-01-01T10:20:00Z"),
+      ev(6, 2L, "click", "2024-01-01T12:10:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ops_ss_late").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 3L, 6L)),
+      s"late click must not match, in-horizon click must: $got")
+  }
+
   test("stream-static enrichment matches its batch twin; static side broadcasts") {
     // dimension enrichment as a real micro-batched stream against the
     // STATIC customer table must emit exactly the batch twin's rows
@@ -668,15 +767,31 @@ class OperatorsSpec extends AnyFunSuite {
     val q = EventsStream.enrichWithCustomer(stream, dim).writeStream
       .outputMode("append").format("memory").queryName("ops_stream_enrich")
       .start()
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
+    // zero stream state / static-side broadcast pinned on the
+    // STREAMING query's own execution (not the batch twin): the
+    // progress report lists every stateful operator the micro-batch
+    // ran (must be none), and the micro-batch physical plan — dumped
+    // by StreamingQuery.explain — must join by broadcast without
+    // exchanging the event stream
+    assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty,
+      s"stream-static enrich must keep zero state: ${q.lastProgress}")
+    val sp = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain(extended = false) }
+      buf.toString("UTF-8")
+    }
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    assert(!sp.contains("Exchange hashpartitioning(event_id") &&
+      !sp.contains("Exchange hashpartitioning(user_id"), sp)
+    q.stop()
     val streamed = spark.table("ops_stream_enrich").collect()
       .map(r => (r.getLong(0), r.getString(3))).toMap
     val batchDf = EventsStream.enrichWithCustomer(
       Tables.load(spark, sf, "events"), dim)
     val batch = batchDf.collect().map(r => (r.getLong(0), r.getString(3))).toMap
     assert(batch.nonEmpty && streamed === batch)
-    // zero stream state: the static side broadcasts, no shuffle of
-    // the event stream, no stateful operator in the plan
+    // and the batch twin keeps the same shape
     val p = batchDf.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Exchange hashpartitioning(event_id") &&
@@ -903,6 +1018,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(compacted.count() === 65 &&
       compacted.columns.contains("score"))
     assert(Merge.readVersioned(spark, path, 0).count() === 64)
+  }
+
+  test("CDC across a TYPE evolution: numeric widening diffs, non-numeric fails fast") {
+    val s = spark; import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tev_spec").toString
+    // v0 stores `v` as INT; the widening delta carries DOUBLE — the
+    // union merge writes touched buckets as double while carried-
+    // forward buckets keep int, so the cross-version diff sees BOTH
+    // types under one column name
+    val v0 = (0L until 64L).map(i => (i, i.toInt)).toDF("k", "v")
+    Merge.writeVersioned(v0, path, "k", nBuckets = 8)
+    Merge.mergeVersioned(spark, path,
+      Seq((1L, 1.5), (100L, 9.5)).toDF("k", "v"), "k")
+    val feed = Merge.changesBetween(spark, path, 0, 1, "k")
+    val got = feed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "update", 100L -> "insert"))
+    // both images present the WIDENED type; the pre-image int 1
+    // reads back as 1.0
+    val img = feed.filter(col("k") === 1L)
+      .select(col("pre.v"), col("post.v")).head()
+    assert(img.getDouble(0) === 1.0 && img.getDouble(1) === 1.5)
+    // a non-numeric type conflict must fail fast with the column named
+    // (such versions can't even be produced through mergeVersioned —
+    // its union coerces or rejects first — but hand-rolled or future
+    // writers could; the guard is tested at its own seam)
+    import org.apache.spark.sql.types._
+    assert(Merge.widenOrFail("v", IntegerType, DoubleType) === DoubleType)
+    assert(Merge.widenOrFail("v", LongType, ShortType) === LongType)
+    val ex = intercept[IllegalArgumentException] {
+      Merge.widenOrFail("v", StringType, DoubleType)
+    }
+    assert(ex.getMessage.contains("'v'"), ex.getMessage)
   }
 
   test("merge swap recovery: a staged complete copy heals a crash-deleted bucket") {
