@@ -109,10 +109,15 @@ object Bpe {
     * sequential semantics), bounded Spark jobs. Each counting pass
     * collects the top candidates ONCE and a driver-side guard selects
     * the longest candidate PREFIX that provably equals what the
-    * sequential argmax loop would pick — so a 32k-merge vocabulary
-    * costs ~32k/⟨batch⟩ pair-count jobs instead of 32k, and
-    * `localCheckpoint` every `checkpointEvery` merges truncates the
-    * stacked-`replace` lineage the one-merge loop let grow unbounded.
+    * sequential argmax loop would pick — up to batchK merges per
+    * pair-count job — and `localCheckpoint` every `checkpointEvery`
+    * merges truncates the stacked-`replace` lineage the one-merge
+    * loop let grow unbounded. Honest regime note (measured,
+    * BpeProbe): on natural-text dictionaries the prefix batches;
+    * on digit-run ID dictionaries every top pair shares tokens, the
+    * guard proves nothing safe, and this degenerates to sequential
+    * with only the lineage fix — [[trainLocal]] is the production
+    * path there.
     *
     * The guard (why batched ≡ sequential, ALWAYS — not just "where
     * prefixes don't interact"; non-interaction is what the guard
@@ -220,6 +225,97 @@ object Bpe {
     } finally { wc.unpersist(); () }
   }
 
+  /** Driver-side trainer over the COLLECTED dictionary — the
+    * model-fit path. [[trainBatched]]'s guard is provably exact but
+    * degenerates to one merge per pass on dictionaries whose top
+    * pairs share tokens (digit-run IDs are the worst case: every high
+    * pair contains '0', so no prefix is ever safe); this path removes
+    * the per-merge Spark round-trip entirely. The dictionary is
+    * vocabulary-sized (Heaps' law — millions of rows for 100 TB of
+    * text, same driver-held-model regime as the k-means centroids and
+    * PQ codebooks), so: ONE distributed word-count shuffle, one
+    * bounded collect (guarded by `maxDictRows` — throws rather than
+    * OOM the driver; prune low-frequency words or use trainBatched
+    * past it), then classic incremental-count BPE: per merge, an
+    * argmax scan of the pair-count map and a token-list rewrite of
+    * only the words CONTAINING the merged pair (an occurrence index
+    * makes that lookup O(1)). Exact sequential semantics — same
+    * (count DESC, pair ASC) argmax, same greedy leftmost merge — so
+    * the per-merge oracle and the ScalaCheck equivalence property
+    * gate all three trainers against each other. */
+  def trainLocal(docs: DataFrame, text: Column, nMerges: Int,
+                 maxDictRows: Int = 20000000): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = wordCounts(docs, text).collect()
+    require(dict.length <= maxDictRows,
+      s"trainLocal: dictionary ${dict.length} rows exceeds $maxDictRows — " +
+        "prune low-frequency words or use trainBatched")
+    val words: Array[Array[String]] =
+      dict.map(_.getString(0).split("").filter(_.nonEmpty))
+    val cnts: Array[Long] = dict.map(_.getLong(1))
+    val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap // pair → word indices
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val t = words(wi)
+      var i = 0
+      while (i < t.length - 1) {
+        val p = (t(i), t(i + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * cnts(wi)
+        if (c == 0L) { pairCnt.remove(p); () } else pairCnt(p) = c
+        if (sign > 0)
+          occ.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+        i += 1
+      }
+      // stale occ entries (sign < 0) are tolerated: the merge loop
+      // re-checks membership when it rewrites a word
+    }
+    words.indices.foreach(addWord(_, 1L))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        // argmax by (count DESC, pair-string ASC) — the train() order
+        var best: ((String, String), Long) = null
+        pairCnt.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 &&
+              s"${e._1._1} ${e._1._2}" < s"${best._1._1} ${best._1._2}"))
+            best = e
+        }
+        val ((a, b), c) = best
+        r += 1
+        merges += ((r, s"$a $b", a + b, c))
+        val touched = occ.getOrElse((a, b), scala.collection.mutable.HashSet.empty)
+        touched.foreach { wi =>
+          val t = words(wi)
+          // membership re-check: occ can hold stale indices
+          var has = false; var i = 0
+          while (!has && i < t.length - 1) {
+            if (t(i) == a && t(i + 1) == b) has = true; i += 1
+          }
+          if (has) {
+            addWord(wi, -1L)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < t.length) {
+              if (j < t.length - 1 && t(j) == a && t(j + 1) == b) {
+                out += a + b; j += 2 // greedy leftmost, skip past merge
+              } else { out += t(j); j += 1 }
+            }
+            words(wi) = out.toArray
+            addWord(wi, 1L)
+          }
+        }
+        occ.remove((a, b))
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "pair", "merged", "cnt")
+  }
+
   /** Tokenized form of every dictionary word under `merges` (the
     * trained model as (rank, a, b) triples): word → final token
     * array. The encode path: corpora re-tokenize by broadcast-
@@ -266,6 +362,10 @@ object Bpe {
     "t_bpe_batch" -> ((s, dir) =>
       trainBatched(Tables.load(s, dir, "documents"), col("text"), 8,
         batchK = 4)),
+    // the driver-side model-fit trainer against the SAME oracle —
+    // three independent implementations, one truth
+    "t_bpe_local" -> ((s, dir) =>
+      trainLocal(Tables.load(s, dir, "documents"), col("text"), 8)),
     "t_bpe_encode" -> ((s, dir) =>
       tokenCount(Tables.load(s, dir, "documents"), col("text"), 8)))
 
@@ -310,5 +410,6 @@ object Bpe {
   val oracle: Map[String, String] = Map(
     "t_bpe_train" -> trainOracleSql(8),
     "t_bpe_batch" -> trainOracleSql(8),
+    "t_bpe_local" -> trainOracleSql(8),
     "t_bpe_encode" -> encodeOracleSql(8))
 }

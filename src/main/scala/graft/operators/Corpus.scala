@@ -143,6 +143,61 @@ object Corpus {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06):
+    * each row draws a deterministic uniform u from its key's md5 —
+    * exact integer arithmetic, (u32 + 0.5)/2³² so u ∈ (0,1) — and the
+    * n rows with the largest priority u^(1/w) are the sample; the
+    * classic one-pass distributed weighted sampler (heavier w →
+    * priority closer to 1). Priorities round to 1e-8 (ties break by
+    * key) so the selection boundary is engine-stable.
+    *
+    * Scale shape: priority is scan-local map work; the global top-n is
+    * the k-bounded heap aggregate ([[graft.functions.TopK]]) — each
+    * partition folds to ≤ n entries before the single-row exchange, so
+    * a 100 TB corpus ships n·partitions heap entries, never a global
+    * sort. The weight join-back touches only the n winners. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     n: Int): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val u32 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (u32.cast("double") + 0.5) / lit(4294967296.0)
+    val keyed = df.select(key.as("doc_id"), weight.cast("double").as("w"))
+      .select(col("doc_id"), col("w"),
+        (round(pow(u, lit(1.0) / col("w")) * 1e8) / 1e8).as("pri"))
+    val top = keyed
+      .agg(graft.functions.HashExpressions
+        .top_k_by_score(col("pri"), col("doc_id"), n).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.nid").as("doc_id"),
+        (round(col("col.sim") * 1e8) / 1e8).as("pri"),
+        (col("pos") + 1).cast("int").as("pick_rank"))
+    // re-attach weights by broadcasting the n WINNERS against the
+    // corpus scan (never the reverse — the corpus is the big side)
+    keyed.select(col("doc_id"), col("w")).join(broadcast(top), "doc_id")
+      .select(col("doc_id"), col("w"), col("pri"), col("pick_rank"))
+  }
+
+  /** Per-group winsorization: clip a signal to its group's
+    * [lo, hi] percentile band — the standard outlier-taming step
+    * before quality scores feed a sampler (a 10⁶-char document should
+    * count as "long", not dominate the weight budget). One
+    * model-sized percentile aggregation (groups ≪ rows, exact
+    * interpolated percentile matching DuckDB's quantile_cont),
+    * broadcast back, clip scan-local. */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+                lo: Double, hi: Double): DataFrame = {
+    val v = df.select(col("doc_id"), group.as("grp"),
+      value.cast("double").as("v"))
+    val bounds = v.groupBy(col("grp")).agg(
+      expr(s"percentile(v, $lo)").as("p_lo"),
+      expr(s"percentile(v, $hi)").as("p_hi"))
+    v.join(broadcast(bounds), "grp")
+      .select(col("doc_id"), col("grp"), col("v"),
+        (round(greatest(col("p_lo"), least(col("p_hi"), col("v"))) * 1e4)
+          / 1e4).as("v_clip"))
+  }
+
   /** Concatenate-and-chunk sequence packing — the layout step that
     * turns a cleaned corpus into fixed-`budget`-token training
     * sequences: documents are laid out in deterministic hash order
@@ -449,6 +504,13 @@ object Corpus {
       lengthBucketBatches(d, col("doc_id"),
         size(tokens(col("text"))), batchSize = 16)
     }),
+    // 100 winners by char-count weight — the A-ES priorities are pure
+    // md5 integer arithmetic + one pow, restated verbatim in DuckDB
+    "c_weighted_sample" -> ((s, dir) =>
+      weightedSample(docs(s, dir), col("doc_id"), col("n_chars"), 100)),
+    // per-language 5/95 winsorization of document length
+    "c_winsorize" -> ((s, dir) =>
+      winsorize(docs(s, dir), col("lang"), col("n_chars"), 0.05, 0.95)),
     // the curation→mixing→layout END of the training-data pipeline
     // composed as one program: NB quality filter (model trained on
     // the whole corpus) → temperature-scaled source mix → sequence
@@ -636,6 +698,22 @@ object Corpus {
         |  count(*) AS n_docs, max(n) AS max_tokens, CAST(sum(n) AS BIGINT) AS sum_tokens,
         |  round((1.0 - CAST(sum(n) AS DOUBLE) / CAST(max(n) * count(*) AS DOUBLE))*1e4)/1e4 AS pad_frac
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "c_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+        |  round(pow((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0,
+        |            1.0 / CAST(n_chars AS DOUBLE)) * 1e8)/1e8 AS pri
+        |  FROM documents)
+        |SELECT doc_id, w, pri,
+        |  CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INTEGER) AS pick_rank
+        |FROM k ORDER BY pri DESC, doc_id LIMIT 100""".stripMargin,
+    "c_winsorize" ->
+      """WITH b AS (SELECT lang AS grp,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,
+        |  quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p_hi
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang AS grp, CAST(n_chars AS DOUBLE) AS v,
+        |  round(greatest(p_lo, least(p_hi, CAST(n_chars AS DOUBLE)))*1e4)/1e4 AS v_clip
+        |FROM documents d JOIN b ON d.lang = b.grp""".stripMargin,
     // the whole pipeline as one statement: the NB train CTEs are the
     // SHARED nbCtes block, the mix/pack stages restate the same
     // integer quota arithmetic, md5 rank order and one-window prefix

@@ -100,10 +100,45 @@ object Layout {
     s.read.parquet(path)
   }
 
+  /** CSV sink→source round-trip: the interchange format every
+    * pipeline still meets at its edges. Written WITH header, read
+    * back under the ORIGINAL schema — never schema inference, which
+    * at 100 TB is a second full scan that can silently re-type a
+    * column from one dirty row. Doubles survive because Spark writes
+    * shortest-round-trip representations. Hash equality against the
+    * bare projection proves the text encode/decode loses nothing. */
+  def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_csv").toString + "/orders"
+    o.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    s.read.schema(o.schema).option("header", "true").csv(path)
+  }
+
+  /** JSON-lines sink→source round-trip, same explicit-schema contract
+    * as [[csvRoundTrip]] (and the same read discipline as the
+    * Wikidata ingest: PERMISSIVE + declared schema, no inference). */
+  def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_json").toString + "/orders"
+    o.write.mode(SaveMode.Overwrite).json(path)
+    s.read.schema(o.schema).json(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w_sized_roundtrip" -> (sizedRoundTrip _))
+    "w_sized_roundtrip" -> (sizedRoundTrip _),
+    "w_csv_roundtrip" -> (csvRoundTrip _),
+    "w_json_roundtrip" -> (jsonRoundTrip _))
+
+  private val ordersProj =
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
 
   val oracle: Map[String, String] = Map(
     "w_sized_roundtrip" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "w_csv_roundtrip" -> ordersProj,
+    "w_json_roundtrip" -> ordersProj)
 }

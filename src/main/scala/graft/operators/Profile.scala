@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -80,6 +80,43 @@ object Profile {
     long.withColumn("passed", passed)
   }
 
+  /** Population-stability-index drift monitor — "did this corpus
+    * slice's distribution move?", the audit run before a new data
+    * drop joins a training mix. The REFERENCE slice (`isRef` true)
+    * defines `nBuckets` quantile boundaries; both slices histogram
+    * into those buckets and each bucket contributes
+    * (p_cand − p_ref)·ln(p_cand/p_ref) (ε-smoothed so an empty bucket
+    * scores large-but-finite instead of ±∞). Σ psi_term < 0.1 is the
+    * conventional "stable" verdict; the per-bucket rows localize
+    * WHERE the mass moved.
+    *
+    * Scale shape: one percentile aggregation over the reference slice
+    * (driver-held model — nBuckets−1 doubles), then bucket assignment
+    * is a scan-local literal-comparison sum and the histogram one
+    * nBuckets-row aggregation; totals join back as a broadcast
+    * 1-row scalar. No corpus shuffle anywhere. */
+  def psiDrift(df: DataFrame, isRef: Column, value: Column,
+               nBuckets: Int = 10): DataFrame = {
+    val v = df.select(isRef.as("is_ref"), value.cast("double").as("v"))
+    val qs = (1 until nBuckets).map(i =>
+      s"${i.toDouble / nBuckets}D").mkString(", ")
+    val cuts = v.filter(col("is_ref"))
+      .agg(expr(s"percentile(v, array($qs))")).head().getSeq[Double](0)
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + (col("v") > lit(c)).cast("int") }
+    val counts = v.groupBy(bucket.as("bucket"))
+      .agg(sum(col("is_ref").cast("long")).as("n_ref"),
+        sum((!col("is_ref")).cast("long")).as("n_cand"))
+    val tot = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cand")).as("t_cand"))
+    val pr = col("n_ref").cast("double") / col("t_ref")
+    val pc = col("n_cand").cast("double") / col("t_cand")
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cand"),
+        (round((pc - pr) * log((pc + 1e-6) / (pr + 1e-6)) * 1e4) / 1e4)
+          .as("psi_term"))
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,7 +124,12 @@ object Profile {
       profile(Tables.load(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "c_constraints" -> ((s, dir) =>
-      lineitemAudit(Tables.load(s, dir, "lineitem"))))
+      lineitemAudit(Tables.load(s, dir, "lineitem"))),
+    // English slice as the reference distribution, everything else as
+    // the candidate; length (n_chars) as the monitored signal
+    "c_drift_psi" -> ((s, dir) =>
+      psiDrift(Tables.load(s, dir, "documents"),
+        col("lang") === "en", col("n_chars"))))
 
   private def colSql(c: String): String =
     s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
@@ -115,5 +157,23 @@ object Profile {
         |UNION ALL SELECT 'unique_line_key', round(unique_line_key*1e4)/1e4, round(unique_line_key*1e4)/1e4 = 1.0 FROM m
         |UNION ALL SELECT 'qty_in_range', round(qty_in_range*1e4)/1e4, round(qty_in_range*1e4)/1e4 = 1.0 FROM m
         |UNION ALL SELECT 'discount_bounded', round(discount_bounded*1e4)/1e4, round(discount_bounded*1e4)/1e4 = 0.0 FROM m
-        |UNION ALL SELECT 'mean_qty_sane', round(mean_qty_sane*1e4)/1e4, round(mean_qty_sane*1e4)/1e4 >= 10.0 AND round(mean_qty_sane*1e4)/1e4 <= 40.0 FROM m""".stripMargin)
+        |UNION ALL SELECT 'mean_qty_sane', round(mean_qty_sane*1e4)/1e4, round(mean_qty_sane*1e4)/1e4 >= 10.0 AND round(mean_qty_sane*1e4)/1e4 <= 40.0 FROM m""".stripMargin,
+    "c_drift_psi" -> psiOracleSql(10))
+
+  /** The PSI computation restated: reference-decile boundaries from
+    * the same interpolated quantile, identical ε-smoothed term. The
+    * boundary list rides one scalar-subquery CTE; bucket assignment
+    * is the same literal-comparison sum. */
+  private def psiOracleSql(nBuckets: Int): String = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets).mkString(", ")
+    val bucket = (1 until nBuckets).map(i =>
+      s"(CASE WHEN v > q[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    """WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE lang = 'en'), """ +
+    s"""cuts AS (SELECT quantile_cont(v, [$qs]) AS q FROM ref), """ +
+    """av AS (SELECT lang = 'en' AS is_ref, CAST(n_chars AS DOUBLE) AS v FROM documents), """ +
+    s"""b AS (SELECT is_ref, $bucket AS bucket FROM av, cuts), """ +
+    """c AS (SELECT bucket, CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cand FROM b GROUP BY bucket), """ +
+    """t AS (SELECT sum(n_ref) AS t_ref, sum(n_cand) AS t_cand FROM c) """ +
+    """SELECT bucket, n_ref, n_cand, round(((CAST(n_cand AS DOUBLE)/t_cand) - (CAST(n_ref AS DOUBLE)/t_ref)) * ln(((CAST(n_cand AS DOUBLE)/t_cand) + 1e-6) / ((CAST(n_ref AS DOUBLE)/t_ref) + 1e-6)) * 1e4)/1e4 AS psi_term FROM c, t"""
+  }
 }

@@ -752,6 +752,90 @@ object Similarity {
         col("embedding")), tau)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query, the top-k most similar vectors with a DIFFERENT label
+    * (same-label vectors are positives, the near-miss negatives are
+    * the ones worth training on). Identical scale shape to
+    * [[cosineTopK]]: broadcast query set (with labels), scan-local
+    * scoring with the label filter fused into the scan, k-bounded
+    * heap reduction — the corpus is never shuffled. In production the
+    * brute-force scan swaps for any ANN path above (IVF cells /
+    * LSH buckets) with the label predicate pushed into the probe. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein '98): greedily select k of the nCand most-similar
+    * candidates, each step maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — relevance minus
+    * redundancy, the standard rerank for RAG retrieval and for
+    * picking diverse exemplars from a near-duplicate-heavy corpus.
+    *
+    * Scale shape: candidate generation is [[cosineTopK]] (swap in any
+    * ANN path at scale); everything after runs on nQueries×nCand rows
+    * — the candidate and pairwise-sim tables are snapshotted once,
+    * then each of the k−1 greedy rounds is a narrow join + per-query
+    * argmax over ≤nCand rows, independent of corpus size. Windows
+    * here partition by qid over ≤nCand rows — bounded, never a
+    * global sort. Determinism: all sims rounded to 1e-4 BEFORE
+    * selection and ties broken by nid, so the greedy trajectory is
+    * engine-reproducible (the DuckDB oracle unrolls the same k
+    * rounds). */
+  def mmrTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nCand: Int = 10, lambda: Double = 0.7,
+              lambdaComp: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val cand = Dedup.materialize(
+      cosineTopK(embeddings, nQueries, nCand), "mmr_cand")
+    val cv = cand.select(col("qid"), col("nid"), col("sim"))
+      .join(embeddings.select(col("vec_id").as("nid"), col("embedding")),
+        "nid")
+    val pair = Dedup.materialize(
+      cv.as("a").join(cv.as("b"),
+          col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+        .select(col("a.qid").as("pq"), col("a.nid").as("na"),
+          col("b.nid").as("nb"),
+          (round(cosine(col("a.embedding"), col("b.embedding")) * 1e4) / 1e4)
+            .as("ps")),
+      "mmr_pairs")
+    var sel = cand.filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), col("sim").as("score"),
+        lit(1).as("step"))
+    for (j <- 2 to k) {
+      val remaining = cand.select(col("qid"), col("nid"), col("sim"))
+        .join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"),
+          "left_anti")
+      val m = remaining.as("c")
+        .join(pair, col("c.qid") === col("pq") && col("c.nid") === col("na"))
+        .join(sel.select(col("qid").as("sq"), col("nid").as("sn")),
+          col("pq") === col("sq") && col("nb") === col("sn"))
+        .groupBy(col("c.qid").as("qid"), col("c.nid").as("nid"),
+          col("c.sim").as("sim"))
+        .agg(max(col("ps")).as("ms"))
+        .withColumn("raw",
+          lit(lambda) * col("sim") - lit(lambdaComp) * col("ms"))
+      val pick = m.withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("raw").desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"),
+          (round(col("raw") * 1e4) / 1e4).as("score"), lit(j).as("step"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("qid"), col("nid"), col("score"),
+      col("step").cast("int").as("step"))
+  }
+
   /** Per-label embedding centroids, computed FULLY distributed (the
     * labeled-prototype complement of the driver-held IVF centroid
     * model): posexplode to (label, dim, value) and aggregate. Map-side
@@ -777,6 +861,15 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_centroids" -> ((s, dir) => labelCentroids(emb(s, dir))),
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
+    // top-5 cross-label neighbors per query — the contrastive-
+    // training negatives; oracle is the same brute-force scoring with
+    // the label predicate
+    "s_hard_negatives" -> ((s, dir) => hardNegatives(emb(s, dir), 10, 5)),
+    // greedy MMR over the exact top-10 candidates, k=5, λ=0.7 —
+    // oracle unrolls the same 5 selection rounds as CTE stages over
+    // identically-rounded sims, so the hash certifies the whole
+    // greedy trajectory
+    "s_mmr_topk" -> ((s, dir) => mmrTopK(emb(s, dir), 10, 5)),
     // oracled recall-1 proof of the multi-table SRP-LSH search: 3-bit
     // × 24-table banding recovers the exact top-5 of every query on
     // this corpus (verified at sf0.01 and sf0.1 — deterministic
@@ -972,6 +1065,31 @@ object Similarity {
   private val exactTop5Sql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored)"""
 
+  // same brute-force scoring, restricted to cross-label candidates
+  private val hardNegSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid AND label != qlabel), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored) SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
+
+  /** The greedy MMR trajectory unrolled: candidates = exact top-nCand
+    * (1e-4-rounded, rk carried), pairwise candidate sims likewise
+    * rounded, then one CTE pair (argmax + running selection) per
+    * round — the same unrolled-loop oracle shape as the BPE trainer
+    * and PageRank. Selection ORDER BY uses the identical
+    * λ·sim − (1−λ)·ms double arithmetic over identical rounded
+    * inputs, ties by nid. */
+  private def mmrOracleSql(k: Int, nCand: Int,
+                           lambda: Double, lambdaComp: Double): String = {
+    val dotAB =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(ea) + 1), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    val raw = s"CAST($lambda AS DOUBLE)*sim - CAST($lambdaComp AS DOUBLE)*ms"
+    val base =
+      s"""$exactTop5Sql, cand AS (SELECT qid, nid, round(sim*1e4)/1e4 AS sim, rk FROM ranked WHERE rk <= $nCand), cv AS (SELECT c.qid, c.nid, e.embedding FROM cand c JOIN embeddings e ON e.vec_id = c.nid), pr AS (SELECT a.qid AS pq, a.nid AS na, b.nid AS nb, round(($dotAB) / (${normSql("ea")} * ${normSql("eb")}) * 1e4)/1e4 AS ps FROM (SELECT qid, nid, embedding AS ea FROM cv) a JOIN (SELECT qid, nid, embedding AS eb FROM cv) b ON a.qid = b.qid AND a.nid != b.nid), sel1 AS (SELECT qid, nid, sim AS score, 1 AS step FROM cand WHERE rk = 1)"""
+    val rounds = (2 to k).map { j =>
+      val prev = s"sel${j - 1}"
+      s"""m$j AS (SELECT c.qid, c.nid, c.sim, max(p.ps) AS ms FROM cand c JOIN pr p ON p.pq = c.qid AND p.na = c.nid JOIN $prev s ON s.qid = p.pq AND s.nid = p.nb WHERE NOT EXISTS (SELECT 1 FROM $prev x WHERE x.qid = c.qid AND x.nid = c.nid) GROUP BY c.qid, c.nid, c.sim), s$j AS (SELECT qid, nid, round(($raw)*1e4)/1e4 AS score, $j AS step FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY $raw DESC, nid) AS rn FROM m$j) WHERE rn = 1), sel$j AS (SELECT * FROM sel${j - 1} UNION ALL SELECT * FROM s$j)"""
+    }.mkString(", ", ", ", "")
+    s"$base$rounds SELECT qid, nid, score, CAST(step AS INTEGER) AS step FROM sel$k"
+  }
+
   // the ANN oracles have NO LSH/IVF in them: they compute recall of
   // the exact top-5 against itself (= 1.0 per query). Hash equality
   // therefore PROVES the deterministic ANN search recovered the full
@@ -984,6 +1102,8 @@ object Similarity {
         |GROUP BY 1, 2""".stripMargin,
     "s_cosine_topk" ->
       s"""$exactTop5Sql SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5""",
+    "s_hard_negatives" -> hardNegSql,
+    "s_mmr_topk" -> mmrOracleSql(5, 10, 0.7, 0.3),
     "s_lsh_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_ivf_ann" ->

@@ -30,18 +30,35 @@ object BpeProbe {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         { jobs.incrementAndGet(); () }
     })
+    // two dictionaries: the documents corpus (tiny vocab — trains to
+    // EXHAUSTION, exercising the early-stop path) and the customer
+    // names re-read as a corpus (15k distinct words at sf0.1 — deep
+    // enough for 1,000+ merges, the scale the batching exists for)
     val docs = Tables.load(spark, sfDir, "documents")
-    println(s"PROBE dict_words " +
-      Bpe.wordCounts(docs, col("text")).count())
-    for (n <- targets) {
-      jobs.set(0)
-      val t0 = System.nanoTime()
-      val m = Bpe.trainBatched(docs, col("text"), n,
-        batchK = 16, checkpointEvery = 50).collect()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE merges=$n got=${m.length} ${sec}%.1f s " +
-        f"(${sec / m.length * 1000}%.0f ms/merge, ${jobs.get()} jobs = " +
-        f"${jobs.get().toDouble / m.length}%.2f jobs/merge)")
+    val names = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("doc_id"), col("c_name").as("text"))
+    for ((label, d) <- Seq("documents" -> docs, "customer_names" -> names)) {
+      println(s"PROBE $label dict_words " +
+        Bpe.wordCounts(d, col("text")).count())
+      for (n <- targets) {
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val m = Bpe.trainBatched(d, col("text"), n,
+          batchK = 16, checkpointEvery = 50).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val got = math.max(m.length, 1)
+        println(f"PROBE $label merges=$n got=${m.length} ${sec}%.1f s " +
+          f"(${sec / got * 1000}%.0f ms/merge, ${jobs.get()} jobs = " +
+          f"${jobs.get().toDouble / got}%.2f jobs/merge)")
+      }
+      for (n <- targets) {
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val m = Bpe.trainLocal(d, col("text"), n).collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE $label LOCAL merges=$n got=${m.length} ${sec}%.1f s " +
+          f"(${jobs.get()} jobs total)")
+      }
     }
     spark.stop()
   }

@@ -54,8 +54,14 @@ object BpeProps extends Properties("BpeBatched") {
           batchK = batchK, checkpointEvery = 3).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
         .sortBy(_._1).toList
-      Prop(seq == bat) :|
-        s"diverged on words=$words nMerges=$nMerges batchK=$batchK\n" +
-        s"  sequential=$seq\n  batched=$bat"
+      val loc = Bpe.trainLocal(docs, col("text"), nMerges).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toList
+      (Prop(seq == bat) :|
+        s"batched diverged on words=$words nMerges=$nMerges batchK=$batchK\n" +
+        s"  sequential=$seq\n  batched=$bat") &&
+      (Prop(seq == loc) :|
+        s"local diverged on words=$words nMerges=$nMerges\n" +
+        s"  sequential=$seq\n  local=$loc")
     }
 }

@@ -385,6 +385,70 @@ class OperatorsSpec extends AnyFunSuite {
       rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
   }
 
+  test("MMR: picks the diverse candidate over the redundant near-duplicate") {
+    val s = spark; import s.implicits._
+    // query 0 between two orthogonal clusters; candidates: ids 10/11
+    // a near-clone pair along e1 (11 marginally closer to the 45°
+    // query), id 12 along e2 (slightly less relevant but orthogonal
+    // to them). Plain top-2 = the clone pair; MMR's second pick must
+    // be 12 — the skipped clone's redundancy penalty
+    // (sim-to-selected ≈ 1) overwhelms its relevance edge while 12's
+    // penalty is only ~0.03.
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val emb3 = Seq(
+      (0L, v(0.7, 0.7), 0), (10L, v(1, 0.02), 0),
+      (11L, v(1, 0.021), 0), (12L, v(0.01, 1), 0))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = Similarity.mmrTopK(emb3, 1, 2, nCand = 3, lambda = 0.5,
+        lambdaComp = 0.5).collect()
+      .map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(got === Map(1 -> 11L, 2 -> 12L), got.toString)
+    // and the plain top-2 really is the redundant pair — proving MMR
+    // changed the outcome, not the fixture
+    val plain = Similarity.cosineTopK(emb3, 1, 2).collect()
+      .map(_.getLong(1)).toSet
+    assert(plain === Set(10L, 11L))
+  }
+
+  test("hard negatives: every result crosses the label boundary, ranked by similarity") {
+    val got = Similarity.hardNegatives(emb, 5, 5).collect()
+    assert(got.length === 25)
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    got.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)),
+        s"same-label pair leaked: $r")
+    }
+    // per query, ranks are 1..5 with non-increasing sims
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRk = rows.sortBy(_.getInt(3))
+      assert(byRk.map(_.getInt(3)).toSeq === (1 to 5))
+      assert(byRk.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+    }
+  }
+
+  test("weighted sample: heavy weights dominate the A-ES selection") {
+    val s = spark; import s.implicits._
+    // 200 heavy docs (w=5000) vs 200 light (w=5): u^(1/w) pushes
+    // heavy priorities toward 1, so a 50-row sample should be almost
+    // entirely heavy — and exactly reproducible run to run
+    val docs2 = (0L until 400L)
+      .map(i => (i, if (i < 200) 5000 else 5)).toDF("doc_id", "n_chars")
+    val got = Corpus.weightedSample(docs2, col("doc_id"),
+      col("n_chars"), 50).collect()
+    assert(got.length === 50)
+    val heavy = got.count(_.getLong(0) < 200L)
+    assert(heavy >= 45, s"only $heavy/50 heavy docs selected")
+    val again = Corpus.weightedSample(docs2, col("doc_id"),
+      col("n_chars"), 50).collect().map(_.getLong(0)).toSet
+    assert(again === got.map(_.getLong(0)).toSet)
+    // ranks are the full 1..50 with non-increasing priorities
+    assert(got.map(_.getInt(3)).sorted.toSeq === (1 to 50))
+  }
+
   test("IVF-PQ on disk: recall 1 vs exact, ADC pass reads only probed cell directories") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
     Similarity.writeIvfPqIndex(emb, path, nCells = 8, refineIters = 1,

@@ -241,6 +241,45 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: broadcast query side + bounded top-k, corpus never shuffled") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.operators.Similarity.hardNegatives(emb, 5, 3))
+    // the labeled query set rides a broadcast (nested-loop for the
+    // label-filtered cross); scoring stays scan-local
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_top_k_by_score")),
+      s"no map-side partial top-k phase:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+  }
+
+  test("weighted sample: global top-n is a partial heap — no global sort; winners broadcast back") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val p = plan(graft.operators.Corpus.weightedSample(
+      d, col("doc_id"), col("n_chars"), 50))
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("ObjectHashAggregate") && l.contains("partial_top_k_by_score")),
+      s"no map-side partial heap phase:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("winsorize: percentile bounds broadcast back — the corpus is never re-shuffled") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val p = plan(graft.operators.Corpus.winsorize(
+      d, col("lang"), col("n_chars"), 0.05, 0.95))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("MMR rerank: no cartesian product, no global sort — all windows are per-query") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.operators.Similarity.mmrTopK(emb, 5, 3, nCand = 6))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+  }
+
   test("IVF assignment and probe are scan-local: no crossJoin, no exchange before the candidate join") {
     val emb = graft.sources.Tables.load(spark, sf, "embeddings")
     val p = plan(graft.operators.Similarity.ivfCosineTopK(emb, 5, 3))
