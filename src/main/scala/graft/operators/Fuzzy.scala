@@ -90,6 +90,38 @@ object Fuzzy {
       .filter(col("dist") <= tau)
   }
 
+  /** End-to-end entity resolution — the composition a corpus-fusion
+    * pipeline actually runs: fuzzy-match keys ([[editSelfJoin]]) →
+    * connected components over the match graph
+    * ([[Dedup.connectedComponents]], min-label) → every entity mapped
+    * to its cluster and the CANONICAL record (the name of the
+    * cluster's smallest key; unmatched entities are their own
+    * cluster). Scale shape inherits from the two stages it composes:
+    * deletion-neighborhood blocking (no cross join) and O(log D)
+    * pointer-jumping rounds; the canonical-name attach is one narrow
+    * key join. */
+  def resolveEntities(df: DataFrame, key: Column, name: Column,
+                      tau: Int): DataFrame = {
+    val ents = Dedup.materialize(
+      df.select(key.cast("long").as("ek"), name.as("nm")), "er_entities")
+    val pairs = editSelfJoin(ents, col("nm"), tau)
+    val edges = pairs
+      .join(ents.select(col("ek").as("ka"), col("nm").as("name_a")),
+        "name_a")
+      .join(ents.select(col("ek").as("kb"), col("nm").as("name_b")),
+        "name_b")
+      .select(col("ka"), col("kb"))
+    val cc = Dedup.connectedComponents(edges)
+      .select(col("doc_id").as("ek"), col("component"))
+    ents.join(cc, Seq("ek"), "left")
+      .select(col("ek"), col("nm"),
+        coalesce(col("component"), col("ek")).as("cluster"))
+      .join(ents.select(col("ek").as("cluster"),
+        col("nm").as("canonical_name")), "cluster")
+      .select(col("ek").as("entity_key"), col("nm").as("name"),
+        col("cluster"), col("canonical_name"))
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -112,21 +144,43 @@ object Fuzzy {
     "t_fuzzy_join2" -> ((s, dir) =>
       editSelfJoin(Tables.load(s, dir, "customer")
           .filter(col("c_custkey") % 20 === 0), col("c_name"), 2)
-        .select(col("name_a"), col("name_b"), col("dist").cast("int"))))
+        .select(col("name_a"), col("name_b"), col("dist").cast("int"))),
+    // the composed resolution pipeline on a sparser (2%) sample —
+    // the DuckDB oracle re-derives the clusters with a recursive CTE
+    // over the brute-force match graph, so the hash certifies fuzzy
+    // blocking, min-label components and canonical attach TOGETHER
+    "p_entity_resolution" -> ((s, dir) =>
+      resolveEntities(Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 50 === 0), col("c_custkey"),
+        col("c_name"), 2)))
 
   // the oracle has NO blocking in it: brute-force levenshtein over
-  // all ordered pairs. Hash equality certifies the deletion-
-  // neighborhood candidate set contains every true pair.
+  // all ordered pairs of DISTINCT key values — the operator's declared
+  // domain (editSelfJoin dedups keys first; a corpus with repeated
+  // names, e.g. the 10× scale replica, would otherwise multiply every
+  // row-pair by the duplicate count²). Hash equality certifies the
+  // deletion-neighborhood candidate set contains every true pair.
   val oracle: Map[String, String] = Map(
     "t_fuzzy_join" ->
-      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+      """WITH n AS (SELECT DISTINCT c_name FROM customer)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |FROM n a JOIN n b ON a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "t_fuzzy_join2" ->
-      """SELECT a.c_name AS name_a, b.c_name AS name_b,
+      """WITH n AS (SELECT DISTINCT c_name FROM customer WHERE c_custkey % 20 = 0)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-        |FROM customer a JOIN customer b ON a.c_name < b.c_name
-        |WHERE a.c_custkey % 20 = 0 AND b.c_custkey % 20 = 0
-        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin)
+        |FROM n a JOIN n b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    "p_entity_resolution" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS ek, c_name AS nm FROM customer WHERE c_custkey % 50 = 0),
+        |p AS (SELECT a.ek AS ka, b.ek AS kb FROM c a JOIN c b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 2),
+        |edges AS (SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p),
+        |reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node AS ek, min(label) AS cluster FROM reach GROUP BY node)
+        |SELECT c.ek AS entity_key, c.nm AS name,
+        |  coalesce(comp.cluster, c.ek) AS cluster, cn.nm AS canonical_name
+        |FROM c LEFT JOIN comp USING (ek)
+        |JOIN c cn ON cn.ek = coalesce(comp.cluster, c.ek)""".stripMargin)
 }

@@ -636,7 +636,9 @@ object Similarity {
     // bulk is thin — the shortlist must scale with N to keep recall
     // (the honest small-corpus price, same as IVF's 12/16-cell probe
     // above; on clustered real-embedding corpora a few-percent
-    // shortlist suffices and the fraction is the tuning knob)
+    // shortlist suffices and the fraction is the tuning knob —
+    // spec-pinned: recall 1 at a TRUE 5% shortlist on the 32-cluster
+    // fixture, OperatorsSpec "PQ on a CLUSTERED corpus")
     val shortlist = math.max(minShortlist,
       math.ceil(embeddings.count() * shortlistFrac).toInt)
     // query-side model: nQueries × (nSub × k) dot-product LUT
@@ -830,7 +832,14 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("qid"), col("nid"),
           (round(col("raw") * 1e4) / 1e4).as("score"), lit(j).as("step"))
-      sel = sel.unionByName(pick)
+      // pin the ≤ nQueries·j-row selection: each round references it
+      // TWICE (anti-join + diversity join), so an unpinned chain
+      // doubles the plan per round — 2^k copies of the candidate scan
+      // by round k (measured: 27 s for k=5 at sf0.1; pinned: <3 s).
+      // Write-and-readback, not localCheckpoint: checkpoint blocks
+      // register as persistent RDDs for the session's life, which the
+      // PersistHygiene gate forbids for registry queries
+      sel = Dedup.materialize(sel.unionByName(pick), s"mmr_sel$j")
     }
     sel.select(col("qid"), col("nid"), col("score"),
       col("step").cast("int").as("step"))
