@@ -580,12 +580,60 @@ object Merge {
       .unionByName(render(changesBetween(s, path, 1, 0, "c_custkey"), "rev"))
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance — the standard
+    * CDC consumer: a grouped rollup kept current by applying only the
+    * change feed, never rescanning the target. Updates contribute
+    * (post − pre), inserts (+post, +1 row), deletes (−pre, −1 row);
+    * groups the feed never touched keep their v0 value through the
+    * full-outer merge. At 100 TB the refresh cost is O(changed
+    * buckets) — the feed is manifest-pruned ([[changesBetween]]) and
+    * the delta aggregation is change-feed-sized, while recomputing
+    * would rescan the whole table per refresh. The oracle recomputes
+    * the aggregate directly over the v1 relational state, so hash
+    * equality (sums rounded — incremental and recomputed summation
+    * orders legitimately differ in low bits) proves maintained ≡
+    * recomputed. */
+  def incrementalAggDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_incagg").toString
+    writeVersioned(c, path, "c_custkey", nBuckets = 8)
+    val delta = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      .unionByName(c.filter((col("c_custkey") + 1000000) % 5 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("new#"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal")))
+    mergeVersioned(s, path, delta, "c_custkey")
+    val base = readVersioned(s, path, 0)
+      .groupBy((col("c_custkey") % 10).as("grp"))
+      .agg(sum(col("c_acctbal")).as("t0"), count(lit(1)).as("n0"))
+    val upd = changesBetween(s, path, 0, 1, "c_custkey")
+      .groupBy((col("c_custkey") % 10).as("grp"))
+      .agg(sum(coalesce(col("post.c_acctbal"), lit(0.0)) -
+          coalesce(col("pre.c_acctbal"), lit(0.0))).as("dv"),
+        sum(when(col("change_type") === "insert", 1L)
+          .when(col("change_type") === "delete", -1L)
+          .otherwise(0L)).as("dn"))
+    base.join(upd, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (org.apache.spark.sql.functions.round(
+          (coalesce(col("t0"), lit(0.0)) + coalesce(col("dv"), lit(0.0)))
+            * 1e2) / 1e2).as("total_bal"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"))
+      .filter(col("n_rows") > 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_merge_upsert" -> (mergeDemo _),
     "m_evolve" -> (evolveDemo _),
     "m_time_travel" -> (timeTravelDemo _),
     "m_compact" -> (compactDemo _),
-    "m_changes" -> (changesDemo _))
+    "m_changes" -> (changesDemo _),
+    "m_incremental_agg" -> (incrementalAggDemo _))
 
   val oracle: Map[String, String] = Map(
     // the upsert stated relationally: updated-or-kept customers plus
@@ -643,6 +691,23 @@ object Merge {
                    WHERE s.c_custkey IS NULL OR b.c_custkey IS NULL
                       OR s.c_name <> b.c_name OR s.c_acctbal <> b.c_acctbal)
          SELECT * FROM fwd UNION ALL SELECT * FROM rev""",
+    // the maintained rollup's truth is the DIRECT aggregate over the
+    // v1 relational state — the oracle has no change feed in it, so
+    // hash equality proves feed-applied ≡ recomputed
+    "m_incremental_agg" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+           delta AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+                     FROM base WHERE c_custkey % 3 = 0
+                     UNION ALL
+                     SELECT c_custkey + 1000000, 'new#' || c_name, 0.0
+                     FROM base WHERE (c_custkey + 1000000) % 5 = 0),
+           s1 AS (SELECT * FROM base b
+                  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.c_custkey = b.c_custkey)
+                  UNION ALL SELECT * FROM delta)
+         SELECT c_custkey % 10 AS grp,
+           round((sum(c_acctbal))*1e2)/1e2 AS total_bal,
+           count(*) AS n_rows
+         FROM s1 GROUP BY 1""",
     // every historical state restated relationally: hash equality
     // proves each retained version reconstructs exactly
     "m_time_travel" ->

@@ -1219,6 +1219,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === distinctKeys)
   }
 
+  test("streaming dedup state expires with the watermark: horizon repeats drop, expired keys re-enter") {
+    // the OTHER half of the bounded-state contract (the single-batch
+    // test above only pins in-horizon dedup): a key whose state the
+    // watermark has expired must be accepted AGAIN — that expiry is
+    // exactly what makes streaming dedup viable on an unbounded
+    // stream, and it bounds what "exactly once" means here
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc: org.apache.spark.sql.Encoder[EventsStream.Ev] =
+      org.apache.spark.sql.Encoders.product[EventsStream.Ev]
+    val mem = MemoryStream[EventsStream.Ev](enc, spark.sqlContext)
+    val q = EventsStream.dedupStream(mem.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("ops_dedup_exp")
+      .start()
+    def ev(id: Long, user: Long, kind: String, iso: String) =
+      EventsStream.Ev(id,
+        java.sql.Timestamp.from(java.time.Instant.parse(iso)), user, kind, 1.0)
+    // batch 1: e2 duplicates e1 within the 10-min horizon → dropped;
+    // e9 (another key) advances the watermark to 10:30
+    mem.addData(
+      ev(1, 1L, "view", "2024-01-01T10:00:00Z"),
+      ev(2, 1L, "view", "2024-01-01T10:02:00Z"),
+      ev(9, 2L, "click", "2024-01-01T10:40:00Z"))
+    q.processAllAvailable()
+    // batch 2: key (1,view)'s state expired at 10:10 < watermark →
+    // e4 re-enters; key (2,click)'s state (expiry 10:50) is live →
+    // e5 still drops
+    mem.addData(
+      ev(4, 1L, "view", "2024-01-01T10:35:00Z"),
+      ev(5, 2L, "click", "2024-01-01T10:41:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ops_dedup_exp").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 9L, 4L),
+      s"expired key must re-enter, live key must still dedup: $got")
+  }
+
   test("streaming sessionization: sessions split on 30-min gaps") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
