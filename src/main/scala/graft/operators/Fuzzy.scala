@@ -96,26 +96,39 @@ object Fuzzy {
     * ([[Dedup.connectedComponents]], min-label) → every entity mapped
     * to its cluster and the CANONICAL record (the name of the
     * cluster's smallest key; unmatched entities are their own
-    * cluster). Scale shape inherits from the two stages it composes:
-    * deletion-neighborhood blocking (no cross join) and O(log D)
-    * pointer-jumping rounds; the canonical-name attach is one narrow
-    * key join. */
+    * cluster).
+    *
+    * The component graph is built at the NAME level — one node per
+    * distinct name (represented by its smallest entity key), never
+    * one per entity. On a corpus where d entities share each name,
+    * expanding name-pairs to key-pairs before CC multiplies the edge
+    * list by d² (measured on the 100× replica: 300M edges, 856 s —
+    * a genuine scale-killer); name-level CC keeps the graph
+    * duplication-free (same replica: ~10 s) and entities attach to
+    * their name's cluster with one narrow join afterwards. This also
+    * makes SAME-name entities co-cluster — the right resolution
+    * semantics — while the cluster id stays the global min entity
+    * key (min over per-name min keys). Identical outputs on
+    * unique-name corpora. */
   def resolveEntities(df: DataFrame, key: Column, name: Column,
                       tau: Int): DataFrame = {
     val ents = Dedup.materialize(
       df.select(key.cast("long").as("ek"), name.as("nm")), "er_entities")
-    val pairs = editSelfJoin(ents, col("nm"), tau)
+    val nameId = Dedup.materialize(
+      ents.groupBy(col("nm")).agg(min(col("ek")).as("nameid")), "er_names")
+    val pairs = editSelfJoin(nameId, col("nm"), tau)
     val edges = pairs
-      .join(ents.select(col("ek").as("ka"), col("nm").as("name_a")),
+      .join(nameId.select(col("nameid").as("ka"), col("nm").as("name_a")),
         "name_a")
-      .join(ents.select(col("ek").as("kb"), col("nm").as("name_b")),
+      .join(nameId.select(col("nameid").as("kb"), col("nm").as("name_b")),
         "name_b")
       .select(col("ka"), col("kb"))
     val cc = Dedup.connectedComponents(edges)
-      .select(col("doc_id").as("ek"), col("component"))
-    ents.join(cc, Seq("ek"), "left")
-      .select(col("ek"), col("nm"),
-        coalesce(col("component"), col("ek")).as("cluster"))
+      .select(col("doc_id").as("nameid"), col("component"))
+    val nameCluster = nameId.join(cc, Seq("nameid"), "left")
+      .select(col("nm"),
+        coalesce(col("component"), col("nameid")).as("cluster"))
+    ents.join(nameCluster, "nm")
       .join(ents.select(col("ek").as("cluster"),
         col("nm").as("canonical_name")), "cluster")
       .select(col("ek").as("entity_key"), col("nm").as("name"),
@@ -173,14 +186,18 @@ object Fuzzy {
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         |FROM n a JOIN n b ON a.c_name < b.c_name
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // restated at the same NAME level as the operator (one node per
+    // distinct name = its min entity key), so the semantics agree on
+    // duplicated-name corpora too
     "p_entity_resolution" ->
       """WITH RECURSIVE c AS (SELECT c_custkey AS ek, c_name AS nm FROM customer WHERE c_custkey % 50 = 0),
-        |p AS (SELECT a.ek AS ka, b.ek AS kb FROM c a JOIN c b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 2),
+        |nid AS (SELECT nm, min(ek) AS nameid FROM c GROUP BY nm),
+        |p AS (SELECT a.nameid AS ka, b.nameid AS kb FROM nid a JOIN nid b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 2),
         |edges AS (SELECT ka AS a, kb AS b FROM p UNION SELECT kb, ka FROM p),
         |reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
-        |comp AS (SELECT node AS ek, min(label) AS cluster FROM reach GROUP BY node)
-        |SELECT c.ek AS entity_key, c.nm AS name,
-        |  coalesce(comp.cluster, c.ek) AS cluster, cn.nm AS canonical_name
-        |FROM c LEFT JOIN comp USING (ek)
-        |JOIN c cn ON cn.ek = coalesce(comp.cluster, c.ek)""".stripMargin)
+        |comp AS (SELECT node AS nameid, min(label) AS cluster FROM reach GROUP BY node),
+        |nc AS (SELECT nm, coalesce(comp.cluster, nid.nameid) AS cluster
+        |       FROM nid LEFT JOIN comp USING (nameid))
+        |SELECT c.ek AS entity_key, c.nm AS name, nc.cluster, cn.nm AS canonical_name
+        |FROM c JOIN nc USING (nm) JOIN c cn ON cn.ek = nc.cluster""".stripMargin)
 }

@@ -447,6 +447,66 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected runtime partition pruning in:\n$p")
   }
 
+  test("AQE splits a skewed shuffle join at runtime — the built-in complement of the salting kit") {
+    // the Skew operators handle key-level pathologies the optimizer
+    // can't see; PARTITION-level skew is AQE's job, and this pins
+    // that the engine configuration actually lets it fire. Cloned
+    // session with test-scale thresholds (the detection logic is
+    // identical at 100 TB; only the byte thresholds differ).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // 80% of the big side lands on key 0, padded so the skewed
+    // shuffle partition is MBs while the median is far below the 64KB
+    // threshold even after compression
+    val big = s2.range(0, 400000)
+      .select(when(col("id") < 320000, 0L).otherwise(col("id")).as("k"),
+        concat(lit("x"), lpad(col("id").cast("string"), 64, "0")).as("v"))
+    val small = s2.range(0, 2000)
+      .select(col("id").as("k"), (col("id") * 2).as("w"))
+    // keep EVERY column: a narrowing select would let column pruning
+    // strip the padding before the exchange and deflate the skew
+    val j = big.join(small, "k")
+    // execute THIS dataset — collect reuses its QueryExecution, so the
+    // adaptive plan finalizes in place (count()/foreach() build their
+    // own executions and leave this one isFinalPlan=false)
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    // row-level runtime filtering: a selective dimension predicate is
+    // turned into a bloom filter applied ON THE FACT SCAN before the
+    // shuffle — at 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the ~matching slice. Pinned
+    // here so a conf regression (it's threshold-gated) fails CI.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val li = s2.read.parquet(s"$sf/lineitem.parquet")
+    val o = s2.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_totalprice") > 400000.0) // selective creation side
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+    val p = j.queryExecution.executedPlan.toString.toLowerCase
+    assert(p.contains("bloomfilter"),
+      s"no runtime bloom filter injected:\n$p")
+  }
+
   test("GraftExtensions applies cleanly (function injection smoke)") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions)
