@@ -250,8 +250,13 @@ object Bpe {
     require(dict.length <= maxDictRows,
       s"trainLocal: dictionary ${dict.length} rows exceeds $maxDictRows — " +
         "prune low-frequency words or use trainBatched")
+    // split by CODEPOINT (not code units): Spark's substr — the
+    // distributed trainers' charDelim — counts codepoints, and a
+    // surrogate-pair-splitting String.split("") would silently
+    // diverge from them on non-BMP text
     val words: Array[Array[String]] =
-      dict.map(_.getString(0).split("").filter(_.nonEmpty))
+      dict.map(r => r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))))
     val cnts: Array[Long] = dict.map(_.getLong(1))
     val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val occ = scala.collection.mutable.HashMap // pair → word indices

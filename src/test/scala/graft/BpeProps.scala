@@ -32,10 +32,14 @@ object BpeProps extends Properties("BpeBatched") {
     s
   }
 
-  // words over {a,b,c} with repeats → dense pair-count collisions
+  // words over {a,b,c} with repeats → dense pair-count collisions;
+  // the occasional non-BMP 😀 (a surrogate PAIR in UTF-16) pins that
+  // all three trainers split words by CODEPOINT, not code units
   private val wordGen: Gen[String] =
     Gen.chooseNum(1, 6).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+      Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.oneOf("a", "b", "c"), 1 -> Gen.const("😀")))
+        .map(_.mkString))
   private val corpusGen: Gen[List[String]] =
     Gen.chooseNum(3, 24).flatMap(n => Gen.listOfN(n, wordGen))
   private val mergesGen: Gen[Int] = Gen.chooseNum(1, 12)
