@@ -86,8 +86,12 @@ object Fuzzy {
         col("a.dk") === col("b.dk") && col("a.nm") < col("b.nm"))
       .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= tau)
+      // THRESHOLD-bounded verify: the 3-arg levenshtein runs the
+      // banded O(τ·n) DP and returns −1 past the bound, instead of
+      // the full O(n²) matrix the 2-arg form always fills — the DP is
+      // the verify stage's cost (see rejected-refinement note (a))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), tau))
+      .filter(col("dist") >= 0 && col("dist") <= tau)
   }
 
   /** End-to-end entity resolution — the composition a corpus-fusion
