@@ -72,6 +72,7 @@ object GraftRegistry {
       ZOrderN(es, 63 / es.length)
     }),
     // srp_bucket(vec, bits, table) — bits/table are static literals
+    "splitmix_unif" -> (es => SplitMixUnif(es.head)),
     "srp_bucket" -> (es => SrpBucket(es(0),
       staticInt(es(1), "srp_bucket bits"),
       staticInt(es(2), "srp_bucket table"))),

@@ -281,6 +281,29 @@ object HashExpressions {
     override def prettyName: String = "srp_bucket"
   }
 
+  /** splitmix64(seed) mapped to a uniform double in [-1, 1) — the
+    * deterministic noise source for synthetic gate fixtures
+    * ([[graft.operators.Similarity.clusteredCorpus]]). Closed form
+    * per seed (Steele et al.'s SplitMix64 finalizer): no state, no
+    * RNG object, so generation distributes over a range scan and
+    * replays identically on any cluster topology. Plain JVM Long
+    * arithmetic (wrapping), immune to ANSI-mode overflow checks. */
+  case class SplitMixUnif(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any = {
+      var x = v.asInstanceOf[Long] + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      java.lang.Double.valueOf((x >>> 11).toDouble / (1L << 53) * 2 - 1)
+    }
+    override protected def withNewChildInternal(c: Expression): SplitMixUnif =
+      copy(c)
+    override def prettyName: String = "splitmix_unif"
+  }
+
   /** Bloom-filter membership probe over a long column, the filter a
     * PLAN-TIME constant (serialized `org.apache.spark.util.sketch
     * .BloomFilter` bytes baked into the expression): rows whose key
@@ -473,4 +496,6 @@ object HashExpressions {
   }
   def srp_bucket(c: Column, bits: Int, table: Int): Column =
     call_function(s"srp_bucket_${bits}_$table", c)
+  def splitmix_unif(seed: Column): Column =
+    call_function("splitmix_unif", seed)
 }

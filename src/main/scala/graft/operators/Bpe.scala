@@ -243,12 +243,35 @@ object Bpe {
     * (count DESC, pair ASC) argmax, same greedy leftmost merge — so
     * the per-merge oracle and the ScalaCheck equivalence property
     * gate all three trainers against each other. */
+  /** Codepoint-order string comparison: equivalent to comparing the
+    * UTF-8 byte encodings lexicographically (UTF-8 preserves
+    * codepoint order), which is how Spark's UTF8String and DuckDB
+    * order strings — WITHOUT the per-comparison byte-array
+    * allocation. Java's String.compareTo is UTF-16 code-unit order,
+    * which sorts surrogate pairs (non-BMP, U+10000+) BELOW BMP chars
+    * in [U+E000, U+FFFF] and would diverge from the distributed
+    * trainers on such ties. */
+  private[graft] def cpLess(x: String, y: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val ca = x.codePointAt(i); val cb = y.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    (x.length - i) < (y.length - j)
+  }
+
   def trainLocal(docs: DataFrame, text: Column, nMerges: Int,
                  maxDictRows: Int = 20000000): DataFrame = {
     val spark = docs.sparkSession
-    val dict = wordCounts(docs, text).collect()
+    // guard BEFORE materializing: collect at most maxDictRows+1 rows
+    // (CollectLimit — executors stop feeding past the limit), so an
+    // over-budget dictionary throws instead of OOMing the driver on
+    // the collect line itself (ADVICE r9: the old full-collect ran
+    // first and the require never fired)
+    val dict = wordCounts(docs, text).limit(maxDictRows + 1).collect()
     require(dict.length <= maxDictRows,
-      s"trainLocal: dictionary ${dict.length} rows exceeds $maxDictRows — " +
+      s"trainLocal: dictionary exceeds $maxDictRows rows — " +
         "prune low-frequency words or use trainBatched")
     // split by CODEPOINT (not code units): Spark's substr — the
     // distributed trainers' charDelim — counts codepoints, and a
@@ -282,13 +305,20 @@ object Bpe {
     while (r < nMerges && !exhausted) {
       if (pairCnt.isEmpty) exhausted = true
       else {
-        // argmax by (count DESC, pair-string ASC) — the train() order
+        // argmax by (count DESC, pair-string ASC) — the train() order.
+        // ASC here must be CODEPOINT order (≡ UTF-8 byte order, what
+        // Spark's orderBy/the DuckDB oracle use), NOT Java String '<'
+        // (UTF-16 code-unit order): the two diverge when non-BMP
+        // characters tie against BMP chars in [U+E000,U+FFFF]
+        // (ADVICE r9)
         var best: ((String, String), Long) = null
+        var bestKey: String = null
         pairCnt.foreach { e =>
+          val k = s"${e._1._1} ${e._1._2}"
           if (best == null || e._2 > best._2 ||
-            (e._2 == best._2 &&
-              s"${e._1._1} ${e._1._2}" < s"${best._1._1} ${best._1._2}"))
-            best = e
+            (e._2 == best._2 && cpLess(k, bestKey))) {
+            best = e; bestKey = k
+          }
         }
         val ((a, b), c) = best
         r += 1

@@ -97,7 +97,13 @@ object Profile {
     * 1-row scalar. No corpus shuffle anywhere. */
   def psiDrift(df: DataFrame, isRef: Column, value: Column,
                nBuckets: Int = 10): DataFrame = {
-    val v = df.select(isRef.as("is_ref"), value.cast("double").as("v"))
+    // NULL in the reference predicate classifies as CANDIDATE, not
+    // dropped-from-both: sum(is_ref.cast(long)) would silently skip
+    // NULL rows from BOTH counters while a CASE-WHEN oracle counts
+    // them as candidates (ADVICE r9) — coalesce makes the two agree
+    // on any corpus with NULLs in the predicate column.
+    val v = df.select(coalesce(isRef, lit(false)).as("is_ref"),
+      value.cast("double").as("v"))
     val qs = (1 until nBuckets).map(i =>
       s"${i.toDouble / nBuckets}D").mkString(", ")
     val cuts = v.filter(col("is_ref"))

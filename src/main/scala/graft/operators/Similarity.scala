@@ -378,6 +378,48 @@ object Similarity {
       .partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Restart-safe ensure of a [[writeIvfPqIndex]] layout at `path` —
+    * [[ensureIvfIndex]]'s `_index_meta` protocol applied to the
+    * composed IVF-PQ index: meta records the layout version, ALL
+    * build parameters (cells, refine iters, PQ shape), and the cheap
+    * corpus fingerprint; a matching meta reuses the on-disk
+    * centroids/books/cells with no k-means, no PQ training, and no
+    * corpus rewrite. Written atomically AFTER the data so a torn
+    * build reads as absent. Returns true when reused. */
+  def ensureIvfPqIndex(embeddings: DataFrame, path: String,
+                       nCells: Int = 16, refineIters: Int = 2,
+                       nSub: Int = 8, codesPerSub: Int = 64,
+                       pqIters: Int = 2,
+                       fs: graft.sources.Dfs = graft.sources.Dfs.default)
+      : Boolean = {
+    val metaPath = s"$path/_index_meta.tsv"
+    val fp = embeddings
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("vec_id")), lit(0L)).as("s"))
+      .head()
+    val meta = s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
+      s"nSub\t$nSub\ncodesPerSub\t$codesPerSub\npqIters\t$pqIters\n" +
+      s"count\t${fp.getLong(0)}\nvecIdSum\t${fp.getLong(1)}\n"
+    if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true
+    else {
+      fs.delete(path)
+      writeIvfPqIndex(embeddings, path, nCells, refineIters, nSub,
+        codesPerSub, pqIters)
+      fs.writeStringAtomic(metaPath, meta)
+      false
+    }
+  }
+
+  /** Stable on-disk home for a corpus dir's IVF-PQ index (the
+    * [[ivfIndexPath]] convention, separate subtree so the two layouts
+    * never collide). Configurable via `spark.graft.ivfPqIndexDir`. */
+  private[graft] def ivfPqIndexPath(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.get("spark.graft.ivfPqIndexDir",
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_ivfpq_index")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$base/$key"
+  }
+
   /** Probed ADC search over a persisted [[writeIvfPqIndex]] layout:
     * probe cells come from the persisted centroid model (scan-local
     * literal expression), the codes columns of ONLY the probed
@@ -691,6 +733,35 @@ object Similarity {
     * `d_minhash_exact`: the oracle has no ANN in it at all. A missed
     * neighbor surfaces as a fractional recall (or a missing qid row)
     * and fails the driver compare. */
+  /** Deterministic CLUSTERED corpus fixture: `nClusters`
+    * well-separated splitmix64 centers, `perCluster` members each at
+    * small uniform noise, ids interleaved so the PQ codebook seeds
+    * (the first ids) span every cluster. The sf embeddings tables are
+    * near-random — honest gates over them need apologetically wide
+    * shortlists — so THIS corpus is what certifies the few-percent-
+    * shortlist regime the ANN knobs target at 100 TB: structure is
+    * what PQ/IVF are designed for. Generation is closed-form per
+    * (id, dim) and builds distributed (one projection over a range
+    * scan, no driver-side materialization), so the same fixture
+    * definition scales to any size. */
+  def clusteredCorpus(spark: SparkSession, nClusters: Int = 32,
+                      perCluster: Int = 64, dim: Int = 64,
+                      noise: Double = 0.05): DataFrame = {
+    graft.functions.HashExpressions.register(spark)
+    // splitmix64(seed) → uniform in [-1, 1): closed-form kernel, so
+    // member vectors are a pure projection of the row id
+    def unif(seed: Column): Column =
+      graft.functions.HashExpressions.splitmix_unif(seed.cast("long"))
+    val center = (d: Int) => unif((col("id") % nClusters) * 1031 + d)
+    val member = (d: Int) =>
+      (center(d) + lit(noise) * unif(lit(1000003L) + col("id") * 131 + d))
+        .cast("float")
+    spark.range(0, nClusters.toLong * perCluster)
+      .select(col("id").as("vec_id"),
+        array((0 until dim).map(member): _*).as("embedding"),
+        (col("id") % nClusters).cast("int").as("label"))
+  }
+
   def annRecall(ann: DataFrame, exact: DataFrame, k: Int): DataFrame =
     exact.select(col("qid"), col("nid"))
       .join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"),
@@ -933,16 +1004,32 @@ object Similarity {
     }),
     // oracled recall-1 proof of the COMPOSED on-disk index: IVF cell
     // pruning (12/16 probe, as s_ivf_ann) × PQ-ADC shortlisting (25%,
-    // as s_pq_ann) × exact rerank, all over the persisted layout —
-    // write + model reload + search per run, no in-memory carryover
+    // as s_pq_ann) × exact rerank, all over the persisted layout.
+    // The index lives at a stable corpus-keyed location under the
+    // _index_meta restart protocol (ensureIvfPqIndex) — the benched
+    // cost is the SEARCH, not a per-run k-means + PQ train + corpus
+    // rewrite; the build path runs on first contact with a corpus
+    // and is gated by the same hash (VERDICT r9 #2)
     "s_ivfpq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq").toString
-      writeIvfPqIndex(e, path)
+      val path = ivfPqIndexPath(s, dir)
+      ensureIvfPqIndex(e, path)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       annRecall(searchIvfPqIndex(s, q, path, 5), cosineTopK(e, 10, 5), 5)
+    }),
+    // the FEW-PERCENT-shortlist regime gate: PQ-ADC at a TRUE 5%
+    // shortlist over the deterministic 32-cluster corpus (the sf
+    // embeddings are near-random, which is why s_pq_ann needs 25% —
+    // structure is what PQ is designed for, and this is the regime
+    // the knob targets at 100 TB). 2048 vectors × 0.05 = the exact
+    // minShortlist=100 floor, so the shortlist really is 1-in-20.
+    // The oracle pins recall ≡ 1 for every query id: hash equality
+    // proves the code-domain shortlist dropped no true neighbor.
+    "s_pq_clustered" -> ((s, dir) => {
+      val e = clusteredCorpus(s)
+      annRecall(pqCosineTopK(e, 10, 5, shortlistFrac = 0.05),
+        cosineTopK(e, 10, 5), 5)
     }),
     // the PERSISTED-index variant of s_ivf_ann: the cell-partitioned
     // layout lives at a stable location keyed by the corpus dir under
@@ -1123,6 +1210,14 @@ object Similarity {
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_ivf_indexed" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    // the clustered-corpus gate runs over the SYNTHETIC fixture (not
+    // a testdata table), so the oracle states the recall-1 CLAIM
+    // directly: exact-vs-PQ comparison happens on the Spark side
+    // (annRecall against brute-force cosineTopK over the same
+    // fixture), and the hash match pins that every one of the 10
+    // query ids recovered its full exact top-5 at the 5% shortlist
+    "s_pq_clustered" ->
+      "SELECT CAST(range AS BIGINT) AS qid, CAST(1.0 AS DOUBLE) AS recall_at_5 FROM range(0, 10)",
     "s_quantize" ->
       """WITH scaled AS (SELECT vec_id, embedding, list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS s FROM embeddings),
         |coded AS (SELECT vec_id, embedding, s, list_transform(embedding, x -> CASE WHEN s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5) AS BIGINT) END) AS codes FROM scaled)

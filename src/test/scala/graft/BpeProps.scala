@@ -34,11 +34,15 @@ object BpeProps extends Properties("BpeBatched") {
 
   // words over {a,b,c} with repeats → dense pair-count collisions;
   // the occasional non-BMP 😀 (a surrogate PAIR in UTF-16) pins that
-  // all three trainers split words by CODEPOINT, not code units
+  // all three trainers split words by CODEPOINT, not code units, and
+  // the BMP private-use U+F000 creates ties where UTF-16 code-unit
+  // order and codepoint order DISAGREE (D83D < F000 but
+  // 0x1F600 > 0xF000) — exposing any String-'<' tie-break
   private val wordGen: Gen[String] =
     Gen.chooseNum(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.frequency(
-        3 -> Gen.oneOf("a", "b", "c"), 1 -> Gen.const("😀")))
+        3 -> Gen.oneOf("a", "b", "c"), 1 -> Gen.const("😀"),
+        1 -> Gen.const("")))
         .map(_.mkString))
   private val corpusGen: Gen[List[String]] =
     Gen.chooseNum(3, 24).flatMap(n => Gen.listOfN(n, wordGen))

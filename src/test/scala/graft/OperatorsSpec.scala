@@ -203,6 +203,64 @@ class OperatorsSpec extends AnyFunSuite {
       path, nCells = 16, refineIters = 1))
   }
 
+  test("ensureIvfPqIndex restart protocol: reuse on matching meta, rebuild on drift") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_ensure").toString
+    assert(!Similarity.ensureIvfPqIndex(emb, path, nCells = 8, refineIters = 1,
+      nSub = 8, codesPerSub = 16, pqIters = 1))
+    val metaFile = new java.io.File(s"$path/_index_meta.tsv")
+    assert(metaFile.exists())
+    val builtAt = metaFile.lastModified()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val first = Similarity.searchIvfPqIndex(spark, queries, path, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical params + corpus → reuse, layout untouched, search
+    // byte-identical (the fresh-JVM restart path)
+    assert(Similarity.ensureIvfPqIndex(emb, path, nCells = 8, refineIters = 1,
+      nSub = 8, codesPerSub = 16, pqIters = 1))
+    assert(metaFile.lastModified() === builtAt, "reuse must not rewrite")
+    val again = Similarity.searchIvfPqIndex(spark, queries, path, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === first)
+    // PQ-shape drift forces a rebuild (nSub is in the meta)
+    assert(!Similarity.ensureIvfPqIndex(emb, path, nCells = 8, refineIters = 1,
+      nSub = 4, codesPerSub = 16, pqIters = 1))
+    // torn build (meta missing) reads as absent
+    metaFile.delete()
+    assert(!Similarity.ensureIvfPqIndex(emb, path, nCells = 8, refineIters = 1,
+      nSub = 4, codesPerSub = 16, pqIters = 1))
+  }
+
+  test("clusteredCorpus: deterministic, distributed, matches the driver-side generator") {
+    val df = Similarity.clusteredCorpus(spark, nClusters = 8,
+      perCluster = 4, dim = 16)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.length === 32)
+    // replays identically (closed form per (id, dim) — no RNG state)
+    val rows2 = Similarity.clusteredCorpus(spark, nClusters = 8,
+      perCluster = 4, dim = 16).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getSeq[Float](1)).toSeq ===
+      rows2.map(_.getSeq[Float](1)).toSeq)
+    // against the reference splitmix generator, element for element
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unif(seed: Long): Double =
+      (mix(seed) >>> 11).toDouble / (1L << 53) * 2 - 1
+    rows.foreach { r =>
+      val id = r.getLong(0); val v = r.getSeq[Float](1)
+      (0 until 16).foreach { d =>
+        val want = (unif((id % 8) * 1031 + d) +
+          0.05 * unif(1000003L + id * 131 + d)).toFloat
+        assert(v(d) === want, s"id=$id d=$d")
+      }
+      assert(r.getInt(2) === (id % 8).toInt)
+    }
+  }
+
   test("IVF-ANN: k-means refinement preserves cell count and seed-level recall") {
     val exact = Similarity.cosineTopK(emb, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -356,27 +414,10 @@ class OperatorsSpec extends AnyFunSuite {
     // the few-percent-shortlist regime the knob targets at scale:
     // 2048 vectors × shortlistFrac 0.05 = the exact minShortlist=100
     // floor, so the ADC pass really shortlists 1-in-20.
-    val dim = 64; val nClusters = 32; val perCluster = 64
-    def mix(x0: Long): Long = { // splitmix64 — deterministic noise
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
-    def unif(seed: Long): Float = // in [-1, 1)
-      ((mix(seed) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat
-    val centers = Array.tabulate(nClusters)(c =>
-      Array.tabulate(dim)(d => unif(c.toLong * 1031 + d)))
-    val rows = (0 until nClusters * perCluster).map { id =>
-      val c = id % nClusters // interleaved: codebook seeds (first 64
-      val v = Array.tabulate(dim) { d => // ids) span every cluster
-        centers(c)(d) + 0.05f * unif(1000003L + id.toLong * 131 + d)
-      }
-      (id.toLong, v.toSeq, c)
-    }
-    val s = spark; import s.implicits._
-    val clustered = rows.toDF("vec_id", "embedding", "label")
-      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // the shared gate fixture (registered as s_pq_clustered); its
+    // generator equivalence to the driver-side splitmix reference is
+    // pinned by the clusteredCorpus spec below
+    val clustered = Similarity.clusteredCorpus(spark)
     val rec = Similarity.annRecall(
       Similarity.pqCosineTopK(clustered, 10, 5, shortlistFrac = 0.05),
       Similarity.cosineTopK(clustered, 10, 5), 5).collect()
@@ -1375,6 +1416,65 @@ class OperatorsSpec extends AnyFunSuite {
     // → tie broken lexicographically: "aa a" < "aa aa"
     assert(m(0) === ((1, "a a", 5L)))
     assert(m(1) === ((2, "aa a", 1L)))
+  }
+
+  test("bpe trainLocal: over-budget dictionary throws BEFORE materializing") {
+    import spark.implicits._
+    val tiny = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(tiny, col("text"), 2, maxDictRows = 3)
+    }
+    assert(ex.getMessage.contains("exceeds 3"), ex.getMessage)
+    // structurally, the guard collects limit(maxDictRows+1) — never
+    // the full dictionary — so the require fires before a driver OOM
+    // could; the message is the documented contract
+  }
+
+  test("bpe trainLocal: tie-break is codepoint order, not UTF-16 order") {
+    // 😀 is U+1F600 (surrogate pair D83D DE00); U+F000 is BMP private
+    // use. Java String '<' sorts "😀" BEFORE "" (D83D < F000);
+    // codepoint/UTF-8 order — what Spark orderBy and DuckDB use —
+    // sorts it AFTER (0x1F600 > 0xF000). cpLess must take the
+    // codepoint side, and trainLocal must agree with train() on a
+    // corpus engineered to tie exactly on such a pair.
+    assert(Bpe.cpLess("", "😀"))
+    assert(!Bpe.cpLess("😀", ""))
+    assert("😀" < "") // the Java order really does differ
+    import spark.implicits._
+    // words "a😀" and "a" each once → pairs (a,😀) and
+    // (a,) tie at count 1; merge #1 must pick "a "
+    val docs = Seq((1L, "a😀 a")).toDF("doc_id", "text")
+    val seqM = Bpe.train(docs, col("text"), 1).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    val locM = Bpe.trainLocal(docs, col("text"), 1).collect()
+      .map(r => (r.getString(1), r.getLong(3))).toSeq
+    assert(seqM === locM, s"seq=$seqM loc=$locM")
+    assert(seqM.head._1 === "a ")
+  }
+
+  test("psi drift: NULL in the reference predicate classifies as candidate") {
+    import spark.implicits._
+    // 20 ref rows, 20 cand rows, 4 NULL-flag rows: totals must be
+    // 20 ref / 24 cand — NULL rows land in the candidate histogram,
+    // matching the CASE-WHEN oracle, not silently dropped from both
+    val df = ((1 to 20).map(i => (Some(true), i.toDouble)) ++
+        (1 to 20).map(i => (Some(false), i.toDouble)) ++
+        (1 to 4).map(i => (None: Option[Boolean], i.toDouble)))
+      .toDF("flag", "v")
+    val out = Profile.psiDrift(df, col("flag"), col("v"), nBuckets = 4)
+      .agg(sum(col("n_ref")), sum(col("n_cand"))).head()
+    assert(out.getLong(0) === 20L && out.getLong(1) === 24L)
+  }
+
+  test("schema widening: integral×Float jumps to Double (lossless)") {
+    import org.apache.spark.sql.types._
+    // Float holds 24 bits of mantissa — Long/Int values past 2^24
+    // don't round-trip, so the lattice must not stop at Float
+    assert(Merge.widenOrFail("v", LongType, FloatType) === DoubleType)
+    assert(Merge.widenOrFail("v", FloatType, IntegerType) === DoubleType)
+    assert(Merge.widenOrFail("v", ByteType, FloatType) === DoubleType)
+    assert(Merge.widenOrFail("v", FloatType, FloatType) === FloatType)
+    assert(Merge.widenOrFail("v", FloatType, DoubleType) === DoubleType)
   }
 
   test("bpe encode: token counts reconstruct documents exactly") {
