@@ -24,12 +24,14 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ TextFunctions.queries ++ Skew.queries ++
       Merge.queries ++ Corpus.queries ++ Layout.queries ++ Graph.queries ++
-      Fuzzy.queries ++ Bpe.queries ++ Profile.queries
+      Fuzzy.queries ++ Bpe.queries ++ Profile.queries ++
+      graft.query.Script.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Extended.oracle ++ Temporal.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ TextFunctions.oracle ++ Skew.oracle ++
       Merge.oracle ++ Corpus.oracle ++ Layout.oracle ++ Graph.oracle ++
-      Fuzzy.oracle ++ Bpe.oracle ++ Profile.oracle
+      Fuzzy.oracle ++ Bpe.oracle ++ Profile.oracle ++
+      graft.query.Script.oracle
 }

@@ -13,10 +13,12 @@ import graft.sources.Tables
   * batching (`mapPartitions` over a typed Dataset — the Scala
   * equivalent of `mapInPandas`: one iterator per partition so a codec
   * can amortize per-batch init), and the column contracts each stage
-  * consumes/produces. The codec itself is STUBBED (no image/audio
-  * libraries in this environment) behind [[StubCodec]] — a
-  * deterministic fake keyed on the payload bytes — with the single
-  * seam `MediaCodec` to swap a real JNI/ffmpeg codec in.
+  * consumes/produces. Two codecs ride the single `MediaCodec` seam:
+  * [[BmpCodec]], a REAL dependency-free decoder for 24bpp BI_RGB
+  * Windows BMP (gate-checked byte-exact via `mm_image`), and
+  * [[StubCodec]], a deterministic fake for formats whose libraries
+  * (libjpeg/ffmpeg) aren't in this environment — swap a JNI codec in
+  * at the same seam.
   *
   * At 100 TB: binary payloads dominate row size, so stages that don't
   * need the payload must prune it (`decoded.drop("media")` happens at
@@ -61,6 +63,126 @@ object Multimodal {
         if (r.kind == "video") Array.range(0, r.media.length, 1024) else Array.empty[Int]
       MediaFeatures(r.doc_id, r.kind, width, height, features, frames)
     }
+  }
+
+  /** REAL image codec through the same seam — Windows BMP, 24bpp
+    * uncompressed BI_RGB (BITMAPFILEHEADER + BITMAPINFOHEADER per the
+    * published format: little-endian fields, BGR byte order, rows
+    * bottom-up unless height < 0, each row padded to a 4-byte
+    * boundary). Dependency-free and deterministic, so the decode
+    * stage is oracle-checkable end-to-end: a format error (stride,
+    * flip, channel order, header offset) corrupts the pixel sums and
+    * the hash gate catches it. Features are channel/region means in
+    * [0,1] — region means (top half, left half) are ORDER-SENSITIVE,
+    * pinning row direction and stride, where whole-image means alone
+    * would be permutation-blind. */
+  object BmpCodec extends MediaCodec {
+    def decode(r: MediaRow): MediaFeatures = {
+      val st = bmpStats(r.doc_id, r.media)
+      val n = st.width.toLong * st.height
+      val topN = (st.height / 2).toLong * st.width
+      val leftN = (st.width / 2).toLong * st.height
+      val features = Array(
+        (st.sum_r.toDouble / (n * 255)).toFloat,
+        (st.sum_g.toDouble / (n * 255)).toFloat,
+        (st.sum_b.toDouble / (n * 255)).toFloat,
+        (st.sum_top.toDouble / (topN * 3 * 255)).toFloat,
+        (st.sum_left.toDouble / (leftN * 3 * 255)).toFloat,
+        ((st.sum_r + st.sum_g + st.sum_b).toDouble / (n * 3 * 255)).toFloat)
+      MediaFeatures(r.doc_id, r.kind, st.width, st.height, features,
+        Array.empty[Int])
+    }
+  }
+
+  /** Exact integer pixel sums from a decoded BMP — the hash-gate
+    * payload (integer arithmetic end to end: no float rounding knife
+    * edges between Spark and the DuckDB restatement). */
+  final case class BmpStats(doc_id: Long, width: Int, height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long,
+                            sum_top: Long, sum_left: Long)
+
+  private[graft] def bmpStats(docId: Long, d: Array[Byte]): BmpStats = {
+    require(d.length >= 54 && d(0) == 'B'.toByte && d(1) == 'M'.toByte,
+      s"doc $docId: not a BMP")
+    def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    val pixOff = i32(10)
+    val w = i32(18)
+    val hRaw = i32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(u16(28) == 24 && i32(30) == 0,
+      s"doc $docId: only 24bpp BI_RGB supported (bpp=${u16(28)})")
+    val stride = ((w * 3 + 3) / 4) * 4
+    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val rowOff = pixOff + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * 3
+        val b = d(o) & 0xff; val g = d(o + 1) & 0xff; val r = d(o + 2) & 0xff
+        sr += r; sg += g; sb += b
+        if (y < h / 2) sTop += r + g + b
+        if (x < w / 2) sLeft += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    BmpStats(docId, w, h, sr, sg, sb, sTop, sLeft)
+  }
+
+  /** Closed-form test image: dims from the doc id (widths 5..8 —
+    * three of four NOT multiples of 4, so row padding is exercised),
+    * pixel channels linear in (doc_id, x, y) so the DuckDB oracle
+    * recomputes them without any codec. Encoded as a spec-conformant
+    * bottom-up 24bpp BMP. */
+  private[graft] def encodeBmp(docId: Long): Array[Byte] = {
+    val w = 5 + (docId % 4).toInt
+    val h = 3 + (docId % 3).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val out = new Array[Byte](54 + dataSize)
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54 + dataSize); p32(10, 54)
+    p32(14, 40); p32(18, w); p32(22, h)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * 3
+        out(o) = ((docId * 23 + x * 3 + y * 19) % 256).toByte     // B
+        out(o + 1) = ((docId * 17 + x * 11 + y * 5) % 256).toByte // G
+        out(o + 2) = ((docId * 31 + x * 7 + y * 13) % 256).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Media table of REAL encoded images: one closed-form BMP per
+    * document id. Encoding runs as a typed map (the codec seam's
+    * write direction) — distributed, payload built executor-side. */
+  def bmpTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val b = encodeBmp(id)
+        MediaRow(id, b, "image", b.length)
+      })
+      .toDF()
   }
 
   /** Stand-in media table: the documents' UTF-8 bytes as payload
@@ -133,7 +255,20 @@ object Multimodal {
     // the explode is fully SQL-oracle-checkable — the one multimodal
     // stage whose output is engine-independent
     "mm_frames" -> ((s, dir) =>
-      frameRows(decodeAll(mediaTable(s, dir)).toDF())))
+      frameRows(decodeAll(mediaTable(s, dir)).toDF())),
+    // the REAL-codec gate: encode a closed-form 24bpp BMP per doc,
+    // decode it back through the partition-wise seam, emit exact
+    // integer pixel sums. The oracle recomputes the sums from the
+    // pixel formula with NO codec — hash equality proves the decoder
+    // read genuine pixel data out of a spec-conformant container
+    // (stride padding, bottom-up row order, and BGR channel order
+    // each corrupt a region/channel sum if mishandled)
+    "mm_image" -> ((s, dir) => {
+      import s.implicits._
+      bmpTable(s, dir).as[MediaRow]
+        .mapPartitions(_.map(r => bmpStats(r.doc_id, r.media)))
+        .toDF()
+    }))
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -148,6 +283,23 @@ object Multimodal {
     // bytes ≡ codepoints because the corpus is ASCII (verified).
     // Hash equality proves the mapPartitions decode seam delivers
     // exact per-row outputs independent of partitioning.
+    // pixel channels are linear in (doc_id, x, y): the oracle crosses
+    // each doc with its w×h pixel grid and sums the same formulas the
+    // encoder wrote — pure integer arithmetic on both sides
+    "mm_image" ->
+      """WITH dims AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents),
+        |  xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |  px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |  ch AS (SELECT doc_id, w, h, x, y,
+        |    (doc_id*31 + x*7 + y*13) % 256 AS r,
+        |    (doc_id*17 + x*11 + y*5) % 256 AS g,
+        |    (doc_id*23 + x*3 + y*19) % 256 AS b FROM px)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN y < h // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_top,
+        |  CAST(sum(CASE WHEN x < w // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_left
+        |FROM ch GROUP BY doc_id, w, h""".stripMargin,
     "mm_decode" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""")
 }

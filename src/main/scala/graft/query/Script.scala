@@ -38,6 +38,50 @@ object Script {
       "script has no RETURN / result statement"))
   }
 
+  /** Registry gate for the script surface (SURVEY §2.B B12 LET /
+    * B13 RETURN / B18 multi-statement): the interpreter's relational
+    * core — LET → named lazy view, IN-subselect semi + NOT-IN anti,
+    * GROUP BY, ORDER/LIMIT, RETURN — run over the DuckDB-loadable
+    * testdata tables so the driver's hash gate covers it (the
+    * verbatim-SurrealQL surface stays pinned by SurrealQLSpec over
+    * the Wikidata fixtures, which the oracle harness doesn't load).
+    * The oracle restates the SAME statements as one CTE query. */
+  private val gateScript =
+    """LET spend = SELECT o_custkey,
+      |  round(sum(o_totalprice)*1e2)/1e2 AS spent
+      |  FROM orders GROUP BY o_custkey;
+      |LET active = SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_custkey IN (SELECT o_custkey FROM orders);
+      |LET keep = SELECT * FROM active
+      |  WHERE c_custkey NOT IN
+      |    (SELECT c_custkey FROM customer WHERE c_acctbal < 0);
+      |RETURN SELECT c_mktsegment, count(*) AS n_cust,
+      |  round(sum(s.spent)*1e2)/1e2 AS total_spent
+      |  FROM keep k JOIN spend s ON k.c_custkey = s.o_custkey
+      |  GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b18_script" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(t =>
+        graft.sources.Tables.load(s, dir, t).createOrReplaceTempView(t))
+      run(s, gateScript)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "b18_script" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    round(sum(o_totalprice)*1e2)/1e2 AS spent
+        |    FROM orders GROUP BY o_custkey),
+        |  active AS (SELECT c_custkey, c_mktsegment FROM customer
+        |    WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+        |  keep AS (SELECT * FROM active
+        |    WHERE c_custkey NOT IN
+        |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  round(sum(s.spent)*1e2)/1e2 AS total_spent
+        |FROM keep k JOIN spend s ON k.c_custkey = s.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 3""".stripMargin)
+
   /** Quote-aware top-level `;` split. */
   private[graft] def split(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]

@@ -339,6 +339,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tol === Map("p1" -> 100L, "p2" -> -1L, "p3" -> -1L))
   }
 
+  test("bmp codec: hand-built container decodes to exact known pixels") {
+    // 2×2 bottom-up BMP, stride 8 (2*3=6 → padded to 8). Image-space
+    // pixels (origin top-left):  (0,0)=R=10,G=20,B=30  (1,0)=40,50,60
+    //                            (0,1)=70,80,90        (1,1)=100,110,120
+    // File rows are BOTTOM-UP and BGR: file row 0 = image row 1.
+    val d = new Array[Byte](54 + 16)
+    d(0) = 'B'; d(1) = 'M'
+    def p32(o: Int, v: Int): Unit = { d(o) = v.toByte
+      d(o+1) = (v>>8).toByte; d(o+2) = (v>>16).toByte; d(o+3) = (v>>24).toByte }
+    def p16(o: Int, v: Int): Unit = { d(o) = v.toByte; d(o+1) = (v>>8).toByte }
+    p32(2, 70); p32(10, 54); p32(14, 40); p32(18, 2); p32(22, 2)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, 16)
+    def put(rowOff: Int, x: Int, r: Int, g: Int, b: Int): Unit = {
+      d(rowOff + x*3) = b.toByte; d(rowOff + x*3 + 1) = g.toByte
+      d(rowOff + x*3 + 2) = r.toByte
+    }
+    put(54, 0, 70, 80, 90); put(54, 1, 100, 110, 120)   // image row 1
+    put(62, 0, 10, 20, 30); put(62, 1, 40, 50, 60)      // image row 0
+    val st = Multimodal.bmpStats(7L, d)
+    assert((st.width, st.height) === ((2, 2)))
+    assert((st.sum_r, st.sum_g, st.sum_b) === ((220L, 260L, 300L)))
+    // top half = image row 0 only; left half = x=0 column
+    assert(st.sum_top === (10+20+30 + 40+50+60))
+    assert(st.sum_left === (10+20+30 + 70+80+90))
+    // TOP-DOWN variant (negative height): same bytes reinterpreted —
+    // file row 0 now IS image row 0, flipping sum_top
+    p32(22, -2)
+    val td = Multimodal.bmpStats(7L, d)
+    assert(td.height === 2 && td.sum_r === 220L)
+    assert(td.sum_top === (70+80+90 + 100+110+120))
+    // reject paths: bad magic, unsupported bpp
+    d(22) = 2; d(23) = 0; d(24) = 0; d(25) = 0
+    d(0) = 'X'
+    intercept[IllegalArgumentException] { Multimodal.bmpStats(7L, d) }
+    d(0) = 'B'; p16(28, 8)
+    intercept[IllegalArgumentException] { Multimodal.bmpStats(7L, d) }
+    // round-trip: encode → BmpCodec features match driver arithmetic
+    val enc = Multimodal.encodeBmp(3L) // w=8, h=3
+    val s3 = Multimodal.bmpStats(3L, enc)
+    assert((s3.width, s3.height) === ((8, 3)))
+    val f = Multimodal.BmpCodec.decode(
+      Multimodal.MediaRow(3L, enc, "image", enc.length))
+    assert(f.features.length === 6)
+    assert(f.features(0) === (s3.sum_r.toDouble / (24 * 255)).toFloat)
+    assert(f.features(3) ===
+      (s3.sum_top.toDouble / ((3/2) * 8 * 3 * 255)).toFloat)
+  }
+
   test("multimodal decode: deterministic, schema-true, payload-derived") {
     val a = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
     val b = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
