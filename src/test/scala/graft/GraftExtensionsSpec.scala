@@ -28,7 +28,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
-      "bloom_longs_agg", "pq_codes"))
+      "bloom_longs_agg", "pq_codes", "splitmix_unif"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
@@ -44,6 +44,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(b("z_order_n")(
       Seq(Literal(1L), Literal(1L), Literal(1L))).eval() === 7L)
     assert(b("ascii_fold")(Seq(Literal("café"))).eval().toString === "cafe")
+    // splitmix64(0) finalized then mapped to [-1, 1): the reference
+    // generator value (same arithmetic as the OperatorsSpec
+    // clusteredCorpus driver-side check)
+    locally {
+      var x = 0L + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      val want = (x >>> 11).toDouble / (1L << 53) * 2 - 1
+      assert(b("splitmix_unif")(Seq(Literal(0L))).eval() === want)
+    }
     assert(b("snowball_stem")(Seq(Literal("running"))).eval().toString === "run")
     val sig = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))
     assert(b("sig_agreement")(Seq(sig, sig)).eval() === 1.0)

@@ -231,6 +231,32 @@ class OperatorsSpec extends AnyFunSuite {
       nSub = 4, codesPerSub = 16, pqIters = 1))
   }
 
+  test("appendIvfIndex: in-place growth, no file rewrites, meta advances to disk truth") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_grow").toString
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val nw = emb.filter(col("vec_id") % 10 === 7)
+    assert(!Similarity.ensureIvfIndex(old, path, nCells = 8, refineIters = 1))
+    def parts(d: java.io.File): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val cellsDir = new java.io.File(s"$path/cells")
+    val before = parts(cellsDir)
+    Similarity.appendIvfIndex(nw, path)
+    val after = parts(cellsDir)
+    // append = new files only: every pre-existing file survives with
+    // its mtime; the layout grew
+    before.foreach { case (p, m) => assert(after.get(p).contains(m), p) }
+    assert(after.size > before.size)
+    assert(spark.read.parquet(s"$path/cells").count() === emb.count())
+    // meta describes the grown corpus: full-corpus ensure REUSES...
+    assert(Similarity.ensureIvfIndex(emb, path, nCells = 8, refineIters = 1))
+    // ...and the pre-append corpus no longer matches (rebuild path)
+    assert(!Similarity.ensureIvfIndex(old, path, nCells = 8, refineIters = 1))
+  }
+
   test("clusteredCorpus: deterministic, distributed, matches the driver-side generator") {
     val df = Similarity.clusteredCorpus(spark, nClusters = 8,
       perCluster = 4, dim = 16)
