@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes a CORRECTNESS-style JSON (per-query
+rows/schema/hash match flags) — the sf1 rehearsal artifact format.
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB against the
@@ -53,6 +56,7 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
     results = {}
+    detail = {}
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
         spark_df = pd.read_parquet(Path(out_dir, name))
         if name not in oracle:
@@ -62,11 +66,18 @@ def main():
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
+            detail[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(spark_df),
+                            "oracle_rows": None, "err": str(e)[:300]}
             continue
         a, b = canon(spark_df), canon(duck_df)
-        if list(a.columns) != list(b.columns):
+        d = {"rows_match": len(a) == len(b),
+             "schema_match": list(a.columns) == list(b.columns),
+             "hash_match": False, "spark_rows": len(a),
+             "oracle_rows": len(b), "err": None}
+        if not d["schema_match"]:
             results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
-        elif len(a) != len(b):
+        elif not d["rows_match"]:
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
         else:
             mism = None
@@ -75,7 +86,11 @@ def main():
                 if ra != rb:
                     mism = f"VALUE-MISMATCH row {i}: spark={ra} duck={rb}"
                     break
+            d["hash_match"] = mism is None
             results[name] = mism or f"OK rows={len(a)}"
+        detail[name] = d
+    if len(sys.argv) > 3:
+        Path(sys.argv[3]).write_text(json.dumps(detail, indent=1, sort_keys=True))
 
     missing = set(oracle) - set(results)
     for name in sorted(missing):
