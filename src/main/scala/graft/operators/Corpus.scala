@@ -156,6 +156,39 @@ object Corpus {
     * partition folds to ≤ n entries before the single-row exchange, so
     * a 100 TB corpus ships n·partitions heap entries, never a global
     * sort. The weight join-back touches only the n winners. */
+  /** Deterministic seeded global shuffle into training shards — the
+    * final stage of an LLM data pipeline: examples must reach the
+    * trainer WELL-MIXED (no source/time locality) in a REPRODUCIBLE
+    * order (seeded — a re-run or resumed job sees the identical
+    * stream), sharded so each shard is one sequential file a
+    * data-loader worker owns.
+    *
+    * Permutation = order by md5(seed # key): engine-independent,
+    * uniform, collision-free on distinct keys (key itself is the
+    * tiebreak for total order anyway); a different seed is an
+    * independent permutation. shard = first 8 hex digits mod
+    * nShards, position = rank within the shard.
+    *
+    * Scale shape: ONE exchange, hash-partitioned on the shard id,
+    * then each shard sorts its own slice — no global sort, no driver
+    * involvement. nShards is the parallelism AND the shard-size knob:
+    * pick it so a shard fits one task comfortably (~1 GiB shards at
+    * 100 TB → ~10⁵ shards). The DuckDB oracle restates the same md5
+    * arithmetic with a window, so hash equality proves the
+    * distributed permutation IS the stated permutation. */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int,
+                    seed: Long = 0L): DataFrame = {
+    val h = md5(concat_ws("#", lit(seed.toString), key.cast("string")))
+    val t = df.select(key.as("doc_id"), h.as("_h"))
+      .withColumn("shard",
+        (conv(substring(col("_h"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+    t.withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_h"), col("doc_id")))
+        .cast("int"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      n: Int): DataFrame = {
     graft.functions.HashExpressions.register(df.sparkSession)
@@ -508,6 +541,11 @@ object Corpus {
     // md5 integer arithmetic + one pow, restated verbatim in DuckDB
     "c_weighted_sample" -> ((s, dir) =>
       weightedSample(docs(s, dir), col("doc_id"), col("n_chars"), 100)),
+    // seeded training-shard shuffle: 8 shards over the documents —
+    // the permutation (shard AND within-shard position) restated
+    // verbatim in DuckDB md5 arithmetic
+    "c_shuffle_shards" -> ((s, dir) =>
+      shuffleShards(docs(s, dir), col("doc_id"), 8)),
     // per-language 5/95 winsorization of document length
     "c_winsorize" -> ((s, dir) =>
       winsorize(docs(s, dir), col("lang"), col("n_chars"), 0.05, 0.95)),
@@ -706,6 +744,13 @@ object Corpus {
         |SELECT doc_id, w, pri,
         |  CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INTEGER) AS pick_rank
         |FROM k ORDER BY pri DESC, doc_id LIMIT 100""".stripMargin,
+    "c_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, md5('0#' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+        |t AS (SELECT doc_id, hh,
+        |  CAST(CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INTEGER) AS pos
+        |FROM t""".stripMargin,
     "c_winsorize" ->
       """WITH b AS (SELECT lang AS grp,
         |  quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p_lo,

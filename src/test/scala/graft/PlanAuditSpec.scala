@@ -52,6 +52,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ShuffleExchange") || !p.contains("hashpartitioning(o_"), p)
   }
 
+  test("c_shuffle_shards: ONE exchange, hash-partitioned on the shard id") {
+    // the training-shard shuffle's whole scale claim: one
+    // hashpartitioning(shard) exchange, each shard sorted locally —
+    // a global sort (rangepartitioning) or a second exchange would
+    // break the one-pass contract
+    val p = plan(graft.operators.Corpus
+      .shuffleShards(graft.sources.Tables.load(spark, sf, "documents"),
+        org.apache.spark.sql.functions.col("doc_id"), 8))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("q1_agg: two-phase aggregation (map-side partial before the exchange)") {
     val p = plan(Relational.q1Agg(spark, sf))
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
