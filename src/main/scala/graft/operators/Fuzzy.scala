@@ -37,14 +37,24 @@ import graft.sources.Tables
 object Fuzzy {
 
   /** All variants of `s` reachable by deleting at most `tau`
-    * characters (including `s` itself), distinct. Pure codegen'd
-    * array/string expressions — per-row map work, no shuffle.
-    * Single-char deletion at 1-based position i is
-    * `substr(1, i-1) || substr(i+1, len)`; `tau` levels expand the
-    * frontier through `flatten ∘ transform`. Empty strings pass
-    * through as themselves (the `sequence` guard — Spark's
-    * `sequence(1, 0)` would count DOWN, not produce the empty
-    * list). */
+    * characters (including `s` itself), distinct. Pure array/string
+    * expressions — per-row map work, no shuffle. Single-char deletion
+    * at 1-based position i is `substr(1, i-1) || substr(i+1, len)`;
+    * `tau` levels expand the frontier through `flatten ∘ transform`.
+    * Empty strings pass through as themselves (the `sequence` guard —
+    * Spark's `sequence(1, 0)` would count DOWN, not produce the
+    * empty list).
+    *
+    * Rejected refinement (c), round 10: a compiled Catalyst kernel
+    * (tight per-row loop replacing the interpreted HOF lambdas) was
+    * built, property-tested equivalent, and measured — warm
+    * t_fuzzy_join 6.7 s vs 6.55 s, t_fuzzy_join2 4.1 s vs 3.7 s: no
+    * gain. FuzzStages showed why: the apparent 4.3 s "generation"
+    * stage is first-job JVM/codegen warmup, not lambda dispatch —
+    * warm key generation is ~1 s and the remaining cost is spread
+    * across the bucket join + pair distinct (2.1 s) and verify
+    * (0.7 s) with no single hot spot. Kept HOF; don't re-try
+    * blindly. */
   def deletionVariants(s: Column, tau: Int): Column = {
     def oneLevel(k: Column): Column =
       when(length(k) === 0, array())
@@ -74,6 +84,7 @@ object Fuzzy {
     * the candidate stream ~k× before the filter prunes it
     * (7.6 s → 12 s). */
   def editSelfJoin(df: DataFrame, key: Column, tau: Int): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
     // snapshot the exploded key table: the self-join would otherwise
     // run the distinct + variant expansion twice (once per side)
     val keyed = Dedup.materialize(
