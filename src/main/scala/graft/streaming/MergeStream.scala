@@ -53,7 +53,7 @@ object MergeStream {
     else graft.sources.Dfs.default.readString(f).trim.toLong
   }
 
-  private def recordApplied(path: String, id: String, batchId: Long): Unit =
+  private[streaming] def recordApplied(path: String, id: String, batchId: Long): Unit =
     // tmp-write + rename publish inside the seam
     graft.sources.Dfs.default.writeStringAtomic(
       hwmFile(path, id), s"$batchId\n")

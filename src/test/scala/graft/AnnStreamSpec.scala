@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files => JF, Paths => JP}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.streaming.{AnnStream, MergeStream}
+
+/** Streaming IVF-index maintenance: arrivals append under the frozen
+  * centroid model; at-least-once redelivery skips at the high-water
+  * mark (appendIvfIndex is NOT idempotent — the hwm gate is what
+  * makes replay safe); the grown index stays ensure-reusable and
+  * searchable end to end. */
+class AnnStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.HashExpressions.register(s)
+    s
+  }
+
+  private def vecs(lo: Int, hi: Int) = {
+    import spark.implicits._
+    // deterministic unit-free float vectors, same splitmix family as
+    // the gate fixtures
+    Similarity.clusteredCorpus(spark, nClusters = 8, perCluster = 64,
+        dim = 16)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  test("ingestBatch: appends grow the index; replayed batch skips at the hwm") {
+    val path = JF.createTempDirectory("ann_stream").toString + "/idx"
+    assert(!Similarity.ensureIvfIndex(vecs(0, 256), path,
+      nCells = 8, refineIters = 1))
+    def n() = spark.read.parquet(s"$path/cells").count()
+    assert(n() === 256)
+    val id = "spec_lineage"
+    val b0 = vecs(256, 384)
+    AnnStream.ingestBatch(b0, 0L, path, id)
+    assert(n() === 384)
+    // at-least-once replay of the SAME batch: must skip, not double
+    AnnStream.ingestBatch(b0, 0L, path, id)
+    assert(n() === 384)
+    assert(MergeStream.lastApplied(path, id) === 0L)
+    AnnStream.ingestBatch(vecs(384, 512), 1L, path, id)
+    assert(n() === 512)
+    // the grown index is what a fresh session reuses for the FULL
+    // corpus — the disk-truth fingerprint advanced with each batch
+    assert(Similarity.ensureIvfIndex(vecs(0, 512), path,
+      nCells = 8, refineIters = 1))
+  }
+
+  test("end-to-end ingest stream: file batches append; index searchable after") {
+    val base = JF.createTempDirectory("ann_e2e").toString
+    val path = s"$base/idx"
+    assert(!Similarity.ensureIvfIndex(vecs(0, 256), path,
+      nCells = 8, refineIters = 1))
+    JF.createDirectories(JP.get(s"$base/in"))
+    // one json file per micro-batch of arrivals
+    vecs(256, 384).coalesce(1).write.json(s"$base/stage0")
+    vecs(384, 512).coalesce(1).write.json(s"$base/stage1")
+    Seq(0, 1).foreach { i =>
+      val part = new java.io.File(s"$base/stage$i").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+      JF.move(part.toPath, JP.get(s"$base/in/chunk$i.json"))
+    }
+    val q = AnnStream.ingestStream(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").json(s"$base/in"),
+      path, s"$base/cp")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$path/cells").count() === 512)
+      // the full corpus searches the grown index (clusteredCorpus is
+      // well-separated — nProbe 2/8 finds same-cluster neighbors)
+      val e = vecs(0, 512)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val got = Similarity.searchIvfIndex(spark, path, queries, 5, nProbe = 8)
+      assert(got.count() === 15)
+      // appended ids (>= 256) appear as neighbors where they truly
+      // are: exact top-5 over the full corpus vs the index's answer
+      val exact = Similarity.cosineTopK(e, 3, 5)
+      val rec = Similarity.annRecall(got, exact, 5).collect()
+      assert(rec.forall(_.getDouble(1) === 1.0), rec.mkString(","))
+    } finally q.stop()
+  }
+}
