@@ -96,6 +96,23 @@ object StreamProbe {
     dd.processAllAvailable(); dd.stop()
     report("online_dedup", dd)
 
+    // ---- annIngestStream: IVF index grown one vector-batch per trigger
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val half = e.count() / 2
+    val idx = s"$base/ann_idx"
+    graft.operators.Similarity.ensureIvfIndex(
+      e.filter(col("vec_id") < half), idx)
+    stageChunks(s"$base/ann_in", (0 until nBatches).map(i =>
+      e.filter(col("vec_id") >= half &&
+        col("vec_id") % nBatches === i)))
+    val ai = graft.streaming.AnnStream.ingestStream(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").json(s"$base/ann_in"),
+      idx, s"$base/ann_ckpt")
+    ai.processAllAvailable(); ai.stop()
+    report("ann_ingest", ai)
+
     spark.stop()
   }
 }
