@@ -215,6 +215,56 @@ object Dedup {
           1e4) / 1e4).as("dup_ratio"))
   }
 
+  /** Repeated-span REMOVAL — the surgery stage of substring-level
+    * dedup (Lee et al. '22, "Deduplicating Training Data Makes
+    * Language Models Better"): every token position covered by a
+    * length-`spanLen` window that occurs MORE THAN ONCE corpus-wide
+    * (including within-document repeats) is cut, and the survivors
+    * reassemble in order. [[repeatedSpans]] SCORES documents with the
+    * same fixed-L stride-1 window dataflow; this operator performs
+    * the cut the scores motivate.
+    *
+    * Returns (doc_id, n_tokens, n_cut, clean_hash) — clean_hash is
+    * the md5 of the cleaned text, so the gate compares the exact
+    * surgical output byte-for-byte without shipping full documents
+    * through the hash harness.
+    *
+    * Scale shape: the only wide exchange is the window groupBy
+    * (identical to repeatedSpans — ~50-byte keys, map-side partial);
+    * covered-position expansion is bounded by dup-window count × L;
+    * reassembly is one doc_id aggregation whose per-group size is one
+    * document's tokens. Interval union falls out of the distinct on
+    * (doc_id, p) — no per-doc interval-merge loop anywhere. */
+  def removeRepeatedSpans(df: DataFrame, text: Column,
+                          spanLen: Int): DataFrame = {
+    val toks = df.select(col("doc_id"),
+      posexplode(split(lower(text), " "))).toDF("doc_id", "p", "tok")
+    val wins = df.select(col("doc_id"), split(lower(text), " ").as("t"))
+      .where(size(col("t")) >= spanLen)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("t")) - (spanLen - 1)),
+        i => concat_ws(" ", slice(col("t"), i, lit(spanLen))))))
+      .toDF("doc_id", "i", "w") // i = 0-based window start position
+    val dup = wins.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("w"))
+    val covered = wins.join(dup, "w")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (spanLen - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("clean"))
+    df.select(col("doc_id"),
+        size(split(lower(text), " ")).cast("long").as("n_tokens"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+  }
+
   /** 64-perm MinHash signature — compiled kernel
     * ([[graft.functions.HashExpressions.MinHashSignature]]): one
     * xxHash per shingle, 64 affine permutations in a primitive loop.
@@ -829,6 +879,11 @@ object Dedup {
     // every duplicated window is a genuinely shared span
     "d_span_dedup" -> ((s, dir) =>
       repeatedSpans(docs(s, dir), col("text"), 8)),
+    // the REMOVAL stage over the same windows: the oracle re-derives
+    // the cut positions relationally and md5s its own reassembled
+    // text, so the hash certifies the exact surgical output
+    "d_span_cut" -> ((s, dir) =>
+      removeRepeatedSpans(docs(s, dir), col("text"), 8)),
     // the high-recall banding regime (32 bands × 2 rows, no estimate
     // gate) proven at the LOWER threshold 0.5: P(miss | J=0.5) =
     // (1-0.5²)^32 ≈ 1e-4 analytically, 0 measured — the oracle has no
@@ -904,6 +959,28 @@ object Dedup {
     // sequence(1, n-7) — both emit n-7 positions
     "d_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), win AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS w FROM toks WHERE len(t) >= 8), cnt AS (SELECT w, count(*) AS c FROM win GROUP BY w), per AS (SELECT doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans FROM win JOIN cnt USING (w) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, coalesce(n_dup_spans, 0) AS n_dup_spans, round(CAST(coalesce(n_dup_spans, 0) AS DOUBLE) / CAST(greatest(coalesce(n_windows, 0), 1) AS DOUBLE) * 1e4) / 1e4 AS dup_ratio FROM documents d LEFT JOIN per USING (doc_id)""",
+    // the cut positions re-derived relationally (1-based coordinates
+    // throughout — only counts and the reassembled text surface, so
+    // the coordinate base is internal); interval union = DISTINCT on
+    // (doc_id, p), reassembly = ordered string_agg, then md5 — the
+    // hash certifies the exact surgical output byte for byte
+    "d_span_cut" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |win AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
+        |ws AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w FROM win),
+        |dup AS (SELECT w FROM ws GROUP BY w HAVING count(*) > 1),
+        |cov0 AS (SELECT doc_id, i, unnest(range(0, 8)) AS o FROM ws WHERE w IN (SELECT w FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS p FROM cov0),
+        |tok AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p FROM toks),
+        |kept AS (SELECT k.doc_id, k.p, k.tok FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.p = k.p)),
+        |cl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(tok, ' ' ORDER BY p) AS clean FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(lower(d.text), ' ')) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
+        |  md5(coalesce(clean, '')) AS clean_hash
+        |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin,
     "d_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10) SELECT s.doc_id, count(*) AS n_shared FROM sh s JOIN probe p ON s.sh = p.sh WHERE s.doc_id >= 10 GROUP BY s.doc_id""",
     // the oracle has NO LSH and NO index — matching it proves the

@@ -365,6 +365,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tol === Map("p1" -> 100L, "p2" -> -1L, "p3" -> -1L))
   }
 
+  test("span removal: planted shared spans cut exactly, survivors reassemble in order") {
+    import spark.implicits._
+    val span = "s1 s2 s3 s4" // L=4 planted span
+    val df = Seq(
+      1L -> s"alpha $span beta",        // span mid-doc: cut, rest kept
+      2L -> s"$span gamma delta eps",   // span at head
+      3L -> span,                       // doc IS the span: fully cut
+      4L -> "unique words only here ok",// no shared window: untouched
+      5L -> "tiny doc"                  // shorter than L: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, col("text"), 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def h(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(out(1L) === ((6L, 4L, h("alpha beta"))))
+    assert(out(2L) === ((7L, 4L, h("gamma delta eps"))))
+    assert(out(3L) === ((4L, 4L, h(""))))
+    assert(out(4L) === ((5L, 0L, h("unique words only here ok"))))
+    assert(out(5L) === ((2L, 0L, h("tiny doc"))))
+    // overlapping duplicated windows union (no double-cut): two docs
+    // sharing a 5-token run produce two overlapping L=4 windows whose
+    // covered positions merge to exactly 5 cut tokens
+    val df2 = Seq(
+      10L -> "x a b c d e y",
+      11L -> "z a b c d e w").toDF("doc_id", "text")
+    val out2 = Dedup.removeRepeatedSpans(df2, col("text"), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out2(10L) === ((5L, h("x y"))))
+    assert(out2(11L) === ((5L, h("z w"))))
+  }
+
   test("bmp codec: hand-built container decodes to exact known pixels") {
     // 2×2 bottom-up BMP, stride 8 (2*3=6 → padded to 8). Image-space
     // pixels (origin top-left):  (0,0)=R=10,G=20,B=30  (1,0)=40,50,60
