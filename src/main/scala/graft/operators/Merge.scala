@@ -470,7 +470,7 @@ object Merge {
     * dir so sf0.01 (Verify) and sf0.1 (Bench) never thrash each
     * other's layouts. Configurable via `spark.graft.mergeFixtureDir`
     * — on a cluster, a shared filesystem. */
-  private def fixturePath(spark: SparkSession, dir: String,
+  private[graft] def fixturePath(spark: SparkSession, dir: String,
                           demo: String): String = {
     val base = spark.conf.get("spark.graft.mergeFixtureDir",
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_merge_fixture")
@@ -490,13 +490,20 @@ object Merge {
     * build reads as absent and rebuilds — never reused. The build
     * path itself stays gated: first contact with any corpus runs it,
     * and the readback hash certifies whichever path ran. */
-  private def ensureFixture(c: DataFrame, key: String, path: String,
+  private[graft] def ensureFixture(c: DataFrame, key: String, path: String,
                             lineage: String, fs: Dfs = Dfs.default)
                            (build: String => Unit): Unit = {
+    // fingerprint is CONTENT-sensitive, not just (count, keySum): a
+    // regenerated corpus with identical keys but different values
+    // must rebuild, never reuse stale data into a hash gate.
+    // bit_xor of row hashes is order-independent and cannot overflow
+    // (sum of hashes would throw under ANSI at scale)
     val fp = c.agg(count(lit(1)).as("n"),
-      coalesce(sum(col(key)), lit(0L)).as("s")).head()
+      coalesce(sum(col(key)), lit(0L)).as("s"),
+      coalesce(bit_xor(xxhash64(c.columns.map(col): _*)), lit(0L))
+        .as("x")).head()
     val meta = s"lineage\t$lineage\ncount\t${fp.getLong(0)}\n" +
-      s"keySum\t${fp.getLong(1)}\n"
+      s"keySum\t${fp.getLong(1)}\ncontentSig\t${fp.getLong(2)}\n"
     val metaPath = s"$path/_fixture_meta.tsv"
     if (!(fs.exists(metaPath) && fs.readString(metaPath) == meta)) {
       fs.delete(path)

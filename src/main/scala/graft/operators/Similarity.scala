@@ -305,15 +305,33 @@ object Similarity {
     * completion marker: a torn previous build reads as absent and is
     * rebuilt, never reused. Returns true when the existing index was
     * reused. */
+  /** Content-sensitive corpus fingerprint for the index restart
+    * protocols: (count, vec_id sum, order-independent XOR of per-row
+    * xxhash64(vec_id, embedding)). Computable identically from the
+    * input corpus AND from the persisted cells' columns
+    * ([[appendIvfIndex]]), so meta describes the exact vector
+    * CONTENT — a regenerated corpus with the same ids but new
+    * vectors rebuilds, never reuses stale cells into a hash gate.
+    * bit_xor (not sum of hashes) cannot overflow under ANSI. */
+  private def corpusFingerprint(vecs: DataFrame): (Long, Long, Long) = {
+    val r = vecs.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("vec_id")), lit(0L)).as("s"),
+      coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L))
+        .as("x")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  private[graft] def ivfMetaString(nCells: Int, refineIters: Int,
+                                   fp: (Long, Long, Long)): String =
+    s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
+      s"count\t${fp._1}\nvecIdSum\t${fp._2}\ncontentSig\t${fp._3}\n"
+
   def ensureIvfIndex(embeddings: DataFrame, path: String,
                      nCells: Int = 16, refineIters: Int = 2,
                      fs: graft.sources.Dfs = graft.sources.Dfs.default): Boolean = {
     val metaPath = s"$path/_index_meta.tsv"
-    val fp = embeddings
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("vec_id")), lit(0L)).as("s"))
-      .head()
-    val meta = s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
-      s"count\t${fp.getLong(0)}\nvecIdSum\t${fp.getLong(1)}\n"
+    val meta = ivfMetaString(nCells, refineIters,
+      corpusFingerprint(embeddings))
     if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true
     else {
       fs.delete(path)
@@ -403,17 +421,15 @@ object Similarity {
         nearestCell(centroids, col("embedding")).as("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$path/cells")
-    val fp = spark.read.parquet(s"$path/cells")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("vec_id")), lit(0L)).as("s"))
-      .head()
+    // recompute the full content fingerprint FROM DISK (vec_id +
+    // embedding columns of the grown layout) so meta stays disk truth
+    val fp = corpusFingerprint(spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("embedding")))
     val metaPath = s"$path/_index_meta.tsv"
     val old = fs.readString(metaPath).split("\n").filter(_.nonEmpty)
       .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
-    val meta = s"version\t1\nnCells\t${old("nCells")}\n" +
-      s"refineIters\t${old("refineIters")}\n" +
-      s"count\t${fp.getLong(0)}\nvecIdSum\t${fp.getLong(1)}\n"
-    fs.writeStringAtomic(metaPath, meta)
+    fs.writeStringAtomic(metaPath,
+      ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
   }
 
   /** Restart-safe ensure of a [[writeIvfPqIndex]] layout at `path` —
@@ -431,12 +447,10 @@ object Similarity {
                        fs: graft.sources.Dfs = graft.sources.Dfs.default)
       : Boolean = {
     val metaPath = s"$path/_index_meta.tsv"
-    val fp = embeddings
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("vec_id")), lit(0L)).as("s"))
-      .head()
+    val fp = corpusFingerprint(embeddings)
     val meta = s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
       s"nSub\t$nSub\ncodesPerSub\t$codesPerSub\npqIters\t$pqIters\n" +
-      s"count\t${fp.getLong(0)}\nvecIdSum\t${fp.getLong(1)}\n"
+      s"count\t${fp._1}\nvecIdSum\t${fp._2}\ncontentSig\t${fp._3}\n"
     if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true
     else {
       fs.delete(path)
@@ -1103,10 +1117,7 @@ object Similarity {
       val path = ivfIndexPath(s, dir) + "_grow"
       val fs = graft.sources.Dfs.default
       val metaPath = s"$path/_index_meta.tsv"
-      val fp = e.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("vec_id")), lit(0L)).as("s")).head()
-      val want = s"version\t1\nnCells\t16\nrefineIters\t2\n" +
-        s"count\t${fp.getLong(0)}\nvecIdSum\t${fp.getLong(1)}\n"
+      val want = ivfMetaString(16, 2, corpusFingerprint(e))
       // the marker certifies the layout really is 90%-built + 10%-
       // appended; ANY rebuild (incl. one a broken append would
       // provoke inside ensureIvfIndex) deletes it, so a full-trained

@@ -257,6 +257,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!Similarity.ensureIvfIndex(old, path, nCells = 8, refineIters = 1))
   }
 
+  test("reuse protocols are CONTENT-sensitive: same keys, new values → rebuild") {
+    // a regenerated corpus with identical ids/count but different
+    // content must never reuse a stale layout into a hash gate —
+    // count+keySum alone cannot see this (ADVICE-style latent trap)
+    val path = java.nio.file.Files.createTempDirectory("ivf_content").toString
+    assert(!Similarity.ensureIvfIndex(emb, path, nCells = 8, refineIters = 1))
+    assert(Similarity.ensureIvfIndex(emb, path, nCells = 8, refineIters = 1))
+    // same vec_ids, same count — every vector scaled by 2
+    val mutated = emb.select(col("vec_id"),
+      transform(col("embedding"), x => (x * 2f).cast("float")).as("embedding"))
+    assert(!Similarity.ensureIvfIndex(mutated, path, nCells = 8, refineIters = 1))
+
+    val s = spark; import s.implicits._
+    val fx = java.nio.file.Files.createTempDirectory("fix_content")
+      .toString + "/t"
+    val c1 = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    var builds = 0
+    def build(df: org.apache.spark.sql.DataFrame)(p: String): Unit = {
+      builds += 1
+      df.write.mode("overwrite").parquet(p + "/d")
+    }
+    Merge.ensureFixture(c1, "c_custkey", fx, "v1")(build(c1))
+    Merge.ensureFixture(c1, "c_custkey", fx, "v1")(build(c1))
+    assert(builds === 1) // identical content reuses
+    // same keys and count, one balance changed → rebuild
+    val c2 = Seq((1L, "a", 10.0), (2L, "b", 99.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    Merge.ensureFixture(c2, "c_custkey", fx, "v1")(build(c2))
+    assert(builds === 2)
+  }
+
   test("clusteredCorpus: deterministic, distributed, matches the driver-side generator") {
     val df = Similarity.clusteredCorpus(spark, nClusters = 8,
       perCluster = 4, dim = 16)
