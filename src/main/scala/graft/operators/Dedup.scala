@@ -799,6 +799,38 @@ object Dedup {
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).as("is_canonical"))
 
+  /** Leakage-safe train/eval split: assignment by NEAR-DUP CLUSTER,
+    * not by document. Splitting docs independently leaks eval
+    * answers into training whenever two near-duplicates straddle the
+    * boundary — the standard contamination route benchmark audits
+    * keep finding. Here every verified near-dup cluster
+    * ([[minhashVerifiedPairs]] at `minJaccard` → min-label
+    * [[connectedComponents]]; singletons are their own cluster) draws
+    * ONE deterministic md5 uniform from its cluster id and the whole
+    * cluster lands on the same side, so no verified pair can ever
+    * cross the split. `testPermille` controls the expected eval
+    * fraction (uniform over clusters).
+    *
+    * Scale shape: the banded dedup + CC machinery this composes is
+    * the already-probed-at-100× path; the split itself adds one
+    * narrow left join (doc → cluster) and scan-local md5 arithmetic
+    * — no new shuffle of the corpus. */
+  def leakageSafeSplit(df: DataFrame, testPermille: Int,
+                       minJaccard: Double = 0.8): DataFrame = {
+    val cc = connectedComponents(
+      minhashVerifiedPairs(df, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("component"))
+    val grp = df.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+    val u32 = conv(substring(md5(col("grp").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    grp.select(col("doc_id"), col("grp"),
+      when(u32 % 1000 < testPermille, "test").otherwise("train").as("split"))
+  }
+
   /** Incremental dedup, exact-verified and SQL-oracle-checkable: docs
     * with doc_id ≡ 0 (mod 5) play the "new shard", the rest the
     * already-indexed corpus. Index the corpus, probe the shard, then
@@ -865,6 +897,11 @@ object Dedup {
     "d_incremental" -> ((s, dir) => incrementalVerifiedPairs(s, docs(s, dir))),
     "d_minhash_exact" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir))),
     "d_components" -> ((s, dir) => dupClusters(docs(s, dir))),
+    // 10% eval target; the oracle re-derives the clusters with the
+    // d_components recursive CTE and applies the identical md5 coin,
+    // so the hash certifies cluster-atomic assignment end to end
+    "p_leakage_split" -> ((s, dir) =>
+      leakageSafeSplit(docs(s, dir), testPermille = 100)),
     // docs 0-9 stand in for the benchmark/eval set
     "d_contamination" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -998,6 +1035,12 @@ object Dedup {
     // the distributed min-label iteration converged to true components
     "d_components" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node) SELECT node AS doc_id, min(label) AS component, (node = min(label)) AS is_canonical FROM reach GROUP BY node""",
+    // clusters re-derived by recursive transitive closure (the
+    // d_components oracle), singletons their own cluster, then the
+    // SAME md5 coin per cluster — leakage-safe by construction on
+    // both sides, and the hash proves the distributed path agrees
+    "p_leakage_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS (SELECT node AS doc_id, min(label) AS grp FROM reach GROUP BY node) SELECT d.doc_id, coalesce(comp.grp, d.doc_id) AS grp, CASE WHEN CAST(('0x' || substring(md5(CAST(coalesce(comp.grp, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'test' ELSE 'train' END AS split FROM documents d LEFT JOIN comp USING (doc_id)""",
     // NO LSH in the oracle: exact pairs at J >= 0.5 — hash equality
     // proves the 32×2 banding surfaced every such pair (recall 1)
     "d_minhash_lsh" ->

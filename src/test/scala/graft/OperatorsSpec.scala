@@ -257,6 +257,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!Similarity.ensureIvfIndex(old, path, nCells = 8, refineIters = 1))
   }
 
+  test("leakage-safe split: no verified near-dup pair straddles the boundary") {
+    val d = Tables.load(spark, sf, "documents")
+    val split = Dedup.leakageSafeSplit(d, testPermille = 100)
+      .select(col("doc_id"), col("split")).persist()
+    try {
+      // every near-dup pair lands on one side — zero leakage routes
+      val pairs = Dedup.minhashVerifiedPairs(d, 0.8)
+      val crossing = pairs
+        .join(split.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("split", "sa"), "doc_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("split", "sb"), "doc_b")
+        .filter(col("sa") =!= col("sb")).count()
+      assert(crossing === 0L)
+      // both splits populated, test fraction in a loose band around 10%
+      val n = split.count().toDouble
+      val t = split.filter(col("split") === "test").count().toDouble
+      assert(t > 0 && t < n)
+      assert(t / n > 0.03 && t / n < 0.25, s"test frac ${t / n}")
+    } finally { split.unpersist(); () }
+  }
+
   test("reuse protocols are CONTENT-sensitive: same keys, new values → rebuild") {
     // a regenerated corpus with identical ids/count but different
     // content must never reuse a stale layout into a hash gate —
