@@ -80,6 +80,10 @@ object GraftRegistry {
     // analyzer wraps the returned AggregateFunction
     "top_k_by_score" -> (es => TopK.TopKByScore(es(0), es(1),
       staticInt(es(2), "top_k_by_score k"))),
+    // misra_gries(item, capacity) — mergeable frequent-items sketch;
+    // capacity is a static literal (it sizes the aggregation buffer)
+    "misra_gries" -> (es => MisraGries.MisraGriesTokens(es(0),
+      staticInt(es(1), "misra_gries capacity"))),
     // bloom_might_contain_long(key, filter_bytes) — filter is a
     // plan-time binary literal (a serialized sketch BloomFilter)
     "bloom_might_contain_long" -> (es => BloomMightContainLong(es(0),

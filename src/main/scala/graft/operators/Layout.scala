@@ -128,8 +128,31 @@ object Layout {
     s.read.schema(o.schema).json(path)
   }
 
+  /** Round-trip through the 2-D z-order layout: orders written as
+    * (custkey, orderkey) tiles — the multi-dimensional clustering a
+    * single-key sort can't give, so footer stats prune files for
+    * predicates on EITHER key. Keys are bucketed into the interleave
+    * domain [0, 2^16) with pmod, per the z_order_16 contract (the
+    * z-value orders the layout only — it never reaches the data, so
+    * bucketing costs nothing in fidelity). Hash equality against the
+    * bare projection proves the interleave/cluster/write machinery
+    * loses and reorders nothing; the tiling property itself is pinned
+    * in LayoutSpec's span assertions. */
+  def zorderRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString + "/orders"
+    writeZOrdered(o, path,
+      pmod(col("o_custkey"), lit(65536L)),
+      pmod(col("o_orderkey"), lit(65536L)),
+      targetRowsPerFile = 4000L)
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w_sized_roundtrip" -> (sizedRoundTrip _),
+    "w_zorder_roundtrip" -> (zorderRoundTrip _),
     "w_csv_roundtrip" -> (csvRoundTrip _),
     "w_json_roundtrip" -> (jsonRoundTrip _))
 
@@ -138,6 +161,8 @@ object Layout {
 
   val oracle: Map[String, String] = Map(
     "w_sized_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    "w_zorder_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "w_csv_roundtrip" -> ordersProj,
     "w_json_roundtrip" -> ordersProj)

@@ -265,9 +265,77 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Sketch-guided EXACT heavy hitters over the corpus 1..maxN-gram
+    * stream: every gram with frequency > total/k, with its exact
+    * count — the common-phrase / boilerplate-mining pass.
+    *
+    * [[vocabTopK]]'s `groupBy(token)` shuffles the full vocabulary;
+    * fine for unigrams, fatal for n-grams at 100 TB (the 3-gram
+    * vocabulary of a web corpus is ~the corpus size). This is the
+    * two-pass sketch-then-verify shape instead:
+    *
+    *   1. ONE scan folds the gram stream into a mergeable
+    *      [[graft.functions.MisraGries]] sketch (bounded state:
+    *      ≤`capacity` entries per partition into the exchange,
+    *      vocabulary never shuffled) plus the exact stream length.
+    *      The sketch's guarantee — every gram with freq >
+    *      total/(capacity+1) is retained — plus `capacity+1 >= k`
+    *      makes the candidate set a SUPERSET of the answer.
+    *   2. A second scan exact-counts ONLY the ≤capacity candidates
+    *      (broadcast semi-join — no full-vocab aggregation) and the
+    *      threshold filter discards the sketch's false positives.
+    *
+    * False negatives are impossible (the guarantee), false positives
+    * are exact-counted away, so the result is bit-identical to the
+    * naive full-shuffle query — which is exactly what the DuckDB
+    * oracle runs. Integer threshold arithmetic (`freq * k > total`)
+    * keeps both engines exact. The candidate SET is
+    * partitioning-dependent; the final output is not (pinned in
+    * OperatorsSpec under adversarial repartitioning). */
+  def heavyHitters(df: DataFrame, text: Column, maxN: Int, k: Int,
+                   capacity: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 3, s"maxN must be 1..3, got $maxN")
+    require(capacity + 1 >= k,
+      s"exactness needs capacity+1 >= k (got capacity=$capacity, k=$k): " +
+        "the sketch only guarantees retention above total/(capacity+1)")
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val toks = tokens(text)
+    val grams = df.select(explode(maxN match {
+      case 1 => toks
+      case 2 => concat(toks, call_function("word_ngrams_2", toks))
+      case 3 => concat(toks, call_function("word_ngrams_2", toks),
+        call_function("word_ngrams_3", toks))
+    }).as("gram"))
+    // pass 1: stream length + candidate sketch in a single scan. The
+    // collect is bounded driver-side model state (≤capacity strings +
+    // one long — the same class as k-means centroids or a PQ LUT),
+    // never corpus-sized.
+    val p1 = grams.agg(
+      count(lit(1)).as("total"),
+      call_function("misra_gries", col("gram"), lit(capacity)).as("cands"))
+      .collect().head
+    val total = p1.getAs[Long]("total")
+    val cands = p1.getAs[scala.collection.Seq[String]]("cands")
+    val candDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        cands.toSeq.map(org.apache.spark.sql.Row(_)): _*),
+      new org.apache.spark.sql.types.StructType().add("gram", "string"))
+    // pass 2: exact counts for the bounded candidate set only
+    grams.join(broadcast(candDf), "gram")
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * k > lit(total))
+      .orderBy(col("freq").desc, col("gram").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_vocab_topk" -> ((s, dir) =>
       vocabTopK(docs(s, dir), col("text"), 100)),
+    // 17k-gram vocabulary vs a 1024-entry sketch: eviction pressure
+    // is real, and the hash gate proves the two-pass answer is still
+    // exact (threshold total/200 clears the total/1025 guarantee)
+    "t_heavy_hitters" -> ((s, dir) =>
+      heavyHitters(docs(s, dir), col("text"), maxN = 3, k = 200,
+        capacity = 1024)),
     "t_tfidf_sim" -> ((s, dir) =>
       tfidfSimilarPairs(docs(s, dir), col("text"),
         maxDf = 5, minCosine = 0.2)),
@@ -302,6 +370,18 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t_vocab_topk" ->
       "SELECT token, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY freq DESC, token LIMIT 100",
+    // the naive full-vocabulary restatement of the sketch-guided
+    // two-pass query: same 1..3-gram stream, same integer threshold
+    "t_heavy_hitters" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT unnest(tk) AS gram FROM t
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) FROM t
+        |  UNION ALL
+        |  SELECT unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM t),
+        |n AS (SELECT count(*) AS total FROM g)
+        |SELECT gram, count(*) AS freq FROM g, n GROUP BY gram, n.total HAVING count(*) * 200 > n.total""".stripMargin,
     // the pruned TF-IDF space restated whole: same shingles, same
     // +1-smoothed idf, same df cutoff, same norm definition — the
     // cosine threshold applies to the ROUNDED value on both engines

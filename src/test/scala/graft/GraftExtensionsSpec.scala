@@ -28,7 +28,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
-      "bloom_longs_agg", "pq_codes", "splitmix_unif"))
+      "bloom_longs_agg", "pq_codes", "splitmix_unif", "misra_gries"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
@@ -93,6 +93,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(1) === "cafe")
     assert(r.getDouble(2) === 1.0)
     assert(r.getLong(3) === 7L)
+    // the aggregate kernel resolves through the analyzer's
+    // AggregateFunction wrapping path, not the scalar path
+    val mg = spark.sql(
+      "SELECT misra_gries(g, 2) AS c FROM VALUES ('a'),('a'),('b'),('a') t(g)")
+      .collect().head.getSeq[String](0)
+    assert(mg.contains("a"))
   }
 
   test("SQL-friendly input coercion: INT literals and double arrays implicitly cast") {

@@ -1652,6 +1652,44 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getLong(0) <= r.getInt(2) && r.getLong(0) >= r.getInt(1)) }
   }
 
+  test("heavy hitters: two-pass equals full-shuffle truth under adversarial repartitioning") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 1/3 hot docs (every gram of the phrase ~100x), 2/3 long tail —
+    // the gram vocabulary dwarfs the sketch capacity below
+    val texts = (0 until 300).map { i =>
+      if (i % 3 == 0) "the quick fox jumps high"
+      else (0 until 8).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val grams = df.select(explode(concat(toks,
+      call_function("word_ngrams_2", toks),
+      call_function("word_ngrams_3", toks))).as("gram"))
+    val total = grams.count()
+    val vocab = grams.distinct().count()
+    assert(vocab > 96 * 5, s"fixture too small for eviction pressure: $vocab")
+    val expect = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 80 > lit(total)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expect.nonEmpty, "fixture plants heavy hitters; none in truth")
+    Seq(1, 13).foreach { p =>
+      val got = TextAnalysis
+        .heavyHitters(df.repartition(p), col("text"), maxN = 3,
+          k = 80, capacity = 96)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"partitions=$p")
+    }
+  }
+
+  test("heavy hitters: capacity below the threshold rank is rejected") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, col("text"), maxN = 3,
+        k = 40, capacity = 16)
+    }
+  }
+
   /** Textbook Wagner–Fischer, the truth reference for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
