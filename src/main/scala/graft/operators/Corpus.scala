@@ -483,6 +483,39 @@ object Corpus {
         r4(sum(col("lr"))).as("dsir_weight"))
   }
 
+  /** Per-domain frequency cap: keep at most `maxPerSource` documents
+    * from each source/domain — the anti-SEO-farm diversity control
+    * every web-corpus pipeline applies (a single template site must
+    * not contribute a million near-identical pages to the mix).
+    * Selection is a deterministic md5 coin on doc_id (same 16-bit
+    * arithmetic as [[TextAnalysis.md5Bucket16]]), so re-running the
+    * pipeline never swaps which documents survive. Unlike
+    * [[stratifiedSample]] — a RATE sampler whose per-class yield is
+    * `cap` only in expectation — this is the exact cap: every domain
+    * emits min(|domain|, maxPerSource) documents, with their
+    * selection rank.
+    *
+    * Scale design: per-domain selection runs as the k-bounded heap
+    * aggregate ([[graft.functions.TopK.TopKByScore]]), NOT a
+    * `row_number` window — a hot domain with 10⁸ pages would force
+    * one task to sort all of them; the heap folds each input
+    * partition to ≤ k entries map-side, so the shuffle carries
+    * ≤ k·partitions rows per domain regardless of domain size. */
+  def domainCap(df: DataFrame, source: Column, maxPerSource: Int): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    // negated coin: the heap keeps HIGHEST scores, we keep lowest
+    // coins; integer coins are exact in double, ties fall to the
+    // heap's id-ASC contract
+    df.select(source.as("source"), col("doc_id"),
+        (-TextAnalysis.md5Bucket16(col("doc_id"))).cast("double").as("s"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HashExpressions
+        .top_k_by_score(col("s"), col("doc_id"), maxPerSource).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), col("col.nid").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
@@ -505,6 +538,8 @@ object Corpus {
     "c_stratified_sample" -> ((s, dir) =>
       stratifiedSample(docs(s, dir), col("source"), col("doc_id"), cap = 8)
         .select(col("doc_id"), col("source"))),
+    "c_domain_cap" -> ((s, dir) =>
+      domainCap(docs(s, dir), col("source"), 10)),
     "c_token_budget" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("est_tokens",
         ceil(length(col("text")).cast("double") / 4.0).cast("long"))
@@ -640,6 +675,15 @@ object Corpus {
          |  CAST(len(regexp_extract_all($piiText, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
          |  md5(regexp_replace(regexp_replace($piiText, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'), '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_hash
          |FROM documents""".stripMargin,
+    // the window restatement of the heap aggregate: identical coin,
+    // identical (coin ASC, doc_id ASC) selection order
+    "c_domain_cap" ->
+      """SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
     "c_stratified_sample" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, count(*) OVER (PARTITION BY source) AS cnt,

@@ -150,6 +150,44 @@ object Dedup {
         (round(col("jac") * 1e4) / 1e4).as("jaccard"))
   }
 
+  /** Directed n-gram CONTAINMENT join: containment(A→B) =
+    * |sh(A) ∩ sh(B)| / |sh(A)| over distinct word 3-gram shingle
+    * sets — the ASYMMETRIC complement of [[ngramJaccardPairs]].
+    * Jaccard misses the quote/subset case entirely (a benchmark doc
+    * pasted inside a 100× larger page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0), which is exactly the leak the GPT-3/PaLM
+    * decontamination write-ups filter on.
+    *
+    * Scale design: the heavy work — the shingle-postings self-join
+    * and the intersection groupBy — runs ONCE over undirected
+    * (a < b) pairs; the two directed rows per surviving pair are a
+    * post-aggregation projection union over the tiny intersected
+    * result, so asymmetry costs zero extra shuffle. At 100 TB the
+    * postings join inherits the same df-style guard as the TF-IDF
+    * join: a shingle shared by every doc would be dropped before the
+    * pair join (not needed at gate scale; 3-gram collisions are
+    * rare). Threshold applies to the RAW ratio; the published value
+    * is 1e-4-rounded (the registry's standard double contract). */
+  def containmentPairs(df: DataFrame, minContainment: Double): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val sh = df
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val directed = inter.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        (col("i").cast("double") / col("na").cast("double")).as("c"))
+      .union(inter.select(col("doc_b"), col("doc_a"),
+        (col("i").cast("double") / col("nb").cast("double")).as("c")))
+    directed.filter(col("c") >= minContainment)
+      .select(col("src"), col("dst"),
+        (round(col("c") * 1e4) / 1e4).as("containment"))
+  }
+
   /** Benchmark-contamination check: for each corpus doc, the number
     * of its distinct word 3-grams that also appear in ANY probe
     * (benchmark/eval) document — the standard n-gram-overlap decon
@@ -799,6 +837,38 @@ object Dedup {
       .select(col("doc_id"), col("component"),
         (col("doc_id") === col("component")).as("is_canonical"))
 
+  /** Quality-aware canonical selection: within each verified near-dup
+    * cluster keep the member with the MOST TOKENS (ties → lowest
+    * doc_id) — "longest version wins", the keep-best rule curation
+    * pipelines use instead of [[dupClusters]]'s min-id canonical
+    * (a truncated scrape must not shadow the complete page it
+    * duplicates). Singletons are their own cluster and keep
+    * themselves.
+    *
+    * Scale shape: clusters come from the already-probed-at-100×
+    * banded dedup + CC path; the selection adds one token-count scan
+    * and one grp-keyed aggregation whose per-group argmax is a
+    * `min(struct(...))` — an ordinary two-phase (partial/final)
+    * aggregate, never a per-cluster window sort. Output is one row
+    * per cluster. */
+  def keepBestCanonical(df: DataFrame, minJaccard: Double = 0.8): DataFrame = {
+    val comp = connectedComponents(
+      minhashVerifiedPairs(df, minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+    val toks = df.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    toks.join(comp, Seq("doc_id"), "left")
+      .select(coalesce(col("component"), col("doc_id")).as("grp"),
+        col("doc_id"), col("n_tokens"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_members"),
+        // lexicographic min of (-tokens, id) = argmax tokens, tie → min id
+        min(struct((-col("n_tokens")).as("nt"), col("doc_id").as("id")))
+          .as("best"))
+      .select(col("grp"), col("best.id").as("keep_id"),
+        (-col("best.nt")).cast("int").as("keep_tokens"), col("n_members"))
+  }
+
   /** Leakage-safe train/eval split: assignment by NEAR-DUP CLUSTER,
     * not by document. Splitting docs independently leaks eval
     * answers into training whenever two near-duplicates straddle the
@@ -897,6 +967,10 @@ object Dedup {
     "d_incremental" -> ((s, dir) => incrementalVerifiedPairs(s, docs(s, dir))),
     "d_minhash_exact" -> ((s, dir) => minhashVerifiedPairs(docs(s, dir))),
     "d_components" -> ((s, dir) => dupClusters(docs(s, dir))),
+    // keep-best canonicals: longest member per cluster, one row per
+    // cluster — the selection rule, not just the clustering, is what
+    // the hash certifies
+    "d_keep_best" -> ((s, dir) => keepBestCanonical(docs(s, dir))),
     // 10% eval target; the oracle re-derives the clusters with the
     // d_components recursive CTE and applies the identical md5 coin,
     // so the hash certifies cluster-atomic assignment end to end
@@ -912,6 +986,11 @@ object Dedup {
       exact(docs(s, dir).withColumn("text", normalized(col("text"))), col("text"))),
     "d_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(docs(s, dir), 0.2)),
+    // τ=0.5: catches the planted near-dups in both directions plus
+    // any subset/quote relationships Jaccard's symmetric denominator
+    // hides
+    "d_ngram_containment" -> ((s, dir) =>
+      containmentPairs(docs(s, dir), 0.5)),
     // L=8: long enough that chance vocabulary collisions vanish —
     // every duplicated window is a genuinely shared span
     "d_span_dedup" -> ((s, dir) =>
@@ -989,6 +1068,17 @@ object Dedup {
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "d_exact_norm" ->
       "SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    // same undirected intersection, then the two directed ratios —
+    // the UNION ALL mirrors Spark's post-aggregation projection pair
+    "d_ngram_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ij AS (SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+        |d AS (SELECT doc_a AS src, doc_b AS dst, CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS c FROM ij
+        |      UNION ALL SELECT doc_b, doc_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE) FROM ij)
+        |SELECT src, dst, round(c*1e4)/1e4 AS containment FROM d WHERE c >= 0.5""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, round((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))*1e4)/1e4 AS jaccard FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2""",
     // windows restated with DuckDB list slicing: t[i:i+7] is the same
@@ -1035,6 +1125,11 @@ object Dedup {
     // the distributed min-label iteration converged to true components
     "d_components" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node) SELECT node AS doc_id, min(label) AS component, (node = min(label)) AS is_canonical FROM reach GROUP BY node""",
+    // clusters via the same recursive transitive closure, then the
+    // argmax restated as a window (row_number over tokens DESC, id
+    // ASC) — selection-equivalent to Spark's min(struct) aggregate
+    "d_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS (SELECT node AS doc_id, min(label) AS grp FROM reach GROUP BY node), mem AS (SELECT d.doc_id, coalesce(comp.grp, d.doc_id) AS grp, len(string_split(d.text, ' ')) AS n_tokens FROM documents d LEFT JOIN comp USING (doc_id)), rk AS (SELECT grp, doc_id, n_tokens, row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, doc_id) AS rn, count(*) OVER (PARTITION BY grp) AS n_members FROM mem) SELECT grp, doc_id AS keep_id, CAST(n_tokens AS INTEGER) AS keep_tokens, n_members FROM rk WHERE rn = 1""",
     // clusters re-derived by recursive transitive closure (the
     // d_components oracle), singletons their own cluster, then the
     // SAME md5 coin per cluster — leakage-safe by construction on

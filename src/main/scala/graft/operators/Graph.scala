@@ -138,6 +138,75 @@ object Graph {
     ranks.select(col("src").as("node"), (round(col("r") * 1e6) / 1e6).as("rank"))
   }
 
+  /** Distinct part–part co-purchase edges (parts sharing an order) —
+    * the market-basket projection of lineitem, the third standard
+    * graph a curation pipeline derives (after the bipartite
+    * interaction graph above and the near-dup graph in [[Dedup]]).
+    * The within-order pair build is quadratic in ORDER SIZE only
+    * (TPC-H caps it at 7 line items; a real basket table would cap or
+    * sample giant baskets first), then one distinct on the 16-byte
+    * numeric pair. */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val lp = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation counts over an undirected edge
+    * list (`a` < `b`, distinct) — the clustering-structure census
+    * (local clustering coefficient numerator) used to weight
+    * community-dense sources before sampling.
+    *
+    * Scale design is the degree-ordered orientation (Schank/Wagner,
+    * the standard distributed-triangle shape): every edge points from
+    * its lower endpoint to its higher endpoint under the total order
+    * (degree, id), so each triangle is enumerated EXACTLY once from
+    * its minimum vertex, and the wedge join's fan-out per node is the
+    * out-degree, bounded by O(√E) instead of the raw degree — a
+    * celebrity node with 10⁸ neighbors contributes no wedges at all
+    * (all its edges point IN). Orientation keys compare as structs
+    * (no deg·2³²+id arithmetic to overflow). Three shuffles total:
+    * the degree groupBy, the wedge self-join on src, and the closing
+    * equi-join on (b, c) — no EXISTS, no cartesian anywhere. */
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    // snapshot the edge list once — degrees, both wedge-join sides
+    // and the closing join all re-derive from it, and the upstream
+    // build (the basket self-join) must not re-execute per consumer
+    val e = Dedup.materialize(edges.select(col("a"), col("b")), "tri_edges")
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val keyed = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // oriented edges carry the DESTINATION's key so the wedge
+    // comparison below needs no further degree join; the three reads
+    // of `o` (two wedge-join sides + the closing edge) are IDENTICAL
+    // subtrees over the edge snapshot, so Spark's ReuseExchange
+    // computes the orientation once and replays the exchange —
+    // write-and-readback here would only add a disk round-trip
+    // (checkpoint blocks are out: persist-hygiene forbids cached
+    // blocks outliving a returned lazy plan)
+    val o = keyed.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"),
+      when(fwd, col("db")).otherwise(col("da")).as("ddst"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.ddst"), col("e1.dst")) <
+            struct(col("e2.ddst"), col("e2.dst")))
+      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"),
+        col("e2.dst").as("tc"))
+    val tri = wedges.join(o.select(col("src").as("tb"), col("dst").as("tc")),
+      Seq("tb", "tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   private val prIters = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,7 +215,16 @@ object Graph {
     "g_pagerank" -> ((s, dir) => pageRank(
       customerSupplierEdgesNum(Tables.load(s, dir, "orders"),
         Tables.load(s, dir, "lineitem")), prIters)
-      .select(decodeNode(col("node")).as("node"), col("rank"))))
+      .select(decodeNode(col("node")).as("node"), col("rank"))),
+    // deterministic basket sample (orders ≡ 0 mod 4): the FULL sf0.1
+    // graph is 1.2M edges / 41M wedges — ~48 s in Spark AND ~48 s in
+    // DuckDB (intrinsic workload, measured this round), far past the
+    // per-query bench budget. The sample keeps the gate shape
+    // identical (same orientation, same joins) at in-budget volume;
+    // the full-graph cost is recorded as perf evidence instead.
+    "g_triangles" -> ((s, dir) =>
+      trianglesPerNode(coPurchaseEdges(Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)))))
 
   /** The oracle unrolls the same five update steps as chained CTEs —
     * identical double-operation order (damping constants forced to
@@ -170,5 +248,22 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
-    "g_pagerank" -> prOracleSql(prIters))
+    "g_pagerank" -> prOracleSql(prIters),
+    // the identical degree-ordered orientation restated relationally:
+    // row-value comparisons (deg, id) < (deg, id) are DuckDB's struct
+    // ordering, the same total order Spark's struct(<) compiles
+    "g_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 4 = 0),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+        |             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+        |             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS ddst
+        |      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |w AS (SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)),
+        |tri AS (SELECT w.ta, w.tb, w.tc FROM w JOIN o e3 ON e3.src = w.tb AND e3.dst = w.tc)
+        |SELECT node, count(*) AS triangles
+        |FROM (SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+        |GROUP BY node""".stripMargin)
 }

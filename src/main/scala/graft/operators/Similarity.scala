@@ -32,6 +32,14 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Lexical-query terms for the hybrid gate — same planted-term mix
+    * as TextAnalysis's t_bm25 (one rare idf-dominant term + two
+    * common ones). */
+  private val rrfTerms = Seq("dup", "merge", "scan")
+
   /** Cosine via the compiled kernel
     * ([[graft.functions.HashExpressions.CosineSimilarity]]): one
     * primitive loop per pair, with the SAME per-index float→double
@@ -69,6 +77,42 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("nid"),
         cosine(col("qe"), col("embedding")).as("sim"))
     topKPerQuery(scored, k)
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    * '09, the fusion every production RAG stack runs): a LEXICAL
+    * top-n list (BM25 over the text corpus,
+    * [[TextAnalysis.bm25TopK]]) and a DENSE top-n list (exact cosine
+    * against query vector 0, [[cosineTopK]]) merge on document id
+    * with score Σ 1/(k0 + rank) — rank-space fusion needs no score
+    * calibration between the two retrievers, which is exactly why
+    * RRF won over weighted-sum fusion in practice.
+    *
+    * Scale design: each retriever's heavy work is its own bounded
+    * top-n shape (BM25's term-filtered postings aggregation;
+    * cosine's k-bounded heap aggregate) — the fusion itself touches
+    * ≤ 2n rows, so the full-outer join and the final rank window are
+    * driver-trivial no matter the corpus size. The windows here run
+    * single-partition BY CONSTRUCTION over k-bounded lists, never
+    * over corpus-sized data. Ranks fuse as exact small-integer
+    * rationals, so the double arithmetic is engine-identical without
+    * rounding games; the published score still carries the registry's
+    * 1e-6 rounding. */
+  def rrfHybrid(docs: DataFrame, embeddings: DataFrame,
+                queryTerms: Seq[String], n: Int = 20, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25TopK(docs, col("text"), queryTerms, n)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("rl"))
+    val dense = cosineTopK(embeddings, 1, n)
+      .select(col("nid").as("doc_id"), col("rk").as("rd"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (col("rl") + k0), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rd") + k0), lit(0.0))).as("raw"))
+      .select(col("doc_id"), (round(col("raw") * 1e6) / 1e6).as("rrf"),
+        row_number().over(
+          Window.orderBy(col("raw").desc, col("doc_id"))).as("rk"))
   }
 
   /** `bits`-bit sign-random-projection bucket id for hash table
@@ -993,6 +1037,10 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_centroids" -> ((s, dir) => labelCentroids(emb(s, dir))),
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
+    // lexical (BM25) ⊕ dense (cosine, query vector 0) rank fusion —
+    // both retrievers' lists n=20, the standard k0=60
+    "s_rrf_hybrid" -> ((s, dir) =>
+      rrfHybrid(docsT(s, dir), emb(s, dir), rrfTerms)),
     // top-5 cross-label neighbors per query — the contrastive-
     // training negatives; oracle is the same brute-force scoring with
     // the label predicate
@@ -1294,6 +1342,26 @@ object Similarity {
         |GROUP BY 1, 2""".stripMargin,
     "s_cosine_topk" ->
       s"""$exactTop5Sql SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5""",
+    // both retrievers restated exactly (BM25 arithmetic ≡ t_bm25's
+    // oracle; dense ≡ the exact-cosine shape for query vector 0),
+    // then the identical integer-rank RRF fold over the full outer
+    // join
+    "s_rrf_hybrid" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |dls AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (SELECT doc_id, dl, unnest(t) AS term FROM dls) WHERE term IN (${rrfTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+        |scored AS (SELECT doc_id, ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w FROM tf JOIN dft USING (term) CROSS JOIN stats),
+        |lex AS (SELECT doc_id, round(sum(w)*1e4)/1e4 AS bm25 FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lexr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl FROM lex),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |ds AS (SELECT vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != 0),
+        |dr AS (SELECT nid, rd FROM (SELECT nid, row_number() OVER (ORDER BY sim DESC, nid) AS rd FROM ds) WHERE rd <= 20),
+        |f AS (SELECT coalesce(l.doc_id, d.nid) AS doc_id,
+        |             coalesce(CAST(1.0 AS DOUBLE)/(rl + 60), CAST(0.0 AS DOUBLE)) + coalesce(CAST(1.0 AS DOUBLE)/(rd + 60), CAST(0.0 AS DOUBLE)) AS raw
+        |      FROM lexr l FULL OUTER JOIN dr d ON l.doc_id = d.nid)
+        |SELECT doc_id, round(raw*1e6)/1e6 AS rrf, CAST(row_number() OVER (ORDER BY raw DESC, doc_id) AS INTEGER) AS rk FROM f""".stripMargin,
     "s_hard_negatives" -> hardNegSql,
     "s_mmr_topk" -> mmrOracleSql(5, 10, 0.7, 0.3),
     "s_lsh_ann" ->

@@ -278,6 +278,44 @@ object Extended {
     * aggregate reduces lineitem to qualifying orderkeys BEFORE any
     * join — at 100 TB the join probe side is the filtered aggregate
     * (473 rows at sf0.1), never raw lineitem. */
+  /** TPC-H Q3 shape: shipping-priority top-k — the two-sided
+    * date-window join (orders placed before the cutoff, lines shipped
+    * after it) with revenue ranking. Both date predicates sit
+    * directly on their scans (pushed to parquet), the join carries
+    * only surviving keys, and the top-10 runs as
+    * TakeOrderedAndProject — no global sort. The testdata schema has
+    * no c_mktsegment, so the segment filter becomes the
+    * o_orderpriority slice (same selectivity role). */
+  def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val o = t(s, dir)("orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") < lit(cutoff))
+    val li = t(s, dir)("lineitem").filter(col("l_shipdate") > lit(cutoff))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd")
+        .as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q6 shape: forecast-revenue change — the pure
+    * scan+filter+agg probe. Every predicate is a parquet-pushable
+    * range on a scan column, the projection reads three columns, and
+    * the whole plan is one WholeStageCodegen span over a partial+final
+    * agg: the canonical "did pushdown/pruning actually happen" gate
+    * (PlanAuditSpec pins PushedFilters on exactly this shape). */
+  def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
   def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir)("lineitem").groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
@@ -363,6 +401,8 @@ object Extended {
     "x_math2" -> (qMath2 _),
     "x_tpch_q5" -> (qTpchQ5 _),
     "x_tpch_q10" -> (qTpchQ10 _),
+    "x_tpch_q3" -> (qTpchQ3 _),
+    "x_tpch_q6" -> (qTpchQ6 _),
     "x_approx" -> (qApprox _),
     "x_cube" -> (qCube _),
     "x_grouping_sets" -> (qGroupingSets _),
@@ -408,6 +448,10 @@ object Extended {
       "SELECT n_name, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderstatus != 'P' GROUP BY n_name",
     "x_tpch_q10" ->
       "SELECT c_custkey, c_name, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "x_tpch_q3" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01' GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    "x_tpch_q6" ->
+      "SELECT round((sum(l_extendedprice*l_discount))*1e2)/1e2 AS revenue FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
     "x_cube" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
     "x_grouping_sets" ->

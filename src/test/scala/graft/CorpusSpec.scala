@@ -379,4 +379,25 @@ class CorpusSpec extends AnyFunSuite {
     // a=3, b=3 (tie → a first), c=2, then d/e tie at 1 → d
     assert(out.toSeq === Seq("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
   }
+
+  test("domain cap: exact per-source cap, md5-coin order, small domains intact") {
+    val s = spark; import s.implicits._
+    // domain A: 6 docs (cap 3 must pick exactly 3 by coin order),
+    // domain B: 2 docs (both survive)
+    val df = ((0L to 5L).map(i => (i, "A")) ++ Seq((10L, "B"), (11L, "B")))
+      .toDF("doc_id", "source")
+    val out = Corpus.domainCap(df, col("source"), 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byDomain = out.groupBy(_._1)
+    assert(byDomain("A").length == 3 && byDomain("B").length == 2)
+    // truth: ascending (md5-16-bit coin, doc_id)
+    def coin(id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+        .substring(0, 4), 16)
+    val expectA = (0L to 5L).sortBy(i => (coin(i), i)).take(3)
+    assert(byDomain("A").sortBy(_._3).map(_._2).toSeq == expectA,
+      s"got ${byDomain("A").toSeq} want $expectA")
+    // ranks are 1-based and dense per domain
+    assert(byDomain("B").map(_._3).sorted.toSeq == Seq(1, 2))
+  }
 }

@@ -1690,6 +1690,79 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join: a quoted subset scores ~1 one way, low the other") {
+    import spark.implicits._
+    // doc 1 is a verbatim quote inside the much larger doc 2 —
+    // Jaccard hides this (small intersection / big union); directed
+    // containment must expose it as 1.0 in the 1→2 direction
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = ("pre one two three four five six seven eight nine " +
+      inner + " post ten eleven twelve thirteen fourteen fifteen sixteen")
+    val df = Seq((1L, inner), (2L, outer), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0, s"inner→outer should be 1.0: $got")
+    assert(!got.contains((2L, 1L)), "outer→inner must fall below τ=0.5")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // cross-check every emitted ratio against set-math truth
+    val sets = df.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet).toMap
+    got.foreach { case ((a, b), c) =>
+      val truth = sets(a).intersect(sets(b)).size.toDouble / sets(a).size
+      assert(math.abs(c - truth) < 1e-9, s"($a,$b): got $c true $truth")
+    }
+  }
+
+  test("triangle counts: planted K4 + pendant edge") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; node 5
+    // hangs off node 4 and closes nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.trianglesPerNode(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("keep-best canonical: longest cluster member wins, not the min id") {
+    import spark.implicits._
+    val base = (1 to 19).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),               // 19 tokens — min id but NOT longest
+      (2L, base + " w20"),      // 20 tokens — must be kept
+      (3L, "totally different content here")).toDF("doc_id", "text")
+    val out = Dedup.keepBestCanonical(df, 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    // cluster {1,2} labeled by min id 1; keeper is 2 (20 tokens)
+    assert(out(1L) == ((2L, 20, 2L)), s"got $out")
+    assert(out(3L) == ((3L, 4, 1L)))
+  }
+
+  test("rrf hybrid: fused scores reproduce the two retrievers' ranks") {
+    val fused = Similarity.rrfHybrid(docs, emb, Seq("dup", "merge", "scan"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(fused.nonEmpty)
+    val lex = TextAnalysis.bm25TopK(docs, col("text"),
+        Seq("dup", "merge", "scan"), 20)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val dense = Similarity.cosineTopK(emb, 1, 20)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val expect = (lex.keySet ++ dense.keySet).map { id =>
+      val raw = lex.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (r + 60)).getOrElse(0.0)
+      id -> math.round(raw * 1e6) / 1e6.toDouble
+    }.toMap
+    assert(fused.view.mapValues(_._1).toMap == expect)
+    // ranks are the descending-score order with doc_id ties
+    val order = expect.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    order.zipWithIndex.foreach { case (id, i) =>
+      assert(fused(id)._2 == i + 1, s"doc $id rank ${fused(id)._2} != ${i + 1}")
+    }
+  }
+
   /** Textbook Wagner–Fischer, the truth reference for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>

@@ -537,4 +537,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val n2 = graft.ingest.Transform.normalize(raw, "en")
     assert(!n2.columns.contains("labels_all"))
   }
+
+  test("tpch q6: all four predicates push into the scan; agg is two-phase") {
+    val p = plan(graft.queries.Extended.qTpchQ6(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    // toString truncates the PushedFilters list — match the prefix
+    assert(p.contains("GreaterThanOrEqual(l_shipda"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // three-column projection only
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("triangles: oriented wedge join — no cartesian, no window, closing edge is an equi-join") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val p = plan(graft.operators.Graph.trianglesPerNode(
+      graft.operators.Graph.coPurchaseEdges(li)))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("rrf hybrid: fusion windows run over k-bounded lists, corpus work stays in the retrievers") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.operators.Similarity.rrfHybrid(docs, emb,
+      Seq("dup", "merge", "scan")))
+    assert(!p.contains("CartesianProduct"), p)
+    // the dense retriever's bounded heap aggregate is present — the
+    // fusion didn't degrade it to a corpus-wide window sort
+    assert(p.contains("top_k_by_score") || p.contains("topkbyscore"),
+      p.take(4000))
+  }
 }
