@@ -380,6 +380,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.toSeq === Seq("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
   }
 
+  test("drift stream: accumulated stream PSI equals the batch operator; replay idempotent") {
+    val s = spark; import s.implicits._
+    import graft.streaming.DriftStream
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    // reference: values 1..100; two batches drifted upward
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val b1 = Seq(5.0, 22.0, 47.0, 91.0, 91.0).toDF("v")
+    val b2 = Seq(93.0, 95.0, 97.0, 99.0).toDF("v")
+    val model = DriftStream.fitReference(ref, col("v"))
+    DriftStream.driftStage(b1, 0L, model, col("v"), s"$tmp/state", s"$tmp/out")
+    DriftStream.driftStage(b2, 1L, model, col("v"), s"$tmp/state", s"$tmp/out")
+    def rows(path: String) = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // after batch 2 the accumulated candidate set is b1 ∪ b2 — the
+    // batch operator on (ref marked true) ∪ (b1 ∪ b2 marked false)
+    // must produce the identical per-bucket table
+    val expect = graft.operators.Profile.psiDrift(
+        ref.withColumn("is_ref", lit(true))
+          .unionByName(b1.unionByName(b2).withColumn("is_ref", lit(false))),
+        col("is_ref"), col("v")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(s"$tmp/out/batch=1") == expect)
+    // replaying batch 0 (at-least-once delivery) overwrites its own
+    // partial, so the accumulated state never double-counts b1: the
+    // replayed report equals the batch-1 report (cumulative AT REPLAY
+    // TIME — reports reflect everything ingested so far, by design)
+    DriftStream.driftStage(b1, 0L, model, col("v"), s"$tmp/state", s"$tmp/out")
+    assert(rows(s"$tmp/out/batch=0") == expect,
+      "replayed batch-0 must see b1 exactly once plus b2")
+    DriftStream.driftStage(b2, 1L, model, col("v"), s"$tmp/state", s"$tmp/out")
+    assert(rows(s"$tmp/out/batch=1") == expect, "replay changed the PSI table")
+  }
+
   test("domain cap: exact per-source cap, md5-coin order, small domains intact") {
     val s = spark; import s.implicits._
     // domain A: 6 docs (cap 3 must pick exactly 3 by coin order),
