@@ -865,6 +865,40 @@ object Similarity {
       .groupBy(col("qid"))
       .agg((count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
 
+  /** Matryoshka / dimension-adaptive search (Kusupati et al. '22):
+    * coarse-rank every candidate by the PREFIX `mDims` dimensions
+    * only, keep a per-query shortlist, then exact full-dimension
+    * rerank. With MRL-trained embeddings the prefix is a faithful
+    * coarse embedding by construction; the same two-phase shape is
+    * what a production stack runs to cut the scan's flop count
+    * mDims/dim (here 4×) before the precise pass.
+    *
+    * Scale shape: the coarse pass is the only corpus-wide work and it
+    * reads mDims floats per vector (a column-pruned narrow scan when
+    * prefixes are stored as their own column); both phases reduce
+    * through the k-bounded heap aggregate — no window sort, and the
+    * rerank touches only nQueries·shortlist rows. */
+  def matryoshkaTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                     mDims: Int, shortlist: Int): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val coarse = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosine(slice(col("qe"), 1, mDims),
+          slice(col("embedding"), 1, mDims)).as("sim"))
+    val cand = topKPerQuery(coarse, shortlist)
+      .select(col("qid"), col("nid"))
+    cand
+      .join(broadcast(q), "qid")
+      .join(embeddings.select(col("vec_id").as("nid"), col("embedding")),
+        "nid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+      .transform(topKPerQuery(_, k))
+  }
+
   /** SemDeDup (Abbas et al. '23): semantic deduplication of an
     * embedding corpus — cluster, then within each cluster drop every
     * vector that has a sufficiently-similar peer, keeping one
@@ -1131,6 +1165,20 @@ object Similarity {
       annRecall(pqCosineTopK(e, 10, 5, shortlistFrac = 0.05),
         cosineTopK(e, 10, 5), 5)
     }),
+    // prefix-16-of-64 coarse rank + exact rerank of a 72-vector
+    // shortlist (3.5% of the corpus): recall 1 on the clustered
+    // fixture. The shortlist must EXCEED the cluster size (64):
+    // prefix distances cleanly separate clusters but cannot order
+    // WITHIN one (cluster-mates share the prefix up to noise), so a
+    // sub-cluster shortlist drops true top-5 members on prefix noise
+    // — measured recall 0.6 at shortlist=32, 1.0 above 64. The same
+    // sizing rule applies in production: shortlist ≳ the expected
+    // neighborhood the coarse metric cannot resolve.
+    "s_matryoshka" -> ((s, dir) => {
+      val e = clusteredCorpus(s)
+      annRecall(matryoshkaTopK(e, 10, 5, mDims = 16, shortlist = 72),
+        cosineTopK(e, 10, 5), 5)
+    }),
     // the PERSISTED-index variant of s_ivf_ann: the cell-partitioned
     // layout lives at a stable location keyed by the corpus dir under
     // the _index_meta restart protocol (ensureIvfIndex), so
@@ -1383,6 +1431,12 @@ object Similarity {
     // fixture), and the hash match pins that every one of the 10
     // query ids recovered its full exact top-5 at the 5% shortlist
     "s_pq_clustered" ->
+      "SELECT CAST(range AS BIGINT) AS qid, CAST(1.0 AS DOUBLE) AS recall_at_5 FROM range(0, 10)",
+    // same oracle shape as s_pq_clustered: the fixture is synthetic
+    // (not a testdata table), so the oracle states the recall-1 CLAIM
+    // and the Spark side carries the exact-vs-coarse comparison
+    // (annRecall against brute-force cosineTopK on the same fixture)
+    "s_matryoshka" ->
       "SELECT CAST(range AS BIGINT) AS qid, CAST(1.0 AS DOUBLE) AS recall_at_5 FROM range(0, 10)",
     "s_quantize" ->
       """WITH scaled AS (SELECT vec_id, embedding, list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS s FROM embeddings),

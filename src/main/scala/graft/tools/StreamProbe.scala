@@ -113,6 +113,22 @@ object StreamProbe {
     ai.processAllAvailable(); ai.stop()
     report("ann_ingest", ai)
 
+    // ---- driftStream: PSI monitor over document-length batches,
+    // frozen reference = the english slice
+    val docs = Tables.load(spark, dir, "documents")
+    val model = graft.streaming.DriftStream.fitReference(
+      docs.filter(col("lang") === "en"), col("n_chars"))
+    stageChunks(s"$base/dr_in", (0 until nBatches).map(i =>
+      docs.filter(col("doc_id") % nBatches === i)
+        .select(col("doc_id"), col("n_chars"))))
+    val dr = graft.streaming.DriftStream.driftStream(
+      spark.readStream.schema("doc_id LONG, n_chars LONG")
+        .option("maxFilesPerTrigger", "1").json(s"$base/dr_in"),
+      model, col("n_chars"), s"$base/dr_state", s"$base/dr_out",
+      s"$base/dr_ckpt")
+    dr.processAllAvailable(); dr.stop()
+    report("drift", dr)
+
     spark.stop()
   }
 }

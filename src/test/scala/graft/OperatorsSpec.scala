@@ -1725,6 +1725,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("matryoshka: recall 1 above cluster size, degraded below (prefix can't order within a cluster)") {
+    val e = Similarity.clusteredCorpus(spark)
+    val exact = Similarity.cosineTopK(e, 10, 5)
+    def recall(shortlist: Int): Double =
+      Similarity.annRecall(
+          Similarity.matryoshkaTopK(e, 10, 5, mDims = 16, shortlist), exact, 5)
+        .agg(avg(col("recall_at_5"))).head().getDouble(0)
+    assert(recall(72) == 1.0)
+    // the sizing rule is real: a sub-cluster shortlist loses true
+    // neighbors to prefix noise
+    assert(recall(16) < 1.0)
+  }
+
   test("keep-best canonical: longest cluster member wins, not the min id") {
     import spark.implicits._
     val base = (1 to 19).map(i => s"w$i").mkString(" ")
