@@ -138,6 +138,67 @@ object Graph {
     ranks.select(col("src").as("node"), (round(col("r") * 1e6) / 1e6).as("rank"))
   }
 
+  /** Personalized PageRank: teleport mass returns to the SEED set
+    * instead of spreading uniformly — rank becomes proximity to the
+    * seeds, the "propagate trust from a curated seed list" primitive
+    * web-corpus curation uses to weight sources near known-good sites
+    * (and the classic seed-expansion recommender). r⁰ = 1/|S| on
+    * seeds; rᵏ = (1−δ)·1_S/|S| + δ·Σ_in rᵏ⁻¹/deg. The symmetrized
+    * graph keeps every out-degree ≥ 1, so the update stays pure
+    * map/reduce (no dangling term), same as [[pageRank]].
+    *
+    * Scale shape: identical to the global loop — one edge-snapshot
+    * shuffle + one dst aggregation per iteration — plus one |V|-row
+    * join per iteration against the node-base snapshot (the seed
+    * indicator folded into the degree table at build time, so the
+    * seed set is never re-joined raw). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    val symSnap = Dedup.materialize(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
+      "ppr_sym")
+    val seedSet = seeds.select(col("node")).distinct()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    // degree + seed indicator + per-node teleport base, one snapshot
+    val nodeSnap = Dedup.materialize(
+      symSnap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(seedSet.select(col("node").as("src"),
+          lit(true).as("is_seed")), Seq("src"), "left")
+        .select(col("src"), col("deg"),
+          when(col("is_seed"),
+            lit((1 - damping) / nSeeds)).otherwise(lit(0.0)).as("base"),
+          when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+            .as("r0")),
+      "ppr_nodes")
+    // base rides the DST side of every edge row (one extra double),
+    // so each iteration's update needs NO node-table join: the
+    // aggregation recovers it as max(base) — base is functionally
+    // dependent on dst
+    val symDeg = Dedup.materialize(symSnap
+      .join(nodeSnap.select(col("src"), col("deg")), "src")
+      .join(nodeSnap.select(col("src").as("dst"), col("base")), "dst"),
+      "ppr_edges")
+    var ranks = nodeSnap.select(col("src"), col("r0").as("r"))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      ranks = symDeg.join(ranks, "src")
+        .select(col("dst"), (col("r") / col("deg")).as("m"), col("base"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"),
+          max(col("base")).as("b"))
+        .select(col("dst").as("src"),
+          (col("b") + lit(damping) * col("in_mass")).as("r"))
+      // long-run lineage truncation, same as the global loop (never
+      // triggers at the 5-iteration oracle depth)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("src").as("node"),
+      (round(col("r") * 1e6) / 1e6).as("rank"))
+  }
+
   /** Distinct part–part co-purchase edges (parts sharing an order) —
     * the market-basket projection of lineitem, the third standard
     * graph a curation pipeline derives (after the bipartite
@@ -216,6 +277,14 @@ object Graph {
       customerSupplierEdgesNum(Tables.load(s, dir, "orders"),
         Tables.load(s, dir, "lineitem")), prIters)
       .select(decodeNode(col("node")).as("node"), col("rank"))),
+    // seed set = customers with custkey < 25: proximity-to-seeds
+    // ranking over the same interaction graph as g_pagerank
+    "g_ppr" -> ((s, dir) => personalizedPageRank(
+      customerSupplierEdgesNum(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem")),
+      Tables.load(s, dir, "customer").filter(col("c_custkey") < 25)
+        .select((col("c_custkey") * 2).as("node")), prIters)
+      .select(decodeNode(col("node")).as("node"), col("rank"))),
     // deterministic basket sample (orders ≡ 0 mod 4): the FULL sf0.1
     // graph is 1.2M edges / 41M wedges — ~48 s in Spark AND ~48 s in
     // DuckDB (intrinsic workload, measured this round), far past the
@@ -247,8 +316,37 @@ object Graph {
     s"$base$iterCtes SELECT src AS node, round(r * 1e6) / 1e6 AS rank FROM r$iters"
   }
 
+  /** The personalized loop unrolled — same CTE scaffolding as
+    * [[prOracleSql]], with the teleport base CASE'd on seed
+    * membership. |S| counts the RAW seed list (same as the Scala
+    * side's seedSet.count()), while mass only initializes on seed
+    * nodes that exist in the graph — identical on both engines by
+    * construction. */
+  private def pprOracleSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val base = "WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, " +
+      "'s' || l_suppkey AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
+      "seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 25), " +
+      "ns AS (SELECT count(*) AS n FROM seeds), " +
+      "nb AS (SELECT d.src, d.deg, " +
+      s"CASE WHEN s.node IS NOT NULL THEN (1 - $d) / (SELECT n FROM ns) ELSE 0.0 END AS b, " +
+      "CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS r0 " +
+      "FROM deg d LEFT JOIN seeds s ON s.node = d.src), " +
+      "r0 AS (SELECT src, deg, b, r0 AS r FROM nb)"
+    val iterCtes = (1 to iters).map { i =>
+      s"r$i AS (SELECT s.dst AS src, max(d.deg) AS deg, max(d.b) AS b, " +
+        s"max(d.b) + $d * sum(r.r / r.deg) AS r " +
+        s"FROM sym s JOIN r${i - 1} r ON s.src = r.src " +
+        s"JOIN nb d ON d.src = s.dst GROUP BY s.dst)"
+    }.mkString(", ", ", ", "")
+    s"$base$iterCtes SELECT src AS node, round(r * 1e6) / 1e6 AS rank FROM r$iters"
+  }
+
   val oracle: Map[String, String] = Map(
     "g_pagerank" -> prOracleSql(prIters),
+    "g_ppr" -> pprOracleSql(prIters),
     // the identical degree-ordered orientation restated relationally:
     // row-value comparisons (deg, id) < (deg, id) are DuckDB's struct
     // ordering, the same total order Spark's struct(<) compiles

@@ -1725,6 +1725,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("personalized pagerank: hand-computed two iterations on a path, mass conserved") {
+    import spark.implicits._
+    // path 1–2–3, seed {1}: r0=(1,0,0);
+    // r1=(0.15, 0.85, 0); r2=(0.51125, 0.1275, 0.36125)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.51125, 2L -> 0.1275, 3L -> 0.36125), s"got $got")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "teleport must conserve mass")
+  }
+
   test("matryoshka: recall 1 above cluster size, degraded below (prefix can't order within a cluster)") {
     val e = Similarity.clusteredCorpus(spark)
     val exact = Similarity.cosineTopK(e, 10, 5)
