@@ -150,7 +150,32 @@ object Layout {
     s.read.parquet(path)
   }
 
+  /** Hive-style partitioned write + PARTITION-PRUNED read: orders
+    * land under `o_orderstatus=<v>/` directories and the reader's
+    * status predicate prunes at the DIRECTORY level — zero I/O for
+    * excluded partitions, before footer stats even load. This is the
+    * first-order scale lever z-order complements (partition on the
+    * coarse operational key, cluster within partitions on query
+    * keys); the returned query filters one status so the gate's hash
+    * certifies the pruned read reproduces the slice exactly, and
+    * PlanAuditSpec pins that the predicate lands in PartitionFilters
+    * (not a post-scan filter). The partition column comes back as the
+    * directory-derived value — re-selected in original column order
+    * so the round-trip schema is unchanged. */
+  def partitionedRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_part").toString + "/orders"
+    o.write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_partitioned_prune" -> (partitionedRoundTrip _),
     "w_sized_roundtrip" -> (sizedRoundTrip _),
     "w_zorder_roundtrip" -> (zorderRoundTrip _),
     "w_csv_roundtrip" -> (csvRoundTrip _),
@@ -160,6 +185,8 @@ object Layout {
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
 
   val oracle: Map[String, String] = Map(
+    "w_partitioned_prune" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "w_sized_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "w_zorder_roundtrip" ->

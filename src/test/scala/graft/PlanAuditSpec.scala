@@ -538,6 +538,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!n2.columns.contains("labels_all"))
   }
 
+  test("partitioned roundtrip: status predicate prunes at the directory level") {
+    val p = plan(graft.operators.Layout.partitionedRoundTrip(spark, sf))
+    assert(p.contains("PartitionFilters"), p)
+    // the predicate must live in PartitionFilters, not a residual
+    // post-scan Filter over the partition column
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus"), p)
+  }
+
   test("tpch q6: all four predicates push into the scan; agg is two-phase") {
     val p = plan(graft.queries.Extended.qTpchQ6(spark, sf))
     assert(p.contains("PushedFilters: ["), p)
