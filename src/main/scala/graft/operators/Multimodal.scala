@@ -134,6 +134,114 @@ object Multimodal {
     BmpStats(docId, w, h, sr, sg, sb, sTop, sLeft)
   }
 
+  /** Exact integer sample sums from a decoded WAV — the audio
+    * analogue of [[BmpStats]] (integer arithmetic end to end).
+    * `sum_first_half` is ORDER-SENSITIVE (pins sample order and
+    * little-endian 16-bit decode where whole-signal sums alone would
+    * be permutation-blind). */
+  final case class WavStats(doc_id: Long, sample_rate: Int, n_samples: Int,
+                            sum_s: Long, sum_abs: Long, sum_sq: Long,
+                            sum_first_half: Long, max_s: Int)
+
+  /** REAL audio codec through the same partition-wise seam — RIFF/
+    * WAVE, 16-bit mono PCM per the published container format: walks
+    * the chunk list (id + le32 size, bodies padded to even length —
+    * the rule a fixed-offset-44 "parser" silently breaks on any file
+    * with an extra chunk), requires `fmt ` before `data`, rejects
+    * compressed / multi-channel / non-16-bit streams rather than
+    * misreading them. Samples are little-endian SIGNED 16-bit: the
+    * sign-extension path is pinned by negative closed-form samples. */
+  private[graft] def wavStats(docId: Long, d: Array[Byte]): WavStats = {
+    def str4(o: Int) = new String(d, o, 4, "US-ASCII")
+    def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    require(d.length >= 12 && str4(0) == "RIFF" && str4(8) == "WAVE",
+      s"doc $docId: not a RIFF/WAVE container")
+    var off = 12
+    var rate = -1
+    var st: WavStats = null
+    while (off + 8 <= d.length && st == null) {
+      val id = str4(off); val size = i32(off + 4); val body = off + 8
+      id match {
+        case "fmt " =>
+          require(u16(body) == 1 && u16(body + 2) == 1 && u16(body + 14) == 16,
+            s"doc $docId: only 16-bit mono PCM supported " +
+              s"(fmt=${u16(body)} ch=${u16(body + 2)} bits=${u16(body + 14)})")
+          rate = i32(body + 4)
+        case "data" =>
+          require(rate > 0, s"doc $docId: data chunk before fmt")
+          val n = size / 2
+          var sum = 0L; var sAbs = 0L; var sSq = 0L; var sFirst = 0L
+          var mx = Int.MinValue
+          var i = 0
+          while (i < n) {
+            val o = body + i * 2
+            // low byte unsigned | high byte sign-extended = signed 16-bit
+            val s = (d(o) & 0xff) | (d(o + 1).toInt << 8)
+            sum += s; sAbs += math.abs(s); sSq += s.toLong * s
+            if (i < n / 2) sFirst += s
+            if (s > mx) mx = s
+            i += 1
+          }
+          st = WavStats(docId, rate, n, sum, sAbs, sSq, sFirst, mx)
+        case _ => () // unknown chunk (JUNK/LIST/...): skip
+      }
+      off = body + size + (size & 1) // RIFF: chunk bodies pad to even
+    }
+    require(st != null, s"doc $docId: no data chunk")
+    st
+  }
+
+  /** Closed-form test clip: length/rate from the doc id, samples
+    * linear in (doc_id, i) and SIGNED (range [-2048, 2047]) so the
+    * DuckDB oracle recomputes them codec-free and sign extension is
+    * on the line. An odd-sized JUNK chunk sits between `fmt ` and
+    * `data`, so a decoder that assumes data-at-44 or skips the
+    * even-padding rule lands mid-chunk and the hash gate catches it. */
+  private[graft] def encodeWav(docId: Long): Array[Byte] = {
+    val n = 50 + (docId % 32).toInt
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val junkSize = 3 + (docId % 2).toInt       // 3 or 4: odd exercises padding
+    val junkPadded = junkSize + (junkSize & 1)
+    val dataSize = n * 2
+    val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+    val out = new Array[Byte](8 + riffSize)
+    var o = 0
+    def pStr(s: String): Unit = { s.foreach { c => out(o) = c.toByte; o += 1 } }
+    def p16(v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte; o += 2 }
+    def p32(v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte; o += 4
+    }
+    pStr("RIFF"); p32(riffSize); pStr("WAVE")
+    pStr("fmt "); p32(16)
+    p16(1); p16(1); p32(rate); p32(rate * 2); p16(2); p16(16)
+    pStr("JUNK"); p32(junkSize)                 // header carries UNPADDED size
+    var j = 0
+    while (j < junkSize) { out(o) = ((docId + j) % 256).toByte; o += 1; j += 1 }
+    if ((junkSize & 1) == 1) { out(o) = 0; o += 1 }
+    pStr("data"); p32(dataSize)
+    var i = 0
+    while (i < n) {
+      p16(((docId * 37 + i * 11) % 4096).toInt - 2048)
+      i += 1
+    }
+    out
+  }
+
+  /** Media table of REAL encoded audio clips: one closed-form WAV per
+    * document id, built executor-side like [[bmpTable]]. */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val b = encodeWav(id)
+        MediaRow(id, b, "audio", b.length)
+      })
+      .toDF()
+  }
+
   /** Closed-form test image: dims from the doc id (widths 5..8 —
     * three of four NOT multiples of 4, so row padding is exercised),
     * pixel channels linear in (doc_id, x, y) so the DuckDB oracle
@@ -268,6 +376,19 @@ object Multimodal {
       bmpTable(s, dir).as[MediaRow]
         .mapPartitions(_.map(r => bmpStats(r.doc_id, r.media)))
         .toDF()
+    }),
+    // the REAL-audio-codec gate, same contract as mm_image: encode a
+    // closed-form RIFF/WAVE PCM clip per doc (odd-sized JUNK chunk in
+    // the chunk list), decode it back through the partition-wise
+    // seam, emit exact integer sample sums; the oracle recomputes
+    // them from the sample formula with NO codec. Chunk walking,
+    // even-padding, little-endian signed-16 decode, and sample order
+    // each corrupt a sum if mishandled.
+    "mm_audio" -> ((s, dir) => {
+      import s.implicits._
+      wavTable(s, dir).as[MediaRow]
+        .mapPartitions(_.map(r => wavStats(r.doc_id, r.media)))
+        .toDF()
     }))
 
   val oracle: Map[String, String] = Map(
@@ -300,6 +421,23 @@ object Multimodal {
         |  CAST(sum(CASE WHEN y < h // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_top,
         |  CAST(sum(CASE WHEN x < w // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_left
         |FROM ch GROUP BY doc_id, w, h""".stripMargin,
+    // samples are linear in (doc_id, i) with a signed offset; both
+    // sides use nonnegative-mod-then-shift so Scala % and DuckDB %
+    // agree, and all sums are exact integers
+    "mm_audio" ->
+      """WITH nn AS (SELECT doc_id, 50 + doc_id % 32 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS rate FROM documents),
+        |  s AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM nn),
+        |  v AS (SELECT doc_id, n, rate, i,
+        |    (doc_id*37 + i*11) % 4096 - 2048 AS smp FROM s)
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST(sum(smp) AS BIGINT) AS sum_s,
+        |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(smp*smp) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN i < n // 2 THEN smp ELSE 0 END) AS BIGINT) AS sum_first_half,
+        |  CAST(max(smp) AS INTEGER) AS max_s
+        |FROM v GROUP BY doc_id, rate, n""".stripMargin,
     "mm_decode" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""")
 }

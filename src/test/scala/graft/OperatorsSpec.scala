@@ -501,6 +501,49 @@ class OperatorsSpec extends AnyFunSuite {
       (s3.sum_top.toDouble / ((3/2) * 8 * 3 * 255)).toFloat)
   }
 
+  test("wav codec: hand-built container decodes to exact known samples") {
+    // RIFF/WAVE, fmt → JUNK(odd size 3, padded) → data with 4 signed
+    // samples: 100, -200, 300, -32768 (sign extension + LE on the line)
+    val samples = Seq(100, -200, 300, -32768)
+    val buf = collection.mutable.ArrayBuffer[Byte]()
+    def s4(s: String): Unit = s.foreach(c => buf += c.toByte)
+    def w16(v: Int): Unit = { buf += v.toByte; buf += (v >> 8).toByte }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    s4("RIFF"); w32(4 + 24 + 12 + 8 + 8); s4("WAVE")
+    s4("fmt "); w32(16); w16(1); w16(1); w32(44100); w32(88200); w16(2); w16(16)
+    s4("JUNK"); w32(3); buf += 1; buf += 2; buf += 3; buf += 0 // pad to even
+    s4("data"); w32(8); samples.foreach(w16)
+    val st = Multimodal.wavStats(9L, buf.toArray)
+    assert((st.sample_rate, st.n_samples) === ((44100, 4)))
+    assert(st.sum_s === (100L - 200 + 300 - 32768))
+    assert(st.sum_abs === (100L + 200 + 300 + 32768))
+    assert(st.sum_sq === (100L*100 + 200L*200 + 300L*300 + 32768L*32768))
+    assert(st.sum_first_half === (100L - 200)) // first 2 of 4 — order pinned
+    assert(st.max_s === 300)
+    // reject paths: bad magic, stereo, 8-bit, data before fmt
+    val d = buf.toArray
+    d(0) = 'X'
+    intercept[IllegalArgumentException] { Multimodal.wavStats(9L, d) }
+    d(0) = 'R'; d(22) = 2 // channels = 2
+    intercept[IllegalArgumentException] { Multimodal.wavStats(9L, d) }
+    d(22) = 1; d(34) = 8 // bits = 8
+    intercept[IllegalArgumentException] { Multimodal.wavStats(9L, d) }
+    val noFmt = buf.toArray.take(12) ++ buf.toArray.drop(44) // drop fmt chunk
+    intercept[IllegalArgumentException] { Multimodal.wavStats(9L, noFmt) }
+    // round-trip: encode → decode matches the closed form, junk chunk
+    // and its odd-size padding walked over correctly for both parities
+    for (id <- Seq(2L, 3L)) {
+      val rt = Multimodal.wavStats(id, Multimodal.encodeWav(id))
+      val n = 50 + (id % 32).toInt
+      val exp = (0 until n).map(i => ((id * 37 + i * 11) % 4096).toInt - 2048)
+      assert(rt.n_samples === n)
+      assert(rt.sample_rate === 8000 + (id % 4).toInt * 4000)
+      assert(rt.sum_s === exp.map(_.toLong).sum)
+      assert(rt.sum_first_half === exp.take(n / 2).map(_.toLong).sum)
+      assert(rt.max_s === exp.max)
+    }
+  }
+
   test("multimodal decode: deterministic, schema-true, payload-derived") {
     val a = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
     val b = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
