@@ -268,9 +268,53 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. '07)
+    * with a SELF-VOTE and min-label tie-break — the deterministic
+    * variant: each round every node adopts the most frequent label
+    * among its neighbors plus itself (the self-vote damps the 2-cycle
+    * oscillation plain synchronous LPA exhibits on bipartite-ish
+    * structure), ties broken to the smallest label. Communities of
+    * near-dup domains / co-purchase cliques in a handful of rounds,
+    * without CC's requirement that membership be transitive.
+    *
+    * Scale shape: per round exactly one shuffle of the edge snapshot
+    * (join on src) + one (node, label)-keyed count + one node-keyed
+    * argmax — the argmax is `min(struct(-count, label))`, a TWO-PHASE
+    * aggregate (partials combine map-side), never a per-node window
+    * sort. Labels are 8-byte ids end to end. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val symSnap = Dedup.materialize(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
+      "lpa_sym")
+    var labels = symSnap.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val votes = symSnap
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .unionByName(labels)
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = votes.groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   private val prIters = 5
+  private val lpaIters = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // communities on the co-purchase projection (same deterministic
+    // mod-4 basket sample as g_triangles, same in-budget rationale)
+    "g_labelprop" -> ((s, dir) =>
+      labelPropagation(coPurchaseEdges(Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 4 === 0)), lpaIters)),
     // the whole iteration runs on 8-byte node ids; the "c123"/"s45"
     // presentation strings appear only in this final projection
     "g_pagerank" -> ((s, dir) => pageRank(
@@ -344,7 +388,29 @@ object Graph {
     s"$base$iterCtes SELECT src AS node, round(r * 1e6) / 1e6 AS rank FROM r$iters"
   }
 
+  /** The LPA oracle unrolls each round as two CTEs: the vote count
+    * and the argmax restated as max-count-then-min-label (provably the
+    * same total order as Spark's `min(struct(-c, lbl))`). */
+  private def lpaOracleSql(iters: Int): String = {
+    val base = "WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+      "FROM lineitem WHERE l_orderkey % 4 = 0), " +
+      "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
+      "ON x.ok = y.ok AND x.pk < y.pk), " +
+      "sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), " +
+      "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)"
+    val iterCtes = (1 to iters).map { i =>
+      s"v$i AS (SELECT node, lbl, count(*) AS c FROM (" +
+        s"SELECT s.dst AS node, l.lbl FROM sym s JOIN l${i - 1} l ON s.src = l.node " +
+        s"UNION ALL SELECT node, lbl FROM l${i - 1}) GROUP BY node, lbl), " +
+        s"l$i AS (SELECT v.node, min(v.lbl) AS lbl FROM v$i v " +
+        s"JOIN (SELECT node, max(c) AS mc FROM v$i GROUP BY node) m " +
+        s"ON v.node = m.node AND v.c = m.mc GROUP BY v.node)"
+    }.mkString(", ", ", ", "")
+    s"$base$iterCtes SELECT node, lbl AS label FROM l$iters"
+  }
+
   val oracle: Map[String, String] = Map(
+    "g_labelprop" -> lpaOracleSql(lpaIters),
     "g_pagerank" -> prOracleSql(prIters),
     "g_ppr" -> pprOracleSql(prIters),
     // the identical degree-ordered orientation restated relationally:

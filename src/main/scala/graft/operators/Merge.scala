@@ -708,7 +708,86 @@ object Merge {
       .filter(col("n_rows") > 0)
   }
 
+  /** Type-2 slowly-changing-dimension apply — the warehouse-standard
+    * history-keeping upsert: a changed key CLOSES its current row
+    * (`valid_to` = batch, `is_current` = false) and opens a fresh one;
+    * an unseen key inserts; a delta row byte-equal to the current
+    * image is a NO-OP (no phantom versions — change detection is
+    * null-safe `<=>` per attribute). `delta` must be key-unique.
+    *
+    * Both joins are equi-joins on `key`: broadcast-able when the delta
+    * is batch-sized (the common CDC case) and co-partitioned under a
+    * bucketed layout, so the apply cost is O(delta + touched rows) —
+    * never a dimension rescan. At 100 TB the dimension is the SMALL
+    * side of the star schema; what matters is that history grows
+    * append-only and closing a row touches only that key's bucket
+    * (compose with [[writeTarget]]/[[into]] for the on-disk form). */
+  def scd2Apply(dim: DataFrame, delta: DataFrame, key: String,
+                batch: Int): DataFrame = {
+    val attrs = delta.columns.filterNot(_ == key).toSeq
+    val cur = dim.filter(col("is_current"))
+      .select(col(key) +: attrs.map(col): _*)
+    val changed = delta.alias("d")
+      .join(cur.alias("c"), col(s"d.$key") === col(s"c.$key"), "left")
+      .filter(col(s"c.$key").isNull ||
+        attrs.map(a => !(col(s"d.$a") <=> col(s"c.$a"))).reduce(_ || _))
+      .select(col(s"d.$key").as(key) +: attrs.map(a => col(s"d.$a").as(a)): _*)
+    val marked = dim.alias("t")
+      .join(changed.select(col(key), lit(1).as("_ch")).alias("k"),
+        col(s"t.$key") === col(s"k.$key"), "left")
+    val kept = marked.select(
+      (col(s"t.$key").as(key) +: attrs.map(a => col(s"t.$a").as(a))) ++ Seq(
+        col("t.valid_from").as("valid_from"),
+        when(col("t.is_current") && col("_ch").isNotNull, lit(batch))
+          .otherwise(col("t.valid_to")).as("valid_to"),
+        (col("t.is_current") && col("_ch").isNull).as("is_current")): _*)
+    val opened = changed.select(
+      (col(key) +: attrs.map(col)) ++ Seq(
+        lit(batch).as("valid_from"),
+        lit(null).cast("int").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    kept.unionByName(opened)
+  }
+
+  /** Oracle-checked SCD2 chain: batch 0 = customers as the initial
+    * current rows; batch 1 = balance bump on keys ≡ 0 (mod 3) + new
+    * synthetic customers + NO-OP rows (keys ≡ 0 mod 11, unchanged
+    * images — must create no version); batch 2 = rename on keys ≡ 0
+    * (mod 7) of the CURRENT batch-1 state, so closed rows carry their
+    * original `valid_from` through a second closing round. The DuckDB
+    * oracle restates the whole history relationally (IS DISTINCT FROM
+    * change detection, no SCD machinery); hash equality certifies the
+    * interval columns row-for-row. */
+  def scd2Demo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val off = insertOffset(c, "c_custkey")
+    val dim0 = c.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      lit(0).as("valid_from"), lit(null).cast("int").as("valid_to"),
+      lit(true).as("is_current"))
+    val d1 = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      .unionByName(c.filter((col("c_custkey") + off) % 5 === 0)
+        .select((col("c_custkey") + off).as("c_custkey"),
+          concat(lit("new#"), col("c_name")).as("c_name"),
+          lit(0.0).as("c_acctbal")))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0 &&
+          col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    val dim1 = scd2Apply(dim0, d1, "c_custkey", 1)
+    val d2 = dim1.filter(col("is_current") && col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("upd2#"), col("c_name")).as("c_name"), col("c_acctbal"))
+    scd2Apply(dim1, d2, "c_custkey", 2)
+      .select(col("c_custkey"), col("c_name"),
+        (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
+          .as("acctbal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_scd2" -> (scd2Demo _),
     "m_merge_upsert" -> (mergeDemo _),
     "m_evolve" -> (evolveDemo _),
     "m_time_travel" -> (timeTravelDemo _),
@@ -717,6 +796,50 @@ object Merge {
     "m_incremental_agg" -> (incrementalAggDemo _))
 
   val oracle: Map[String, String] = Map(
+    // the full SCD2 history restated relationally: change detection is
+    // IS DISTINCT FROM per attribute, closing is a left join against
+    // the changed-key set, no SCD machinery anywhere in the oracle
+    "m_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+           off AS (SELECT greatest(1000000, max(c_custkey)+1) AS o FROM base),
+           d1 AS (SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal
+                  FROM base WHERE c_custkey % 3 = 0
+                  UNION ALL
+                  SELECT c_custkey + (SELECT o FROM off), 'new#' || c_name, 0.0
+                  FROM base WHERE (c_custkey + (SELECT o FROM off)) % 5 = 0
+                  UNION ALL
+                  SELECT c_custkey, c_name, c_acctbal
+                  FROM base WHERE c_custkey % 11 = 0 AND c_custkey % 3 <> 0),
+           ch1 AS (SELECT d.c_custkey, d.c_name, d.c_acctbal FROM d1 d
+                   LEFT JOIN base c ON d.c_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL
+                      OR d.c_name IS DISTINCT FROM c.c_name
+                      OR d.c_acctbal IS DISTINCT FROM c.c_acctbal),
+           s1 AS (SELECT b.c_custkey, b.c_name, b.c_acctbal, 0 AS valid_from,
+                         CASE WHEN k.c_custkey IS NULL THEN NULL ELSE 1 END AS valid_to,
+                         k.c_custkey IS NULL AS is_current
+                  FROM base b LEFT JOIN ch1 k ON b.c_custkey = k.c_custkey
+                  UNION ALL
+                  SELECT c_custkey, c_name, c_acctbal, 1, NULL, true FROM ch1),
+           d2 AS (SELECT c_custkey, 'upd2#' || c_name AS c_name, c_acctbal
+                  FROM s1 WHERE is_current AND c_custkey % 7 = 0),
+           ch2 AS (SELECT d.c_custkey, d.c_name, d.c_acctbal FROM d2 d
+                   LEFT JOIN (SELECT * FROM s1 WHERE is_current) c
+                     ON d.c_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL
+                      OR d.c_name IS DISTINCT FROM c.c_name
+                      OR d.c_acctbal IS DISTINCT FROM c.c_acctbal),
+           f AS (SELECT t.c_custkey, t.c_name, t.c_acctbal, t.valid_from,
+                        CASE WHEN t.is_current AND k.c_custkey IS NOT NULL
+                             THEN 2 ELSE t.valid_to END AS valid_to,
+                        t.is_current AND k.c_custkey IS NULL AS is_current
+                 FROM s1 t LEFT JOIN ch2 k ON t.c_custkey = k.c_custkey
+                 UNION ALL
+                 SELECT c_custkey, c_name, c_acctbal, 2, NULL, true FROM ch2)
+         SELECT c_custkey, c_name, round((c_acctbal)*1e2)/1e2 AS acctbal,
+                CAST(valid_from AS INTEGER) AS valid_from,
+                CAST(valid_to AS INTEGER) AS valid_to, is_current
+         FROM f""",
     // the upsert stated relationally: updated-or-kept customers plus
     // appended synthetic ones — must hash-match the bucketed rewrite
     "m_merge_upsert" ->

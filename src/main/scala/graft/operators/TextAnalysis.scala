@@ -327,7 +327,45 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("gram").asc)
   }
 
+  /** PMI collocation mining: bigrams whose observed frequency beats
+    * the independence expectation — pmi = ln(c12·T / (c1·c2)) with
+    * c1/c2 the POSITIONAL marginals (first/second slot of the bigram
+    * stream) and T the bigram total, the standard phrase-discovery
+    * pass (multiword entities, "new york"-style units) that feeds
+    * tokenizer vocab building.
+    *
+    * Shape at 100 TB: one bigram shuffle for c12 (map-side combine —
+    * the exchange carries partial counts, not tokens); the marginal
+    * tables derive from c12 itself (vocabulary-sized aggregations of
+    * an already-aggregated table — NO second corpus scan) and join
+    * back broadcast-under-threshold; T rides a broadcast scalar. The
+    * minCount filter applies BEFORE the joins so the pair table
+    * entering them is the reported rows only. Integer counts both
+    * sides; pmi rounds at 1e4 (shared formula). */
+  def pmiCollocations(df: DataFrame, text: Column,
+                      minCount: Int): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val bg = df.select(
+      explode(call_function("word_ngrams_2", tokens(text))).as("bg"))
+    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val c1 = cbg.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val c2 = cbg.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum(col("c12")).as("c2"))
+    val tot = cbg.agg(sum(col("c12")).as("tt"))
+    cbg.filter(col("c12") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c12"))
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        (round(log((col("c12") * col("tt")).cast("double") /
+          (col("c1") * col("c2")).cast("double")) * 1e4) / 1e4).as("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pmi" -> ((s, dir) =>
+      pmiCollocations(docs(s, dir), col("text"), minCount = 5)),
     "t_vocab_topk" -> ((s, dir) =>
       vocabTopK(docs(s, dir), col("text"), 100)),
     // 17k-gram vocabulary vs a 1024-entry sketch: eviction pressure
@@ -368,6 +406,22 @@ object TextAnalysis {
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the whole-vocabulary restatement: same bigram stream, same
+    // positional marginals, same natural log and shared rounding
+    "t_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t),
+        |cbg AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1 FROM cbg GROUP BY 1),
+        |c2 AS (SELECT string_split(bg, ' ')[2] AS w2, sum(c12) AS c2 FROM cbg GROUP BY 1),
+        |tot AS (SELECT sum(c12) AS tt FROM cbg)
+        |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, c12,
+        |  round(ln(CAST(c12 * tt AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) * 1e4)/1e4 AS pmi
+        |FROM cbg
+        |JOIN c1 ON string_split(bg, ' ')[1] = c1.w1
+        |JOIN c2 ON string_split(bg, ' ')[2] = c2.w2
+        |CROSS JOIN tot
+        |WHERE c12 >= 5""".stripMargin,
     "t_vocab_topk" ->
       "SELECT token, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY freq DESC, token LIMIT 100",
     // the naive full-vocabulary restatement of the sketch-guided

@@ -23,6 +23,31 @@ class MergeStreamSpec extends AnyFunSuite {
     Merge.readVersioned(spark, path, v).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("scd2: change closes, no-op is invisible, valid_from survives a second closing") {
+    import spark.implicits._
+    val dim0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .select(col("k"), col("v"), lit(0).as("valid_from"),
+        lit(null).cast("int").as("valid_to"), lit(true).as("is_current"))
+    // batch 1: k=1 changed, k=2 NO-OP (identical image), k=4 new, k=3 absent
+    val dim1 = Merge.scd2Apply(dim0,
+      Seq((1L, "a2"), (2L, "b"), (4L, "d")).toDF("k", "v"), "k", 1)
+    val rows1 = dim1.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4))).toSet
+    assert(rows1 === Set(
+      (1L, "a", 0, 1, false), (1L, "a2", 1, -1, true),
+      (2L, "b", 0, -1, true),              // no-op: no phantom version
+      (3L, "c", 0, -1, true),
+      (4L, "d", 1, -1, true)))
+    // batch 2: k=1 changes AGAIN — its batch-1 row must close carrying
+    // valid_from=1, and the batch-0 row must stay untouched
+    val dim2 = Merge.scd2Apply(dim1, Seq((1L, "a3")).toDF("k", "v"), "k", 2)
+    val rows2 = dim2.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getInt(2), if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4))).toSet
+    assert(rows2 === Set(
+      (1L, "a", 0, 1, false), (1L, "a2", 1, 2, false), (1L, "a3", 2, -1, true),
+      (2L, "b", 0, -1, true), (3L, "c", 0, -1, true), (4L, "d", 1, -1, true)))
+  }
+
   test("end-to-end stream: each file batch publishes a version; latest state correct") {
     val base = JF.createTempDirectory("ms_e2e").toString
     val t = spark.range(0, 100).select(col("id").as("k"), lit(0L).as("v"))

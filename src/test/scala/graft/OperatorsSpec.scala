@@ -1768,6 +1768,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("label propagation: two triangles + bridge converge to per-community min labels") {
+    import spark.implicits._
+    // triangles {1,2,3} and {10,11,12}, bridge 3–10. Hand-computed
+    // with the self-vote + min-label tie-break: after round 2 the
+    // communities are stable at labels 1 and 10; the bridge never
+    // flips node 10 (its triangle outvotes the single cross edge).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
+  }
+
   test("personalized pagerank: hand-computed two iterations on a path, mass conserved") {
     import spark.implicits._
     // path 1–2–3, seed {1}: r0=(1,0,0);
