@@ -123,9 +123,91 @@ object Profile {
           .as("psi_term"))
   }
 
+  private final case class QuantPend(q: Double, lo: Double, hi: Double,
+                                     k: Long)
+
+  /** EXACT distributed quantiles by iterative histogram bisection —
+    * the 100-TB path to an exact median: a global `percentile` sorts
+    * every value into one aggregation state, this never sorts more
+    * than `localLimit` rows anywhere. Each level histograms the
+    * candidate range into `nBuckets` (one scan per DISTINCT live
+    * range — level 1 is always a single scan shared by every
+    * requested q), walks the cumulative counts driver-side (≤nBuckets
+    * rows of bounded model state, the k-means-centroid class), and
+    * either (a) resolves a range whose values are all equal, (b)
+    * exact-selects within a bucket that fits `localLimit`, or (c)
+    * recurses into the bucket's OBSERVED [min, max]. Recursion depth
+    * is log_nBuckets(n/localLimit) in the uniform case and guaranteed
+    * finite always: a range's observed min < max split into different
+    * buckets, so every level strictly shrinks the candidate multiset.
+    *
+    * Rank semantics are the lower discrete quantile — element at
+    * 1-based rank max(1, ceil(q·n)) — exactly DuckDB/Postgres
+    * `quantile_disc`, so the gate compares the true element, not an
+    * interpolation. NULLs are excluded on both sides. */
+  def exactQuantiles(df: DataFrame, value: Column, qs: Seq[Double],
+                     nBuckets: Int = 4096,
+                     localLimit: Int = 100000): DataFrame = {
+    val s = df.sparkSession
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val vals = Dedup.materialize(
+      df.select(value.cast("double").as("v")).filter(col("v").isNotNull),
+      "quant_vals")
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+      max(col("v")).as("mx")).head()
+    val n = head.getLong(0)
+    require(n > 0, "exactQuantiles: no non-null values")
+    var pending = qs.map(q => QuantPend(q, head.getDouble(1),
+      head.getDouble(2), math.max(1L, math.ceil(q * n).toLong)))
+    val resolved = scala.collection.mutable.Map[Double, Double]()
+    var level = 0
+    while (pending.nonEmpty) {
+      level += 1
+      require(level <= 64, "exactQuantiles: failed to converge")
+      val next = scala.collection.mutable.ArrayBuffer[QuantPend]()
+      pending.groupBy(p => (p.lo, p.hi)).foreach { case ((lo, hi), ps) =>
+        if (lo == hi) ps.foreach(p => resolved(p.q) = lo)
+        else {
+          val span = hi - lo
+          val bucketExpr = least(
+            floor((col("v") - lo) / span * nBuckets).cast("int"),
+            lit(nBuckets - 1))
+          val ranged = vals.filter(col("v") >= lo && col("v") <= hi)
+          val hist = ranged.groupBy(bucketExpr.as("b"))
+            .agg(count(lit(1)).as("c"), min(col("v")).as("bmn"),
+              max(col("v")).as("bmx"))
+            .collect().map(r => r.getInt(0) ->
+              ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+            .sortBy(_._1)
+          val cum = hist.scanLeft(0L)(_ + _._2._1)
+          ps.foreach { p =>
+            val idx = cum.indexWhere(_ >= p.k) - 1
+            val (_, (c, bmn, bmx)) = hist(idx)
+            val kIn = p.k - cum(idx)
+            if (bmn == bmx) resolved(p.q) = bmn
+            else if (c <= localLimit) {
+              // bounded exact selection: ≤localLimit doubles, the same
+              // driver-side model-state class as the histogram itself
+              val arr = ranged.filter(col("v") >= bmn && col("v") <= bmx)
+                .collect().map(_.getDouble(0))
+              java.util.Arrays.sort(arr)
+              resolved(p.q) = arr(kIn.toInt - 1)
+            } else next += QuantPend(p.q, bmn, bmx, kIn)
+          }
+        }
+      }
+      pending = next.toSeq
+    }
+    import s.implicits._
+    qs.map(q => (q, resolved(q))).toDF("q", "value")
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_quantiles" -> ((s, dir) =>
+      exactQuantiles(Tables.load(s, dir, "lineitem"),
+        col("l_extendedprice"), quantileQs)),
     "c_profile" -> ((s, dir) =>
       profile(Tables.load(s, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
@@ -145,7 +227,15 @@ object Profile {
     s"round(avg(length(CAST($c AS VARCHAR))) * 1e4) / 1e4 AS avg_len " +
     "FROM documents"
 
+  private val quantileQs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+
   val oracle: Map[String, String] = Map(
+    // the bisection's truth is the plain discrete quantile — the
+    // oracle sorts, the operator never does
+    "c_quantiles" -> quantileQs.map(q =>
+      s"SELECT CAST($q AS DOUBLE) AS q, " +
+        s"quantile_disc(l_extendedprice, $q) AS value FROM lineitem")
+      .mkString(" UNION ALL "),
     "c_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
       .map(colSql).mkString(" UNION ALL "),
     // the audit restated: one aggregate CTE, five literal rows — the

@@ -363,7 +363,67 @@ object TextAnalysis {
           (col("c1") * col("c2")).cast("double")) * 1e4) / 1e4).as("pmi"))
   }
 
+  /** URL canonicalization — the normalize-before-dedup step every
+    * web-corpus pipeline runs (the same page arrives as `HTTP://
+    * Site.COM:80/a/?utm_source=x#frag` and `http://site.com/a`):
+    * lowercase scheme+host, drop default ports (http:80 / https:443,
+    * keep everything else), drop the fragment, strip one trailing
+    * slash off non-root paths, and remove tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`) while PRESERVING the order of the
+    * survivors. Pure codegen'd string expressions — scan-speed, no
+    * UDF, no shuffle; dedup-by-canonical-url downstream is a plain
+    * exact dedup on the result. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val qs = when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1))
+      .otherwise(lit(""))
+    val scheme = lower(substring_index(base, "://", 1))
+    val rest = substring_index(base, "://", -1)
+    val hostport = substring_index(rest, "/", 1)
+    val path0 = rest.substr(length(hostport) + 1, lit(1000000))
+    val host = lower(substring_index(hostport, ":", 1))
+    val port = when(instr(hostport, ":") > 0,
+      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path1 = when(path0 === "", lit("/")).otherwise(path0)
+    val path = when(path1 =!= "/" && path1.endsWith("/"),
+      path1.substr(lit(1), length(path1) - 1)).otherwise(path1)
+    val qc = array_join(filter(split(qs, "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid="))), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path,
+      when(qc =!= "", concat(lit("?"), qc)).otherwise(lit("")))
+  }
+
+  /** Closed-form messy URL per document (mixed-case scheme/host,
+    * default and non-default ports, trailing slashes, tracking-only
+    * and mixed query strings, fragments) so the DuckDB oracle
+    * rebuilds the same raw strings and restates the canonicalizer. */
+  private def rawUrl(): Column = {
+    val id = col("doc_id")
+    val scheme0 = when(id % 2 === 0, lit("http")).otherwise(lit("https"))
+    concat(
+      when(id % 3 === 0, upper(scheme0)).otherwise(scheme0), lit("://"),
+      when(id % 4 === 0, lit("Example-")).otherwise(lit("example-")),
+      col("source"), lit(".COM"),
+      when(id % 9 === 0, lit(":8080"))
+        .when(id % 2 === 0, lit(":80")).otherwise(lit("")),
+      lit("/p/"), (id % 7).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 11 === 0, lit("?utm_only=1"))
+        .otherwise(concat(lit("?utm_source=x&id="), (id % 13).cast("string"),
+          lit("&utm_campaign=y"))),
+      when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_url_canon" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), rawUrl().as("url_raw"))
+      .withColumn("url_canon", canonicalizeUrl(col("url_raw")))),
     "t_pmi" -> ((s, dir) =>
       pmiCollocations(docs(s, dir), col("text"), minCount = 5)),
     "t_vocab_topk" -> ((s, dir) =>
@@ -406,6 +466,53 @@ object TextAnalysis {
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // same closed-form raw URL, canonicalizer restated step by step
+    // (split_part returns '' on a missing separator, which matches the
+    // Spark side's instr guards); starts_with avoids LIKE's
+    // underscore-wildcard trap on 'utm_'
+    "t_url_canon" ->
+      """WITH raw AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0
+        |        THEN upper(CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |        ELSE CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END END)
+        |  || '://'
+        |  || (CASE WHEN doc_id % 4 = 0 THEN 'Example-' ELSE 'example-' END)
+        |  || source || '.COM'
+        |  || (CASE WHEN doc_id % 9 = 0 THEN ':8080'
+        |           WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+        |  || '/p/' || (doc_id % 7)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 11 = 0 THEN '?utm_only=1'
+        |           ELSE '?utm_source=x&id=' || (doc_id % 13) || '&utm_campaign=y' END)
+        |  || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url_raw
+        |  FROM documents),
+        |c AS (SELECT doc_id, url_raw, split_part(url_raw, '#', 1) AS nofrag FROM raw),
+        |d AS (SELECT doc_id, url_raw, split_part(nofrag, '?', 1) AS base,
+        |             split_part(nofrag, '?', 2) AS qs FROM c),
+        |e AS (SELECT doc_id, url_raw, qs,
+        |             lower(split_part(base, '://', 1)) AS scheme,
+        |             split_part(base, '://', 2) AS rest FROM d),
+        |f AS (SELECT doc_id, url_raw, qs, scheme,
+        |             split_part(rest, '/', 1) AS hostport,
+        |             substr(rest, length(split_part(rest, '/', 1)) + 1) AS path0 FROM e),
+        |g AS (SELECT doc_id, url_raw, qs, scheme,
+        |             lower(split_part(hostport, ':', 1)) AS host,
+        |             split_part(hostport, ':', 2) AS port,
+        |             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1 FROM f),
+        |h AS (SELECT doc_id, url_raw, scheme, host,
+        |  CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443'))
+        |       THEN ':' || port ELSE '' END AS portc,
+        |  CASE WHEN path1 <> '/' AND path1 LIKE '%/'
+        |       THEN substr(path1, 1, length(path1) - 1) ELSE path1 END AS path,
+        |  array_to_string(list_filter(string_split(qs, '&'),
+        |    p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+        |              OR starts_with(p, 'gclid='))), '&') AS qc
+        |  FROM g)
+        |SELECT doc_id, url_raw,
+        |  scheme || '://' || host || portc || path ||
+        |  CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS url_canon
+        |FROM h""".stripMargin,
     // the whole-vocabulary restatement: same bigram stream, same
     // positional marginals, same natural log and shared rounding
     "t_pmi" ->

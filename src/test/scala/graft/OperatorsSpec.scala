@@ -1768,6 +1768,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
   }
 
+  test("url canonicalization: hand cases pin every rule") {
+    import spark.implicits._
+    val cases = Seq(
+      // default port dropped, host+scheme lowercased, fragment gone
+      "HTTP://Site.COM:80/a#frag" -> "http://site.com/a",
+      "HTTPS://X.org:443/" -> "https://x.org/",
+      // NON-default port survives (https on 80 is not default)
+      "https://x.org:80/a" -> "https://x.org:80/a",
+      "http://x.org:8080/a" -> "http://x.org:8080/a",
+      // bare host → root path; trailing slash stripped off non-root
+      "http://x.org" -> "http://x.org/",
+      "http://x.org/a/b/" -> "http://x.org/a/b",
+      // tracking params dropped, survivor ORDER preserved
+      "http://x.org/a?utm_source=s&b=2&a=1&gclid=g" -> "http://x.org/a?b=2&a=1",
+      // tracking-only query drops the '?' entirely
+      "http://x.org/a?utm_only=1&fbclid=f" -> "http://x.org/a",
+      // utm prefix is literal: 'utmx' is NOT tracking
+      "http://x.org/a?utmx=1" -> "http://x.org/a?utmx=1")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u"))).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (exp, g) =>
+      assert(g === exp)
+    }
+  }
+
+  test("exact quantiles: bisection matches brute-force selection under ties, outliers, deep recursion") {
+    import spark.implicits._
+    // heavy ties + extreme outliers; nBuckets=2 + localLimit=1 force
+    // the recursion and degenerate-range paths rather than the
+    // one-level happy path
+    val xs = Seq.fill(50)(5.0) ++ (1 to 40).map(_.toDouble) ++ Seq(1e9, -1e9)
+    val qs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = graft.operators.Profile.exactQuantiles(xs.toDF("x"), col("x"),
+        qs, nBuckets = 2, localLimit = 1)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = xs.sorted
+    qs.foreach { q =>
+      val k = math.max(1L, math.ceil(q * xs.size).toLong).toInt
+      assert(got(q) === sorted(k - 1), s"q=$q")
+    }
+    // an all-equal column resolves through the degenerate range
+    val eq = graft.operators.Profile.exactQuantiles(
+        Seq.fill(10)(7.5).toDF("x"), col("x"), Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(eq === 7.5)
+  }
+
   test("label propagation: two triangles + bridge converge to per-community min labels") {
     import spark.implicits._
     // triangles {1,2,3} and {10,11,12}, bridge 3–10. Hand-computed
