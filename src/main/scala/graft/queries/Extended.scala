@@ -316,6 +316,244 @@ object Extended {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"))
 
+  /** TPC-H Q4 shape (order-priority checking): EXISTS over lineitem
+    * as a LEFT SEMI join whose condition carries BOTH the equi key and
+    * the correlated non-equi date predicate (l_shipdate > o_orderdate,
+    * the testdata's "shipped after ordering" stand-in for
+    * commitdate < receiptdate). At 100 TB the semi join probes only
+    * the three-month orders slice (date range pushed to the orders
+    * scan) and emits each order at most once — no post-join dedup. */
+  def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01") &&
+        col("o_orderdate") < lit("1997-10-01"))
+    val li = t(s, dir)("lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+  }
+
+  /** TPC-H Q12 shape (priority-class counting): the join feeds a
+    * conditional two-bucket aggregation (CASE inside SUM) — one
+    * shuffle for the join, map-side partial agg collapses the
+    * per-line booleans before the final exchange. The testdata has no
+    * l_shipmode, so l_returnflag plays the mode dimension. */
+  def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = t(s, dir)("lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = t(s, dir)("orders").select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape (promo-revenue ratio): one month of lineitem
+    * joins the part dim — part is broadcast (dim ≪ fact at every
+    * scale), so the month slice never shuffles; the ratio is a single
+    * two-accumulator aggregate over the joined slice. */
+  def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01") &&
+        col("l_shipdate") < lit("1997-10-01"))
+    val p = t(s, dir)("part").select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+        sum(rev), 4).as("promo_revenue"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * `l_quantity < 0.2 * avg(quantity per part)` subquery becomes an
+    * explicit per-part aggregate joined back to the qualifying lines.
+    * Order of operations is the scale story: the part filter
+    * broadcasts FIRST, shrinking lineitem to the qualifying parts
+    * before the avg aggregate runs — the per-part avg is computed
+    * over ~10% of keys, not all of them (the semantics allow it
+    * because the avg is per-part and unaffected by which parts
+    * survive the dim filter). */
+  def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir)("part").filter(col("p_size") <= 5).select(col("p_partkey"))
+    val li = t(s, dir)("lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("l_partkey").as("ak"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+    li.join(avgQ, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the fact
+    * chain lineitem→orders shuffles once on orderkey; supplier,
+    * customer, and BOTH nation role-aliases broadcast (dims ≪ fact at
+    * every scale). The symmetric nation-pair disjunction is applied
+    * after the two broadcast lookups resolve names — at 100 TB it
+    * filters on two broadcast-joined string columns, never a shuffled
+    * one. */
+  def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir)("nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir)("nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val li = t(s, dir)("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    li.join(t(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir)("supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir)("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q8 shape (national market share): conditional-fraction
+    * aggregate per year — sum(CASE nation)/sum(all) collapses
+    * map-side, so the final exchange carries two doubles per year.
+    * The target-nation test rides the broadcast supplier→nation
+    * lookup; region restriction prunes the customer side. */
+  def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val nS = t(s, dir)("nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val nC = t(s, dir)("nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_rkey"))
+    val r = t(s, dir)("region").filter(col("r_name") === "REGION_1")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t(s, dir)("lineitem")
+      .join(t(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir)("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("c_rkey") === col("r_regionkey"))
+      .join(broadcast(t(s, dir)("supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0))) /
+          sum(rev), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join so zero-order customers survive with count 0, then a
+    * two-level aggregate (per-customer count → histogram of counts).
+    * The priority filter sits on the orders side BEFORE the join —
+    * the left-join equivalent of the spec's ON-clause predicate —
+    * so at 100 TB the outer join probes only qualifying orders. The
+    * histogram's second exchange carries one row per distinct count
+    * value (~tens), not per customer. */
+  def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir)("orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, dir)("customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): per-supplier quarterly revenue,
+    * then the max-revenue supplier(s) selected by joining the rounded
+    * revenue back against its own scalar max — ties included, which a
+    * LIMIT 1 would break. The max is one broadcast scalar; the
+    * revenue aggregate is computed ONCE and reused for both sides.
+    * Revenue is rounded to cents BEFORE the max-equality compare so
+    * the tie test is exact arithmetic, not double-ulp luck. */
+  def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir)("lineitem")
+      .filter(col("l_shipdate") >= lit("1997-07-01") &&
+        col("l_shipdate") < lit("1997-10-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(t(s, dir)("supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three brand/size/quantity conjunctions OR-ed together. The part
+    * dim broadcasts; the OR's common structure means Catalyst can
+    * extract `p_size >= 1` and the quantity range [1,30] as
+    * scan-level prefilters while the full disjunction runs post-join
+    * — lineitem never shuffles. */
+  def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+    val p = t(s, dir)("part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * EXISTS + NOT EXISTS pair over the same fact table — compiled as
+    * a LEFT SEMI then a LEFT ANTI join, each with the equi key
+    * (orderkey) carrying the shuffle and the supplier-differs
+    * non-equi term as a join residual. The testdata has no
+    * commit/receipt dates, so "failed the order" is the returned-flag
+    * line (`l_returnflag = 'R'`); the plan shape — two self-joins
+    * that each emit at most one row per probe line, no post-join
+    * dedup — is the scale story. */
+  def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(t(s, dir)("orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(t(s, dir)("supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers above the
+    * average balance with NO orders — a scalar-subquery broadcast
+    * (the avg) plus a LEFT ANTI join against orders. The anti join
+    * probes with the already-filtered customer slice, so at 100 TB
+    * the shuffle carries only above-average customers of the target
+    * segments; market segment stands in for the spec's phone prefix. */
+  def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+    val c = t(s, dir)("customer").filter(col("c_mktsegment").isin(segs: _*))
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    c.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+      .join(t(s, dir)("orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir)("lineitem").groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("sum_qty"))
@@ -403,6 +641,17 @@ object Extended {
     "x_tpch_q10" -> (qTpchQ10 _),
     "x_tpch_q3" -> (qTpchQ3 _),
     "x_tpch_q6" -> (qTpchQ6 _),
+    "x_tpch_q4" -> (qTpchQ4 _),
+    "x_tpch_q7" -> (qTpchQ7 _),
+    "x_tpch_q8" -> (qTpchQ8 _),
+    "x_tpch_q12" -> (qTpchQ12 _),
+    "x_tpch_q13" -> (qTpchQ13 _),
+    "x_tpch_q14" -> (qTpchQ14 _),
+    "x_tpch_q15" -> (qTpchQ15 _),
+    "x_tpch_q17" -> (qTpchQ17 _),
+    "x_tpch_q19" -> (qTpchQ19 _),
+    "x_tpch_q21" -> (qTpchQ21 _),
+    "x_tpch_q22" -> (qTpchQ22 _),
     "x_approx" -> (qApprox _),
     "x_cube" -> (qCube _),
     "x_grouping_sets" -> (qGroupingSets _),
@@ -452,6 +701,83 @@ object Extended {
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01' GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10",
     "x_tpch_q6" ->
       "SELECT round((sum(l_extendedprice*l_discount))*1e2)/1e2 AS revenue FROM lineitem WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24",
+    "x_tpch_q4" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) GROUP BY o_orderpriority",
+    "x_tpch_q12" ->
+      "SELECT l_returnflag, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' GROUP BY l_returnflag",
+    "x_tpch_q14" ->
+      "SELECT round((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) / sum(l_extendedprice*(1-l_discount)))*1e4)/1e4 AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'",
+    "x_tpch_q17" ->
+      "SELECT round((sum(l_extendedprice) / 7.0)*1e2)/1e2 AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_size <= 5 AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)",
+    "x_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         GROUP BY 1, 2, 3""",
+    "x_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         round((sum(CASE WHEN n1.n_name = 'NATION_5' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice*(1-l_discount)))*1e6)/1e6 AS mkt_share
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         JOIN region ON n2.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         WHERE r_name = 'REGION_1'
+         GROUP BY 1""",
+    "x_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "x_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "x_tpch_q19" ->
+      """SELECT round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "x_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "x_tpch_q22" ->
+      """SELECT c_mktsegment AS segment, count(*) AS numcust,
+         round((sum(c_acctbal))*1e2)/1e2 AS totacctbal
+         FROM customer
+         WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+           AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+             WHERE c_acctbal > 0.0
+               AND c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY'))
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
     "x_cube" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
     "x_grouping_sets" ->

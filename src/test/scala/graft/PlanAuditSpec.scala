@@ -173,6 +173,65 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w_bucketed_join: registry gate runs join AND aggregate with zero Exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(graft.operators.Layout.bucketedJoin(spark, sf))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed gate must be exchange-free end to end:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("x_tpch_q4: EXISTS compiles to a LEFT SEMI join — one row per order, no dedup") {
+    val p = plan(graft.queries.Extended.qTpchQ4(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x_tpch_q14: part dim broadcasts — the month slice never shuffles") {
+    val p = plan(graft.queries.Extended.qTpchQ14(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_"), p)
+  }
+
+  test("x_tpch_q21: EXISTS/NOT-EXISTS pair compiles to one semi + one anti join") {
+    val p = plan(graft.queries.Extended.qTpchQ21(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // global top-20 must be TakeOrderedAndProject, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x_tpch_q13: zero-order customers survive via LEFT OUTER; filter stays on the orders side") {
+    val p = plan(graft.queries.Extended.qTpchQ13(spark, sf))
+    assert(p.contains("LeftOuter"), p)
+    // the priority predicate must reach the orders scan, not a
+    // post-join filter over the (much wider) joined stream
+    assert(p.contains("1-URGENT"), p)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("orderpriority"))
+    assert(scanLine.isDefined, p)
+  }
+
+  test("x_tpch_q19: part broadcasts and the disjunction never shuffles lineitem") {
+    val p = plan(graft.queries.Extended.qTpchQ19(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_"), p)
+  }
+
+  test("x_tpch_q22: no-orders test is a LEFT ANTI join; the avg is a broadcast scalar") {
+    val p = plan(graft.queries.Extended.qTpchQ22(spark, sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("incremental dedup probe: index side joins with NO exchange (bucketed layout)") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
     graft.operators.Dedup.initLshIndex(
