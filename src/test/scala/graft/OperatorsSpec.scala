@@ -1892,6 +1892,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("q21 aggregate rewrite ≡ textbook semi/anti compilation (row-identical)") {
+    val agg = graft.queries.Extended.qTpchQ21(spark, sf)
+    val sa = graft.queries.Extended.qTpchQ21SemiAnti(spark, sf)
+    val a = agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = sa.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(a.nonEmpty, "vacuous equivalence: no qualifying suppliers at sf0.001")
+    assert(a.sameElements(b),
+      s"rewrite diverged:\nagg=${a.mkString(",")}\nsemi/anti=${b.mkString(",")}")
+  }
+
   /** Textbook Wagner–Fischer, the truth reference for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>

@@ -199,14 +199,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(l_"), p)
   }
 
-  test("x_tpch_q21: EXISTS/NOT-EXISTS pair compiles to one semi + one anti join") {
+  test("x_tpch_q21: registered aggregate rewrite — ONE semi join, no anti self-join") {
     val p = plan(graft.queries.Extended.qTpchQ21(spark, sf))
     assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftAnti"),
+      s"the rewrite must replace the anti self-join with the per-order aggregate:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     // global top-20 must be TakeOrderedAndProject, not a full sort
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x_tpch_q21 textbook variant: EXISTS/NOT-EXISTS compiles to one semi + one anti join") {
+    val p = plan(graft.queries.Extended.qTpchQ21SemiAnti(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("x_tpch_q13: zero-order customers survive via LEFT OUTER; filter stays on the orders side") {
@@ -230,6 +239,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.queries.Extended.qTpchQ22(spark, sf))
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_gap_fill: calendar fill and ffill window all partition by user — no single-partition stage") {
+    val p = plan(graft.queries.Temporal.gapFillPerUser(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"per-user gap fill must never funnel through one partition:\n$p")
   }
 
   test("incremental dedup probe: index side joins with NO exchange (bucketed layout)") {
