@@ -128,6 +128,23 @@ object Layout {
     s.read.schema(o.schema).json(path)
   }
 
+  /** ORC sink→source round-trip — the third columnar-capable format
+    * Spark ships natively (parquet is the default everywhere else in
+    * this repo, CSV/JSON cover the text interchange cases). ORC
+    * carries its own schema, so unlike the text round-trips no
+    * explicit read schema is needed; predicate pushdown and column
+    * pruning work the same as parquet (ORC footers carry min/max).
+    * Hash equality against the bare projection proves the
+    * encode/decode loses nothing, doubles included. */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString + "/orders"
+    o.write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+  }
+
   /** Round-trip through the 2-D z-order layout: orders written as
     * (custkey, orderkey) tiles — the multi-dimensional clustering a
     * single-key sort can't give, so footer stats prune files for
@@ -224,7 +241,8 @@ object Layout {
     "w_sized_roundtrip" -> (sizedRoundTrip _),
     "w_zorder_roundtrip" -> (zorderRoundTrip _),
     "w_csv_roundtrip" -> (csvRoundTrip _),
-    "w_json_roundtrip" -> (jsonRoundTrip _))
+    "w_json_roundtrip" -> (jsonRoundTrip _),
+    "w_orc_roundtrip" -> (orcRoundTrip _))
 
   private val ordersProj =
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
@@ -239,5 +257,6 @@ object Layout {
     "w_zorder_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "w_csv_roundtrip" -> ordersProj,
-    "w_json_roundtrip" -> ordersProj)
+    "w_json_roundtrip" -> ordersProj,
+    "w_orc_roundtrip" -> ordersProj)
 }

@@ -280,6 +280,206 @@ object Multimodal {
     out
   }
 
+  /** Exact integer pixel sums from a decoded PNG — same gate payload
+    * shape as [[BmpStats]]. */
+  final case class PngStats(doc_id: Long, width: Int, height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long,
+                            sum_top: Long, sum_left: Long)
+
+  /** REAL compressed-image codec through the same partition-wise seam
+    * — PNG per the published spec (RFC 2083 / ISO 15948), the first
+    * format in the family with genuine entropy coding: 8-bit
+    * truecolor, non-interlaced. The decoder does everything a real
+    * one must: verifies the 8-byte signature, walks BIG-endian length
+    * + type + body + CRC chunks (BMP/WAV pinned little-endian; this
+    * pins the opposite), CHECKS the CRC32 of every chunk, skips
+    * ancillary chunks (a tEXt sits in the stream), CONCATENATES all
+    * IDAT bodies before inflating (the encoder splits IDAT in two —
+    * per-chunk inflate is the classic broken shortcut), inflates the
+    * real zlib stream (`java.util.zip.Inflater`), and unfilters every
+    * scanline through all five spec filters (None/Sub/Up/Average/
+    * Paeth — the encoder cycles them row by row, so each is on the
+    * hash gate, not just in a unit test). */
+  private[graft] def pngStats(docId: Long, d: Array[Byte]): PngStats = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(d.length >= 8 && d.take(8).sameElements(sig),
+      s"doc $docId: not a PNG")
+    def be32(o: Int): Int = ((d(o) & 0xff) << 24) | ((d(o + 1) & 0xff) << 16) |
+      ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
+    def str4(o: Int) = new String(d, o, 4, "US-ASCII")
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 12 <= d.length, s"doc $docId: truncated chunk list")
+      val len = be32(off); val typ = str4(off + 4); val body = off + 8
+      val crc = new java.util.zip.CRC32()
+      crc.update(d, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(body + len),
+        s"doc $docId: CRC mismatch on $typ")
+      typ match {
+        case "IHDR" =>
+          w = be32(body); h = be32(body + 4)
+          require(d(body + 8) == 8 && d(body + 9) == 2 &&
+            d(body + 10) == 0 && d(body + 11) == 0 && d(body + 12) == 0,
+            s"doc $docId: only 8-bit truecolor non-interlaced supported")
+        case "IDAT" => idat.write(d, body, len)
+        case "IEND" => done = true
+        case _ => () // ancillary (tEXt/...): skip
+      }
+      off = body + len + 4
+    }
+    require(w > 0 && h > 0, s"doc $docId: no IHDR")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](stride * h)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || inf.finished(), s"doc $docId: bad zlib stream")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"doc $docId: short pixel stream ($got)")
+    // unfilter in place: prev row already reconstructed
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * stride) & 0xff
+      var i = 0
+      while (i < 3 * w) {
+        val cur = raw(y * stride + 1 + i) & 0xff
+        val left = if (i >= 3) px((y * w * 3) + i - 3) else 0
+        val up = if (y > 0) px(((y - 1) * w * 3) + i) else 0
+        val ul = if (y > 0 && i >= 3) px(((y - 1) * w * 3) + i - 3) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => (cur + left) & 0xff
+          case 2 => (cur + up) & 0xff
+          case 3 => (cur + (left + up) / 2) & 0xff
+          case 4 => (cur + paeth(left, up, ul)) & 0xff
+          case _ => throw new IllegalArgumentException(
+            s"doc $docId: bad filter $f")
+        }
+        px(y * w * 3 + i) = v
+        i += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val r = px(o); val g = px(o + 1); val b = px(o + 2)
+        sr += r; sg += g; sb += b
+        if (y < h / 2) sTop += r + g + b
+        if (x < w / 2) sLeft += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    PngStats(docId, w, h, sr, sg, sb, sTop, sLeft)
+  }
+
+  /** Closed-form PNG: dims from the doc id, RGB channels linear in
+    * (doc_id, x, y) — the oracle recomputes them codec-free. Each
+    * scanline carries filter (docId + y) % 5, so the five spec
+    * filters all sit on the gate; the filtered stream deflates
+    * through the real `java.util.zip.Deflater`, IDAT splits into two
+    * chunks, and a tEXt ancillary chunk sits between them. */
+  private[graft] def encodePng(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 5).toInt
+    val h = 3 + (docId % 4).toInt
+    val stride = 1 + 3 * w
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        px(o) = ((docId * 29 + x * 7 + y * 13) % 256).toInt
+        px(o + 1) = ((docId * 19 + x * 11 + y * 3) % 256).toInt
+        px(o + 2) = ((docId * 13 + x * 5 + y * 17) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](stride * h)
+    y = 0
+    while (y < h) {
+      val f = ((docId + y) % 5).toInt
+      raw(y * stride) = f.toByte
+      var i = 0
+      while (i < 3 * w) {
+        val cur = px(y * w * 3 + i)
+        val left = if (i >= 3) px(y * w * 3 + i - 3) else 0
+        val up = if (y > 0) px((y - 1) * w * 3 + i) else 0
+        val ul = if (y > 0 && i >= 3) px((y - 1) * w * 3 + i - 3) else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xff
+          case 2 => (cur - up) & 0xff
+          case 3 => (cur - (left + up) / 2) & 0xff
+          case 4 => (cur - paeth(left, up, ul)) & 0xff
+        }
+        raw(y * stride + 1 + i) = enc.toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(tb); out.write(body); out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    val cut = zlen / 2 // split IDAT: decoders must concatenate bodies
+    chunk("IDAT", zbuf.slice(0, cut))
+    chunk("tEXt", s"Comment graft $docId".getBytes("US-ASCII"))
+    chunk("IDAT", zbuf.slice(cut, zlen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Media table of REAL compressed images: one closed-form PNG per
+    * document id, built executor-side like [[bmpTable]]. */
+  def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val b = encodePng(id)
+        MediaRow(id, b, "image", b.length)
+      })
+      .toDF()
+  }
+
   /** Media table of REAL encoded images: one closed-form BMP per
     * document id. Encoding runs as a typed map (the codec seam's
     * write direction) — distributed, payload built executor-side. */
@@ -389,6 +589,18 @@ object Multimodal {
       wavTable(s, dir).as[MediaRow]
         .mapPartitions(_.map(r => wavStats(r.doc_id, r.media)))
         .toDF()
+    }),
+    // the COMPRESSED-image gate: a real PNG (zlib DEFLATE + the five
+    // spec scanline filters, cycled per row) per doc; the decoder
+    // checks every chunk CRC, concatenates split IDATs, inflates,
+    // unfilters. The oracle recomputes pixel sums from the formula
+    // with NO codec — hash equality proves real decompression
+    // recovered every pixel.
+    "mm_png" -> ((s, dir) => {
+      import s.implicits._
+      pngTable(s, dir).as[MediaRow]
+        .mapPartitions(_.map(r => pngStats(r.doc_id, r.media)))
+        .toDF()
     }))
 
   val oracle: Map[String, String] = Map(
@@ -438,6 +650,20 @@ object Multimodal {
         |  CAST(sum(CASE WHEN i < n // 2 THEN smp ELSE 0 END) AS BIGINT) AS sum_first_half,
         |  CAST(max(smp) AS INTEGER) AS max_s
         |FROM v GROUP BY doc_id, rate, n""".stripMargin,
+    "mm_png" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |  xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |  px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |  ch AS (SELECT doc_id, w, h, x, y,
+        |    (doc_id*29 + x*7 + y*13) % 256 AS r,
+        |    (doc_id*19 + x*11 + y*3) % 256 AS g,
+        |    (doc_id*13 + x*5 + y*17) % 256 AS b FROM px)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN y < h // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_top,
+        |  CAST(sum(CASE WHEN x < w // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_left
+        |FROM ch GROUP BY doc_id, w, h""".stripMargin,
     "mm_decode" ->
       """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -101,6 +102,64 @@ object Skew {
     else saltedAgg(df, key, valueCol, buckets)
   }
 
+  /** MEMORY-BOUNDED rank over LOW-CARDINALITY window partitions — the
+    * rewrite for the classic scale trap `rank() OVER (PARTITION BY
+    * flag ORDER BY v)` when `flag` has a handful of values: Spark's
+    * Window hash-partitions by `flag`, so ONE task must sort (and
+    * hold) a third of the fact, which is fatal once that third
+    * exceeds a task. Same two-level decomposition as
+    * [[Corpus.packSequences]]'s distributed prefix sum: equi-width
+    * value buckets (codegen'd `width_bucket` over the observed
+    * [min, max] — any value-function bucketing is CORRECT, it only
+    * chooses the internal partitioning) tile each group's order,
+    * per-(group, bucket) counts collect into a driver-bounded offset
+    * model (≤ groups × buckets rows), and the within-bucket rank runs
+    * as groups × buckets independent, executor-sized windows. Ties
+    * never span buckets (bucket is a function of the VALUE), so
+    * `offset + local rank` IS the global rank — exact; the DuckDB
+    * oracle is the plain single-window statement.
+    *
+    * The trade, measured at 100×/8 cpus on 60M rows: the naive window
+    * runs 4.5 s while a 20M-row partition still fits one task; this
+    * form pays two extra scans (min/max + counts) and runs 15.1 s
+    * (a first cut that assigned buckets with an interpreted
+    * higher-order array filter measured 38.8 s — bucket assignment
+    * must stay codegen'd). The win is not speed at THIS scale but
+    * boundedness: each task sorts ≤ rows/(groups × occupied buckets)
+    * instead of rows/groups, which is the number that must stay
+    * executor-sized at 100 TB. Raise `nBuckets` with scale; the
+    * collect stays model-sized. */
+  def rankSkewFree(df: DataFrame, group: String, value: String,
+                   nBuckets: Int = 64): DataFrame = {
+    val d = df.withColumn("_v", col(value).cast("double"))
+    val mm = d.agg(min(col("_v")), max(col("_v"))).head()
+    val vLo = mm.getDouble(0); val vHi = mm.getDouble(1)
+    val b =
+      if (vLo == vHi) d.withColumn("_b", lit(0))
+      else d.withColumn("_b",
+        width_bucket(col("_v"), lit(vLo), lit(vHi), lit(nBuckets))
+          .cast("int"))
+    // driver model: exclusive row offset per (group, bucket) — one
+    // entry per occupied cell, bounded by |groups| × nBuckets
+    val counts = b.groupBy(col(group).cast("string").as("_og"), col("_b"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    var acc = Map.empty[String, Long]
+    val offRows = counts.map { case (g, bk, n) =>
+      val off = acc.getOrElse(g, 0L)
+      acc += g -> (off + n)
+      (g, bk, off)
+    }.toSeq
+    val offDf = df.sparkSession.createDataFrame(offRows)
+      .toDF("_og", "_ob", "_off")
+    val wb = Window.partitionBy(col(group), col("_b")).orderBy(col("_v"))
+    b.join(broadcast(offDf),
+        col(group).cast("string") === col("_og") && col("_b") === col("_ob"))
+      .withColumn("rnk", rank().over(wb) + col("_off"))
+      .drop("_v", "_b", "_og", "_ob", "_off")
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,6 +179,17 @@ object Skew {
       out.select(col("l_returnflag"),
         (round(col("total") * 1e2) / 1e2).as("total"), col("n"))
     }),
+    // rank over a 3-value window partition, decomposed into
+    // 3 × nBuckets executor-sized windows — the oracle is the plain
+    // (single-task-per-flag) window statement
+    "k_rank_skewfree" -> ((s, dir) => {
+      rankSkewFree(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("rnk"))
+    }),
     "k_salted_join" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val p = Tables.load(s, dir, "part")
@@ -135,6 +205,8 @@ object Skew {
       "SELECT l_returnflag, round((sum(l_extendedprice))*1e2)/1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "k_auto_salted" ->
       "SELECT l_returnflag, round((sum(l_quantity))*1e2)/1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "k_rank_skewfree" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk FROM lineitem",
     "k_salted_join" ->
       "SELECT p_brand, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand")
 }

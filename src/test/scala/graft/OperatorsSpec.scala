@@ -1892,6 +1892,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG codec: roundtrip exact over all five filters; chunk CRC is actually verified") {
+    // ids 0..39 cover every (w, h, filter-cycle) residue; h up to 6
+    // puts all five scanline filters inside single images
+    (0L until 40L).foreach { id =>
+      val st = Multimodal.pngStats(id, Multimodal.encodePng(id))
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+      assert(st.width == w && st.height == h, s"doc $id dims")
+      var sr = 0L; var sLeft = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (id * 29 + x * 7 + y * 13) % 256
+        val g = (id * 19 + x * 11 + y * 3) % 256
+        val b = (id * 13 + x * 5 + y * 17) % 256
+        sr += r
+        if (x < w / 2) sLeft += r + g + b
+      }
+      assert(st.sum_r == sr && st.sum_left == sLeft, s"doc $id sums")
+    }
+    // flip one byte inside the first IDAT body: the CRC check must
+    // reject the file, not decode garbage
+    val png = Multimodal.encodePng(7L)
+    def be32(o: Int) = ((png(o) & 0xff) << 24) | ((png(o + 1) & 0xff) << 16) |
+      ((png(o + 2) & 0xff) << 8) | (png(o + 3) & 0xff)
+    var off = 8
+    while (new String(png, off + 4, 4, "US-ASCII") != "IDAT")
+      off += 12 + be32(off)
+    val bad = png.clone()
+    bad(off + 8) = (bad(off + 8) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.pngStats(7L, bad)
+    }
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
   test("q21 aggregate rewrite ≡ textbook semi/anti compilation (row-identical)") {
     val agg = graft.queries.Extended.qTpchQ21(spark, sf)
     val sa = graft.queries.Extended.qTpchQ21SemiAnti(spark, sf)

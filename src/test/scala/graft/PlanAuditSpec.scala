@@ -248,6 +248,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-user gap fill must never funnel through one partition:\n$p")
   }
 
+  test("k_rank_skewfree: rank windows partition by (group, bucket) — never the 3-value group alone") {
+    val p = plan(graft.operators.Skew.rankSkewFree(
+      graft.sources.Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity"))
+    val winLine = p.linesIterator.find(_.contains("windowspecdefinition"))
+      .getOrElse("")
+    assert(winLine.contains("_b"),
+      s"window must include the range bucket in its partition keys:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // offset model broadcasts
+  }
+
   test("incremental dedup probe: index side joins with NO exchange (bucketed layout)") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
     graft.operators.Dedup.initLshIndex(
