@@ -31,102 +31,69 @@ object HashExpressions {
   /** MinHash signature: array<string> shingles → array<long> of
     * `perms` minima. Permutation i applies the affine multiply-add
     * (a_i * h + b_i mod 2^64) to the base xxHash of each shingle —
-    * one string hash per shingle total, then cheap long ops. */
+    * one string hash per shingle total, then cheap long ops.
+    * Codegen-native (doGenCode emits a static [[Kernels]] call), so
+    * the enclosing projection stays one WholeStageCodegen span. */
   case class MinHashSignature(child: Expression, perms: Int)
-      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    // deterministic odd multipliers / offsets (splitmix-style)
-    private lazy val (as, bs) = {
-      val a = new Array[Long](perms); val b = new Array[Long](perms)
-      var x = 0x9E3779B97F4A7C15L
-      def next(): Long = {
-        x += 0x9E3779B97F4A7C15L
-        var z = x
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^ (z >>> 31)
-      }
-      var i = 0
-      while (i < perms) { a(i) = next() | 1L; b(i) = next(); i += 1 }
-      (a, b)
-    }
-
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val sig = Array.fill(perms)(Long.MaxValue)
-      var j = 0
-      while (j < n) {
-        val h = hashStr(arr.getUTF8String(j), 42L)
-        var i = 0
-        while (i < perms) {
-          val p = as(i) * h + bs(i)
-          if (p < sig(i)) sig(i) = p
-          i += 1
-        }
-        j += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(v: Any): Any =
+      Kernels.minhashSig(v.asInstanceOf[ArrayData], perms)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Kernels.minhashSig($c, $perms)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
     override def prettyName: String = "minhash_signature"
   }
 
-  /** SimHash: array<string> tokens → 64-bit signature long. */
+  /** SimHash: array<string> tokens → 64-bit signature long.
+    * Codegen-native via the static [[Kernels]] body. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      val n = arr.numElements()
-      var j = 0
-      while (j < n) {
-        val h = hashStr(arr.getUTF8String(j), 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        j += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(Kernels.simhash64(v.asInstanceOf[ArrayData]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "simhash64"
   }
 
   /** Cosine similarity of two float vectors, computed EXACTLY like
     * the DuckDB-oracle formulation: per-index float→double casts, one
-    * sequential left-fold per accumulator — bit-identical results. */
+    * sequential left-fold per accumulator — bit-identical results.
+    * Codegen-native; the dimension-mismatch→null branch (SQL-style,
+    * not an executor crash) is emitted inline, the arithmetic is the
+    * shared static [[Kernels]] body. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes: Seq[DataType] =
       Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      // dimension mismatch → null (SQL-style), not an executor crash
-      if (a.numElements() != b.numElements()) return null
-      val n = a.numElements()
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      if (a.numElements() != b.numElements()) null
+      else java.lang.Double.valueOf(Kernels.cosine(a, b))
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.Kernels.cosine($a, $b);
+        }""")
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def prettyName: String = "cosine_similarity"

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel bodies for the custom Catalyst expressions.
+  *
+  * A top-level Scala object with no companion class compiles to
+  * static forwarders, so generated Java from `doGenCode` calls these
+  * directly (`graft.functions.Kernels.simhash64(arr)`) — the same
+  * pattern Spark's own hash expressions use with `XXH64`. One body
+  * serves BOTH execution paths: the interpreted `nullSafeEval` and
+  * the whole-stage-codegen emission delegate here, so the two paths
+  * cannot drift (the hash gates pin the values; this file pins that
+  * there is only one implementation to pin).
+  */
+object Kernels {
+
+  @inline private def hashStr(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** SimHash: array<string> tokens → 64-bit signature. */
+  def simhash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashStr(arr.getUTF8String(j), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  // deterministic odd multipliers / offsets (splitmix-style), cached
+  // per permutation count — identical bit-for-bit to the original
+  // per-expression lazy table
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def permTable(perms: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(perms, { p =>
+      val a = new Array[Long](p); val b = new Array[Long](p)
+      var x = 0x9E3779B97F4A7C15L
+      def next(): Long = {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      var i = 0
+      while (i < p) { a(i) = next() | 1L; b(i) = next(); i += 1 }
+      (a, b)
+    })
+
+  /** MinHash signature: array<string> shingles → array<long> minima
+    * under `perms` affine permutations of one base xxHash. */
+  def minhashSig(arr: ArrayData, perms: Int): ArrayData = {
+    val (as, bs) = permTable(perms)
+    val n = arr.numElements()
+    val sig = Array.fill(perms)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hashStr(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < perms) {
+        val p = as(i) * h + bs(i)
+        if (p < sig(i)) sig(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Cosine of two EQUAL-LENGTH float vectors (callers check dims —
+    * the expression's codegen emits the mismatch→null branch). Same
+    * accumulation order as the DuckDB oracle: per-index float→double
+    * casts, one sequential fold per accumulator. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

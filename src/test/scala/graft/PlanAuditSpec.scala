@@ -260,6 +260,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p) // offset model broadcasts
   }
 
+  test("sketch kernels are codegen-native: the projection stays inside WholeStageCodegen") {
+    graft.functions.HashExpressions.register(spark)
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select(split(col("text"), " ").as("toks"))
+    val p = plan(d.select(
+      call_function("simhash64", col("toks")).as("h"),
+      element_at(call_function("minhash_signature", col("toks")), 1).as("m")))
+    val line = p.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    // '*(n)' prefixes codegen'd operators; a CodegenFallback kernel
+    // would leave this Project un-starred (interpreted projection)
+    assert(line.trim.startsWith("*"),
+      s"sketch projection fell out of WholeStageCodegen:\n$p")
+  }
+
   test("incremental dedup probe: index side joins with NO exchange (bucketed layout)") {
     val d = graft.sources.Tables.load(spark, sf, "documents")
     graft.operators.Dedup.initLshIndex(
