@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions
 import graft.operators.{Bpe, Corpus, Dedup, Fuzzy, Graph, Layout, Merge, Multimodal, Profile, Similarity, Skew, TextAnalysis}
-import graft.queries.{Extended, Relational, Temporal}
+import graft.queries.{Extended, Relational, Temporal, TpchSupply}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Extended.queries ++ Temporal.queries ++
+    Relational.queries ++ Extended.queries ++ TpchSupply.queries ++
+      Temporal.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ TextFunctions.queries ++ Skew.queries ++
       Merge.queries ++ Corpus.queries ++ Layout.queries ++ Graph.queries ++
@@ -28,7 +29,8 @@ object SparkEntry {
       graft.query.Script.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Extended.oracle ++ Temporal.oracle ++
+    Relational.oracle ++ Extended.oracle ++ TpchSupply.oracle ++
+      Temporal.oracle ++
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ TextFunctions.oracle ++ Skew.oracle ++
       Merge.oracle ++ Corpus.oracle ++ Layout.oracle ++ Graph.oracle ++

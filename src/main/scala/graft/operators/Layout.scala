@@ -84,6 +84,56 @@ object Layout {
       .count(_.endsWith(".parquet"))
   }
 
+  /** Write `df` range-clustered on `key` AND a per-file min/max stats
+    * manifest next to it (`manifest/`) — the Delta/Iceberg
+    * data-skipping pattern expressed with plain parquet: each data
+    * file's key range is recorded once at write time, and
+    * [[skippingRead]] consults the manifest to open ONLY the files
+    * whose range intersects the predicate. Parquet footers already
+    * carry min/max, but at 100 TB footer-level skipping still costs
+    * one open+footer-read per file (millions of S3 GETs); the manifest
+    * answers the same question with ONE small parquet read. The stats
+    * job is a single scan of the freshly-written data grouped by
+    * `input_file_name()` — file-local aggregation, no shuffle of the
+    * data rows beyond the per-file partials. */
+  def writeSkipping(df: DataFrame, path: String, key: Column,
+                    targetRowsPerFile: Long): Int = {
+    val nFiles = writeSized(df, s"$path/data", Seq(key), targetRowsPerFile)
+    val s = df.sparkSession
+    val keyName = df.select(key).schema.head.name
+    s.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyName)).as("min_k"), max(col(keyName)).as("max_k"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+    nFiles
+  }
+
+  /** Manifest-pruned range read over a [[writeSkipping]] layout:
+    * returns (pruned DataFrame, files opened, files total). The file
+    * list is collected driver-side — bounded by FILE count, the same
+    * driver-resident state Spark's own FileIndex keeps for every scan;
+    * the data rows never leave the executors. The residual filter
+    * still applies (manifest ranges admit whole files; exact bounds
+    * come from the predicate), so correctness never depends on the
+    * manifest being fine-grained — only speed does. */
+  def skippingRead(s: SparkSession, path: String, keyName: String,
+                   lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val manifest = s.read.parquet(s"$path/manifest")
+    val total = manifest.count().toInt
+    val files = manifest
+      .filter(col("max_k") >= lo && col("min_k") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty)
+        s.read.parquet(s"$path/data").filter(lit(false))
+      else
+        s.read.parquet(files.toIndexedSeq: _*)
+          .filter(col(keyName) >= lo && col(keyName) <= hi)
+    (df, files.length, total)
+  }
+
   // ------------------------------------------------------- queries //
 
   /** Round-trip through the sized layout: orders written as bounded
@@ -235,7 +285,25 @@ object Layout {
         col("n_lines"), col("qty"))
   }
 
+  /** Gate for the skipping layout: lineitem written with a per-file
+    * key manifest, read back through the manifest-pruned range scan.
+    * The hash certifies the pruned read reproduces the slice exactly;
+    * LayoutSpec pins that the manifest actually pruned (files opened
+    * strictly fewer than files written) — the property that turns a
+    * 100-TB scan into a few-file read. */
+  def skippingRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skip").toString
+    writeSkipping(li, path, col("l_orderkey"), targetRowsPerFile = 4000L)
+    val (df, _, _) = skippingRead(s, path, "l_orderkey", 1000L, 3000L)
+    df.select(col("l_orderkey"), col("l_partkey"),
+      (round(col("l_quantity") * 100) / 100).as("l_quantity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_skipping_read" -> (skippingRoundTrip _),
     "w_bucketed_join" -> (bucketedJoin _),
     "w_partitioned_prune" -> (partitionedRoundTrip _),
     "w_sized_roundtrip" -> (sizedRoundTrip _),
@@ -248,6 +316,8 @@ object Layout {
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
 
   val oracle: Map[String, String] = Map(
+    "w_skipping_read" ->
+      "SELECT l_orderkey, l_partkey, round((l_quantity)*1e2)/1e2 AS l_quantity FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 3000",
     "w_bucketed_join" ->
       "SELECT o_orderkey, round((o_totalprice)*1e2)/1e2 AS price, count(*) AS n_lines, round((sum(l_quantity))*1e2)/1e2 AS qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_orderkey, o_totalprice",
     "w_partitioned_prune" ->

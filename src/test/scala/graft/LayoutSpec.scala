@@ -123,4 +123,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(mean(_._1) <= 12 && mean(_._2) <= 12 && mean(_._3) <= 12,
       s"mean spans (${mean(_._1)}, ${mean(_._2)}, ${mean(_._3)})")
   }
+
+  test("skipping manifest: pruned read opens a strict subset of files, result exact") {
+    val s = spark; import s.implicits._
+    val df = (1L to 4000L).map(k => (k, k * 3 % 11)).toDF("k", "v")
+    val path = java.nio.file.Files
+      .createTempDirectory("layout_skip").toString
+    val nFiles = Layout.writeSkipping(df, path, col("k"),
+      targetRowsPerFile = 500L)
+    assert(nFiles >= 8, s"nFiles=$nFiles")
+    // narrow range → few files opened; the manifest must prune
+    val (pruned, opened, total) = Layout.skippingRead(s, path, "k", 900L, 1100L)
+    assert(total === nFiles)
+    assert(opened < total, s"no pruning: opened $opened of $total")
+    // repartitionByRange samples boundaries, so a 201-key slice of a
+    // ~500-key/file layout can straddle up to 3 files
+    assert(opened <= 3, s"narrow 201-key range touched $opened files")
+    val got = pruned.select("k").as[Long].collect().sorted
+    assert(got.toSeq == (900L to 1100L).toSeq, s"rows diverged: ${got.length}")
+    // empty intersection → zero files, zero rows, same schema
+    val (empty, opened0, _) = Layout.skippingRead(s, path, "k", 100000L, 200000L)
+    assert(opened0 === 0 && empty.count() === 0)
+    assert(empty.schema === pruned.schema)
+  }
 }
