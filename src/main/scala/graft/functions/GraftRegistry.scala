@@ -57,6 +57,8 @@ object GraftRegistry {
     "minhash_signature" -> (es => MinHashSignature(es.head, 64)),
     "simhash64" -> (es => SimHash64(es.head)),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "srp_pack" -> (es => SrpPack(es(0), staticInt(es(1), "srp_pack words"))),
+    "hamming_dist" -> (es => HammingDist(es(0), es(1))),
     "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
     "word_ngrams_3" -> (es => WordNgrams(es.head, 3)),
     "word_ngrams_2" -> (es => WordNgrams(es.head, 2)),

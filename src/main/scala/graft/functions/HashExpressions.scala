@@ -99,6 +99,52 @@ object HashExpressions {
     override def prettyName: String = "cosine_similarity"
   }
 
+  /** Binary-quantization code: array<float> → `words` packed longs of
+    * deterministic SRP sign bits ([[Kernels.srpPack]]).
+    * Codegen-native via the static kernel body. */
+  case class SrpPack(child: Expression, words: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Kernels.srpPack(v.asInstanceOf[ArrayData], words)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.srpPack($c, $words)")
+    override protected def withNewChildInternal(c: Expression): SrpPack =
+      copy(child = c)
+    override def prettyName: String = "srp_pack"
+  }
+
+  /** Hamming distance of two packed sign codes (array<long>); word
+    * count mismatch → null, SQL-style, like [[CosineSimilarity]]. */
+  case class HammingDist(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      if (a.numElements() != b.numElements()) null
+      else java.lang.Integer.valueOf(Kernels.hamming(a, b))
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.Kernels.hamming($a, $b);
+        }""")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "hamming_dist"
+  }
+
   /** PQ code assignment: embedding array<float> → array<int> of
     * `nSub` argmin-L2 codes against a codebook held inside the
     * expression as one flat float array ((m, code)-major, subDim
@@ -429,6 +475,10 @@ object HashExpressions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def cosine_similarity(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
+  def srp_pack(c: Column, words: Int): Column =
+    call_function("srp_pack", c, org.apache.spark.sql.functions.lit(words))
+  def hamming_dist(a: Column, b: Column): Column =
+    call_function("hamming_dist", a, b)
   def sig_agreement(a: Column, b: Column): Column =
     call_function("sig_agreement", a, b)
   def word_ngrams3(c: Column): Column = call_function("word_ngrams_3", c)

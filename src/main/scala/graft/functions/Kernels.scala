@@ -98,4 +98,49 @@ object Kernels {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Binary-quantization code: array<float> → `words` packed longs of
+    * sign-random-projection bits (±1 hyperplanes from the same
+    * deterministic (plane, dim) mix as [[HashExpressions.SrpBucket]],
+    * offset into a disjoint plane namespace). With words·64 ≥ dim and
+    * axis-aligned planes this degenerates to the textbook "sign of
+    * each component" BQ; projection expansion matters when dim is
+    * SMALL (the 64-dim gate corpus needs 512 projected bits — raw
+    * 64-bit sign codes measured a 66%-of-corpus shortlist for
+    * recall 1 vs ~10% at 512 bits). */
+  def srpPack(a: ArrayData, words: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](words)
+    var b = 0
+    val nbits = words << 6
+    while (b < nbits) {
+      val plane = (1L << 20) + b
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        var z = plane * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        proj += a.getFloat(j).toDouble * (if (z > 0) 1.0 else -1.0)
+        j += 1
+      }
+      if (proj > 0) out(b >>> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Hamming distance between two EQUAL-LENGTH packed sign codes
+    * (callers check word counts — the expression emits the
+    * mismatch→null branch). */
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var d = 0
+    var i = 0
+    while (i < n) {
+      d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    d
+  }
 }

@@ -306,8 +306,83 @@ object Graph {
     labels.select(col("node"), col("lbl").as("label"))
   }
 
+  /** Multi-source BFS hop distances: every node's minimum hop count
+    * from a seed set, out to `maxHops` — the graph-proximity filter a
+    * curation pipeline runs when "within k links of a trusted seed"
+    * IS the inclusion criterion (crawl-frontier scoping, seed-expanded
+    * allowlists), the discrete sibling of [[personalizedPageRank]]'s
+    * continuous proximity.
+    *
+    * Scale design is FRONTIER iteration, not min-relaxation: each
+    * round joins the edge snapshot against only the nodes discovered
+    * LAST round and anti-joins the settled set, so a round's shuffle
+    * carries the frontier's out-edges — not the full |V| distance
+    * vector re-expanded through every edge, which is what the
+    * unrolled relational form (and the DuckDB oracle) does per
+    * round. On a 100-TB graph the frontier peaks and shrinks while
+    * Σ|frontier| = |reached|, so total work is O(E reached) across
+    * the whole run vs O(E·hops) for relaxation. Each frontier pins
+    * via [[Dedup.materialize]] (it is read twice next round — the
+    * expansion and the settled union) with the row count observed on
+    * the write, so exhaustion short-circuits the loop with zero extra
+    * jobs. Seeds count at hop 0 whether or not they appear in the
+    * edge list (an isolated trusted node is still trusted). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
+    val sym = Dedup.materialize(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
+      "bfs_sym")
+    var settled = Dedup.materialize(
+      seeds.select(col("node")).distinct()
+        .select(col("node"), lit(0).as("hops")), "bfs_d0")
+    var frontier = settled
+    var h = 0
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val obs = org.apache.spark.sql.Observation()
+      val next = sym
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hops"))
+        .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+      frontier = Dedup.materialize(next, s"bfs_f$h")
+      exhausted = obs.get("n").asInstanceOf[Long] == 0L
+      // settled stays a LAZY union of the on-disk frontier snapshots:
+      // each round's anti-join re-reads them (same total read cost as
+      // one merged snapshot) but nothing ever REWRITES the full
+      // settled set — per-round write stays O(|frontier|), not O(|V|)
+      if (!exhausted) settled = settled.union(frontier)
+    }
+    settled
+  }
+
   private val prIters = 5
   private val lpaIters = 4
+  private val bfsMaxHops = 4
+
+  /** The BFS oracle unrolls min-relaxation: each round min-merges the
+    * previous distances with every neighbor's distance+1. Layered
+    * frontier expansion computes exactly this fixpoint prefix (the
+    * Bellman-Ford ≡ BFS equivalence on unit weights), so hash
+    * equality proves the frontier/anti-join machinery — which shares
+    * no shape with the oracle — lands the same distances. */
+  private def bfsOracleSql(maxHops: Int): String = {
+    val base = "WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, " +
+      "'s' || l_suppkey AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "r0 AS (SELECT DISTINCT 'c' || c_custkey AS node, 0 AS hops " +
+      "FROM customer WHERE c_custkey < 25)"
+    val iterCtes = (1 to maxHops).map { i =>
+      s"r$i AS (SELECT node, min(hops) AS hops FROM (" +
+        s"SELECT node, hops FROM r${i - 1} " +
+        s"UNION ALL SELECT s.dst, r.hops + 1 FROM sym s " +
+        s"JOIN r${i - 1} r ON s.src = r.node) GROUP BY node)"
+    }.mkString(", ", ", ", "")
+    s"$base$iterCtes SELECT node, hops FROM r$maxHops"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // communities on the co-purchase projection (same deterministic
@@ -337,7 +412,15 @@ object Graph {
     // the full-graph cost is recorded as perf evidence instead.
     "g_triangles" -> ((s, dir) =>
       trianglesPerNode(coPurchaseEdges(Tables.load(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)))))
+        .filter(col("l_orderkey") % 4 === 0)))),
+    // same seed set + interaction graph as g_ppr; hop radius 4 (the
+    // bipartite graph alternates customer/supplier sides per hop)
+    "g_bfs" -> ((s, dir) => bfsHops(
+      customerSupplierEdgesNum(Tables.load(s, dir, "orders"),
+        Tables.load(s, dir, "lineitem")),
+      Tables.load(s, dir, "customer").filter(col("c_custkey") < 25)
+        .select((col("c_custkey") * 2).as("node")), bfsMaxHops)
+      .select(decodeNode(col("node")).as("node"), col("hops"))))
 
   /** The oracle unrolls the same five update steps as chained CTEs —
     * identical double-operation order (damping constants forced to
@@ -410,6 +493,7 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "g_bfs" -> bfsOracleSql(bfsMaxHops),
     "g_labelprop" -> lpaOracleSql(lpaIters),
     "g_pagerank" -> prOracleSql(prIters),
     "g_ppr" -> pprOracleSql(prIters),

@@ -157,6 +157,56 @@ object Similarity {
     topKPerQuery(cand, k)
   }
 
+  /** Binary-quantization ANN (the BQ index pattern production vector
+    * stores ship alongside PQ): every vector quantizes to
+    * `codeWords`·64 packed SRP sign bits — an 8-byte-per-64-bits code
+    * — the FULL code scan ranks candidates by Hamming distance into a
+    * per-query bounded heap, and only the `shortlist` survivors fetch
+    * their float vectors for the exact cosine rerank. Unlike the
+    * bucketed families (SRP tables, IVF cells) nothing is pruned
+    * structurally: BQ's scale bet is that scanning a few dozen bytes
+    * per row of codes with a ~1ns popcount kernel is affordable where
+    * scanning floats is not, while recall comes from the rerank. At
+    * 100 TB the code column is its own slim parquet file, the heap
+    * aggregate shuffles ≤ shortlist rows per query per partition, and
+    * the rerank joins touch shortlist·|Q| vectors total.
+    *
+    * Bit budget is measured, not guessed: on the 64-dim gate corpus
+    * raw per-dimension sign codes need a 66%-of-corpus shortlist for
+    * recall 1 (near-random vectors — the hardest BQ regime), 512
+    * projected bits need ~10%; [[Kernels.srpPack]]'s scaladoc records
+    * the numbers. Both kernels (srpPack / [[Kernels.hamming]]) are
+    * codegen-native static bodies, so the code scan stays inside one
+    * WholeStageCodegen span. */
+  def hammingTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                  shortlist: Int, codeWords: Int = 8): DataFrame = {
+    graft.functions.HashExpressions.register(embeddings.sparkSession)
+    import graft.functions.HashExpressions.{hamming_dist, srp_pack}
+    val coded = embeddings.select(col("vec_id"),
+      srp_pack(col("embedding"), codeWords).as("code"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        srp_pack(col("embedding"), codeWords).as("qc"))
+    // negated distance so the shared descending top-k heap keeps the
+    // NEAREST codes; ties land on the smaller nid (the heap's total
+    // order), and the shortlist margin absorbs tie-boundary cuts
+    val cand = coded.crossJoin(broadcast(q.select(col("qid"), col("qc"))))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (-hamming_dist(col("qc"), col("code"))).cast("double").as("nhd"))
+    val short = cand.groupBy(col("qid"))
+      .agg(graft.functions.HashExpressions
+        .top_k_by_score(col("nhd"), col("nid"), shortlist).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("e"))
+      .select(col("qid"), col("e.nid").as("nid"))
+    val rer = short
+      .join(embeddings.select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .join(broadcast(q.select(col("qid"), col("qe"))), "qid")
+      .select(col("qid"), col("nid"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKPerQuery(rer, k)
+  }
+
   /** Per-row (csim, cell) scores against a DRIVER-HELD centroid set,
     * unrolled into a literal struct array: assignment and probe
     * selection become scan-local expressions — no crossJoin, no
@@ -1093,6 +1143,19 @@ object Similarity {
       annRecall(lshCosineTopK(e, 10, 5, bits = 3, tables = 24),
         cosineTopK(e, 10, 5), 5)
     }),
+    // oracled recall-1 proof of the binary-quantization scan+rerank:
+    // a 25%-of-corpus Hamming shortlist over 512-bit codes recovers
+    // the exact top-5 of every query (measured worst-case need ~10%
+    // at both gate scales — 2.4× margin; the oracle has no codes, no
+    // popcounts, no shortlist). 25% is the corpus-honest fraction for
+    // these near-random vectors — the clustered-fixture spec pins the
+    // few-percent regime, the same split as the PQ family.
+    "s_hamming_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val short = math.ceil(e.count() * 0.25).toInt
+      annRecall(hammingTopK(e, 10, 5, shortlist = short),
+        cosineTopK(e, 10, 5), 5)
+    }),
     // 0.4: the tail of this corpus's cosine distribution (max pairwise
     // ≈ 0.5 — the generator plants no true embedding duplicates).
     // bits ~ log2(N) for the 2000-vector corpus: 8 bits → 256 buckets
@@ -1413,6 +1476,8 @@ object Similarity {
     "s_hard_negatives" -> hardNegSql,
     "s_mmr_topk" -> mmrOracleSql(5, 10, 0.7, 0.3),
     "s_lsh_ann" ->
+      s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    "s_hamming_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_ivf_ann" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",

@@ -267,6 +267,54 @@ object Temporal {
         unix_micros(col("sw.end")).as("end_us"),
         col("n_events"))
 
+  /** Peak concurrency per hour — the sweep-line census over session
+    * intervals ("how many sessions were active at once"): every
+    * session contributes a +1 point at its start and a −1 at its end
+    * (end = last event + gap, [[sessionWindows]]'s native
+    * `session_window` bounds), the points order globally by
+    * (t, delta, user) — ends before starts at a shared instant, so a
+    * back-to-back handoff never counts as overlap — and the running
+    * sum of deltas IS the active-session count after each point; the
+    * hourly max of that running value is the published row.
+    *
+    * Scale design: the global running sum is a DISTRIBUTED two-level
+    * prefix sum (the [[graft.operators.Corpus.packSequences]] shape),
+    * never one unbounded window. Points bucket by UTC day — a PREFIX
+    * of the (t, …) total order, so buckets tile it — per-day delta
+    * totals (≤ one row per day in the corpus, driver-model-sized at
+    * any corpus scale) collect for exclusive day offsets, and the
+    * within-day cumsum runs as independent day-partitioned windows
+    * whose size is one day's session churn. At 100 TB drop to hour
+    * buckets: same two jobs, finer tiles. */
+  def concurrencyPerHour(s: SparkSession, dir: String): DataFrame = {
+    val us = 1000000L
+    val iv = events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"))
+    val pts = iv.select(col("start_us").as("t"), lit(1).as("delta"), col("user_id"))
+      .unionAll(iv.select(col("end_us").as("t"), lit(-1).as("delta"), col("user_id")))
+      .withColumn("day", expr(s"t DIV ${86400L * us}L"))
+    val dayTotals = pts.groupBy(col("day"))
+      .agg(sum(col("delta")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val dayOffset: Map[Long, Long] = dayTotals.map { case (d, t) =>
+      val e = d -> acc; acc += t; e
+    }.toMap
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("delta"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts
+      .withColumn("active",
+        element_at(typedLit(dayOffset), col("day")) +
+          sum(col("delta").cast("long")).over(wd))
+      .groupBy(expr(s"t DIV ${3600L * us}L").as("h"))
+      .agg(max(col("active")).as("max_active"))
+      .select((col("h") * (3600L * us)).as("hour_us"), col("max_active"))
+  }
+
   /** Sliding (hopping) 1-hour windows at a 15-minute slide — each
     * event lands in windowSize/slide = 4 windows. Completes the
     * window-type trio (tumbling `q_stream_window`, session
@@ -309,9 +357,29 @@ object Temporal {
     "q_stream_enrich" -> ((s, dir) =>
       graft.streaming.EventsStream.enrichWithCustomer(
         events(s, dir), Tables.load(s, dir, "customer"))),
-    "q_sessionize" -> (sessionizeBatch _))
+    "q_sessionize" -> (sessionizeBatch _),
+    "q_concurrency" -> (concurrencyPerHour _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle restates the sweep as ONE global running-sum window
+    // (the single-machine formulation); equality proves the two-level
+    // day-bucketed prefix sum computes the identical global order and
+    // prefix values. Session bounds restate session_window: start =
+    // first event, end = last event + gap.
+    "q_concurrency" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 30*60*1000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s),
+        |iv AS (SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) + 30*60*1000000 AS end_us
+        |  FROM g GROUP BY user_id, sid),
+        |pts AS (SELECT start_us AS t, 1 AS delta, user_id FROM iv
+        |  UNION ALL SELECT end_us, -1, user_id FROM iv),
+        |run AS (SELECT t, sum(delta) OVER (ORDER BY t, delta, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active FROM pts)
+        |SELECT (t // 3600000000) * 3600000000 AS hour_us, max(active) AS max_active
+        |FROM run GROUP BY 1""".stripMargin,
     // each event expands to its 4 containing hop windows via epoch-µs
     // integer arithmetic (Spark's hop grid is epoch-aligned; so is
     // this one — both grids are multiples of 15 min from epoch)

@@ -631,6 +631,36 @@ class OperatorsSpec extends AnyFunSuite {
       rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
   }
 
+  test("hamming kernel: xor popcount per word, word-count mismatch is null") {
+    import graft.functions.HashExpressions.hamming_dist
+    val r = spark.range(1).select(
+      hamming_dist(typedLit(Seq(0L, -1L)), typedLit(Seq(3L, -1L))).as("d"),
+      hamming_dist(typedLit(Seq(5L)), typedLit(Seq(5L))).as("z"),
+      hamming_dist(typedLit(Seq(0L)), typedLit(Seq(0L, 0L))).as("m"),
+      hamming_dist(typedLit(Seq(0L)), typedLit(Seq(-1L))).as("full"))
+      .head()
+    assert(r.getInt(0) === 2)    // 0b11 differs in 2 bits
+    assert(r.getInt(1) === 0)    // identical codes
+    assert(r.isNullAt(2))        // 1 word vs 2 words → null, no crash
+    assert(r.getInt(3) === 64)   // all 64 bits flip
+  }
+
+  test("Hamming BQ on a CLUSTERED corpus: recall 1 at a 5% shortlist") {
+    // same division of labor as the PQ pair: the registry gate runs
+    // the corpus-honest 25% shortlist on near-random vectors, this
+    // fixture certifies the few-percent regime the operator targets
+    // at scale — 2048 clustered vectors, 5% Hamming shortlist over
+    // the 512-bit codes, exact rerank recovers every true top-5
+    val clustered = Similarity.clusteredCorpus(spark)
+    val rec = Similarity.annRecall(
+      Similarity.hammingTopK(clustered, 10, 5,
+        shortlist = (2048 * 0.05).toInt),
+      Similarity.cosineTopK(clustered, 10, 5), 5).collect()
+    assert(rec.length === 10)
+    assert(rec.forall(_.getDouble(1) == 1.0),
+      rec.map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(","))
+  }
+
   test("MMR: picks the diverse candidate over the redundant near-duplicate") {
     val s = spark; import s.implicits._
     // query 0 between two orthogonal clusters; candidates: ids 10/11
@@ -775,6 +805,24 @@ class OperatorsSpec extends AnyFunSuite {
     // the hub dominates its leaves; a 2-cycle node holds 1/6 mass
     assert(r("a") > r("b"))
     assert(math.abs(r("e") - 1.0 / 6) < 1e-4)
+  }
+
+  test("bfs: layered min-hops, isolated seed at 0, frontier exhaustion stops early") {
+    val s = spark; import s.implicits._
+    // path a-b-c-d-e plus a shortcut a-c (two routes to c: hop 2 via
+    // b, hop 1 direct — min wins), plus unreachable x-y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("a", "c"), ("x", "y")).toDF("a", "b")
+    val seeds = Seq("a", "z").toDF("node") // z: isolated trusted seed
+    val got = Graph.bfsHops(edges, seeds, maxHops = 10).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // exhaustion after hop 3 (e settles last); x/y never reached
+    assert(got === Map("a" -> 0, "z" -> 0, "b" -> 1, "c" -> 1,
+      "d" -> 2, "e" -> 3))
+    // radius cap truncates distances, never relabels settled nodes
+    val capped = Graph.bfsHops(edges, seeds, maxHops = 1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped === Map("a" -> 0, "z" -> 0, "b" -> 1, "c" -> 1))
   }
 
   test("pagerank convergence: tol stop matches a deep fixed run; non-convergence throws") {

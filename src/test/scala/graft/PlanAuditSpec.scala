@@ -92,6 +92,20 @@ class PlanAuditSpec extends AnyFunSuite {
         s"unpartitioned window in pack plan: $w"))
   }
 
+  test("q_concurrency: the sweep's running sum windows by day — never one global task") {
+    val p = plan(graft.SparkEntry.queries("q_concurrency")(spark, sf))
+    // the naive sweep is `Window [sum(delta) ORDER BY t]` with no
+    // partition spec — the whole corpus's session endpoints through
+    // one task. The two-level form must leave only day-partitioned
+    // windows (the session_window aggregation itself is exchange-keyed
+    // by user and not a Window operator).
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w =>
+      assert(w.contains("windowspecdefinition(day#"),
+        s"unpartitioned window in concurrency plan: $w"))
+  }
+
   test("per-row operators introduce no exchange: b2_project, text analysis, chunking") {
     val p1 = plan(Relational.b2Project(spark, sf))
     assert(!p1.contains("Exchange"), p1)
