@@ -108,20 +108,47 @@ object Kernels {
     * SMALL (the 64-dim gate corpus needs 512 projected bits — raw
     * 64-bit sign codes measured a 66%-of-corpus shortlist for
     * recall 1 vs ~10% at 512 bits). */
+  // ±1 plane components, (bit, dim)-major, cached per (words, dim):
+  // the mix runs once per configuration instead of per ROW (recomputing
+  // it per row measured 87 s for the 200k-vector 100× encode sweep —
+  // the mix tripled the inner loop). Bounded: one entry per distinct
+  // (code width, embedding dim) pair in the process, words·64·dim
+  // floats each (512×64 = 128 KB).
+  private val srpPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Float]]()
+
+  private def srpPlanes(words: Int, dim: Int): Array[Float] =
+    srpPlaneCache.computeIfAbsent((words.toLong << 32) | dim, { _ =>
+      val nbits = words << 6
+      val s = new Array[Float](nbits * dim)
+      var b = 0
+      while (b < nbits) {
+        val plane = (1L << 20) + b
+        var j = 0
+        while (j < dim) {
+          var z = plane * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+          z ^= (z >>> 31)
+          s(b * dim + j) = if (z > 0) 1.0f else -1.0f
+          j += 1
+        }
+        b += 1
+      }
+      s
+    })
+
   def srpPack(a: ArrayData, words: Int): ArrayData = {
     val n = a.numElements()
+    val planes = srpPlanes(words, n)
     val out = new Array[Long](words)
     var b = 0
     val nbits = words << 6
     while (b < nbits) {
-      val plane = (1L << 20) + b
       var proj = 0.0
       var j = 0
+      val off = b * n
       while (j < n) {
-        var z = plane * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-        z ^= (z >>> 31)
-        proj += a.getFloat(j).toDouble * (if (z > 0) 1.0 else -1.0)
+        proj += a.getFloat(j).toDouble * planes(off + j)
         j += 1
       }
       if (proj > 0) out(b >>> 6) |= 1L << (b & 63)

@@ -420,7 +420,60 @@ object TextAnalysis {
       when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau '04): rank words
+    * by PageRank over the ADJACENCY co-occurrence graph — an
+    * undirected edge per distinct adjacent word pair corpus-wide —
+    * the unsupervised keyword scorer that needs no training data
+    * (salience from graph centrality instead of tf-idf's df model).
+    * The edge build is scan-local (one transform/explode per doc, no
+    * shuffle until the pair distinct); ranking reuses
+    * [[Graph.pageRank]]'s snapshot-per-iteration loop unchanged, so
+    * the scale story is the word graph's: vocabulary-sized nodes
+    * (Heaps' law — model-scale, not corpus-scale) and one bounded
+    * shuffle per iteration. Publishes EVERY word's rounded rank
+    * (top-k selection is a trivial consumer; emitting the full
+    * vector keeps the gate free of double-tie boundary games). */
+  def textRank(df: DataFrame, text: Column, iters: Int): DataFrame = {
+    val edges = df
+      .select(split(lower(text), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(expr("explode(transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS x, element_at(t, i + 1) AS y))) AS p"))
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    Graph.pageRank(edges, iters)
+      .select(col("node").as("word"), col("rank"))
+  }
+
+  private val textRankIters = 5
+
+  /** Same unrolled-iteration oracle scaffold as Graph's PageRank
+    * oracles, over the adjacent-word-pair edge set. */
+  private def textRankOracleSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val base = "WITH toks AS (SELECT string_split(lower(text), ' ') AS t " +
+      "FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), " +
+      "pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks), " +
+      "e0 AS (SELECT DISTINCT least(t[i], t[i+1]) AS a, " +
+      "greatest(t[i], t[i+1]) AS b FROM pos WHERE t[i] <> t[i+1]), " +
+      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
+      "nn AS (SELECT count(*) AS n FROM deg), " +
+      "r0 AS (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
+    val iterCtes = (1 to iters).map { i =>
+      s"r$i AS (SELECT s.dst AS src, max(d.deg) AS deg, " +
+        s"(1 - $d) / (SELECT n FROM nn) + $d * sum(r.r / r.deg) AS r " +
+        s"FROM sym s JOIN r${i - 1} r ON s.src = r.src " +
+        s"JOIN deg d ON d.src = s.dst GROUP BY s.dst)"
+    }.mkString(", ", ", ", "")
+    s"$base$iterCtes SELECT src AS word, round(r * 1e6) / 1e6 AS rank FROM r$iters"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_textrank" -> ((s, dir) =>
+      textRank(docs(s, dir), col("text"), textRankIters)),
     "t_url_canon" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), rawUrl().as("url_raw"))
       .withColumn("url_canon", canonicalizeUrl(col("url_raw")))),
@@ -466,6 +519,7 @@ object TextAnalysis {
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "t_textrank" -> textRankOracleSql(textRankIters),
     // same closed-form raw URL, canonicalizer restated step by step
     // (split_part returns '' on a missing separator, which matches the
     // Spark side's instr guards); starts_with avoids LIKE's
