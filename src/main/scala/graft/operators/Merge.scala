@@ -400,6 +400,31 @@ object Merge {
     next
   }
 
+  /** RESTORE (the Delta `RESTORE TABLE ... TO VERSION` shape): roll
+    * the table head back to `version` by republishing that version's
+    * MANIFEST as the new head — zero data movement at any table size,
+    * because the manifest IS the table and every retained version's
+    * bucket dirs are immutable. History stays intact (the bad
+    * versions remain readable until vacuumed), and a later vacuum
+    * keeps the restored head's dirs alive through the ordinary
+    * reference scan. Idempotent by manifest equality: restoring a
+    * state the head already has publishes nothing, so gate re-runs
+    * don't grow the version chain. Returns the head version after
+    * the call. */
+  def restoreVersion(path: String, version: Int,
+                     fs: Dfs = Dfs.default): Int = {
+    val vs = versions(path, fs)
+    require(vs.contains(version),
+      s"restore: version $version not published (have ${vs.mkString(",")})")
+    val cur = vs.last
+    val target = readManifest(path, version, fs)
+    if (readManifest(path, cur, fs) == target) cur
+    else {
+      writeManifest(path, cur + 1, target._1, target._2, fs)
+      cur + 1
+    }
+  }
+
   /** Drop all but the last `keepLast` versions: their manifests go,
     * then every bucket directory no retained manifest references.
     * Returns the deleted data directories (relative). */
@@ -586,6 +611,30 @@ object Merge {
           (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
             .as("acctbal")))
       .reduce(_.unionByName(_))
+  }
+
+  /** Oracle-checked restore: v0 = customers, v1 = a "bad" balance
+    * bump, then [[restoreVersion]] rolls the head back to v0's
+    * manifest. Reading the LATEST version must return exactly the
+    * pre-merge state — the DuckDB oracle is the bare base projection,
+    * so the hash match proves the republished manifest resolves to
+    * v0's bytes (no merge residue, no missing buckets). Idempotence
+    * keeps re-runs at the same head. */
+  def restoreDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = fixturePath(s, dir, "restore")
+    ensureFixture(c, "c_custkey", path, lineage = "restore-v1") { p =>
+      writeVersioned(c, p, "c_custkey", nBuckets = 8)
+      mergeVersioned(s, p, c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal")), "c_custkey")
+    }
+    restoreVersion(path, 0)
+    readVersioned(s, path)
+      .select(col("c_custkey"), col("c_name"),
+        (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
+          .as("acctbal"))
   }
 
   /** Oracle-checked compaction: v0 = customers, v1 = balance bump on
@@ -793,9 +842,16 @@ object Merge {
     "m_time_travel" -> (timeTravelDemo _),
     "m_compact" -> (compactDemo _),
     "m_changes" -> (changesDemo _),
-    "m_incremental_agg" -> (incrementalAggDemo _))
+    "m_incremental_agg" -> (incrementalAggDemo _),
+    "m_restore" -> (restoreDemo _))
 
   val oracle: Map[String, String] = Map(
+    // restore rolls the head back to v0, so the truth is the BARE
+    // base projection — any residue of the rolled-back merge (or a
+    // bucket the republished manifest failed to resolve) breaks the
+    // hash
+    "m_restore" ->
+      "SELECT c_custkey, c_name, round(c_acctbal*1e2)/1e2 AS acctbal FROM customer",
     // the full SCD2 history restated relationally: change detection is
     // IS DISTINCT FROM per attribute, closing is a left join against
     // the changed-key set, no SCD machinery anywhere in the oracle

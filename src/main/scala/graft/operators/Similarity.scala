@@ -376,8 +376,14 @@ object Similarity {
       .select(col("qid"), col("qe"), col("pc.cell").as("cell"))
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // <= nCells values, not a data collect
-    val index = spark.read.parquet(s"$path/cells")
+    val scanned = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    // soft-deleted ids ([[deleteFromIvfIndex]]) drop here: an id-only
+    // broadcast anti-join on the pruned scan — cell pruning and the
+    // candidate shapes are unchanged when no tombstones exist
+    val index = tombstoneIds(spark, path, graft.sources.Dfs.default)
+      .map(t => scanned.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      .getOrElse(scanned)
     val cand = index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
@@ -524,6 +530,84 @@ object Similarity {
       .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
     fs.writeStringAtomic(metaPath,
       ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
+  }
+
+  /** Delete vectors from a persisted [[writeIvfIndex]] layout by
+    * TOMBSTONE — the O(|delete batch|) maintenance path every
+    * production ANN index runs (Lucene/Milvus-style soft delete):
+    * deleted ids land as an appended parquet delete-set under
+    * `_tombstones/`, no cell file is touched, and every
+    * [[searchIvfIndex]] anti-joins the (broadcast, id-only) set
+    * before ranking. Physical reclamation is a separate, explicitly
+    * scheduled [[compactIvfCells]] pass — the split that lets deletes
+    * stay cheap while reads stay exact. */
+  def deleteFromIvfIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/_tombstones")
+
+  private def tombstoneIds(spark: SparkSession, path: String,
+                           fs: graft.sources.Dfs): Option[DataFrame] =
+    if (fs.exists(s"$path/_tombstones"))
+      Some(spark.read.parquet(s"$path/_tombstones")
+        .select(col("vec_id")).distinct())
+    else None
+
+  /** Physically reclaim tombstoned rows: rewrite every cell whose
+    * dead fraction reaches `minDeadFrac` (write-new → swap via
+    * rename, the same never-in-place discipline as the merge
+    * family), then shrink the tombstone set to ids still physically
+    * present and recompute `_index_meta` from disk truth
+    * ([[appendIvfIndex]]'s contract). Cost is O(touched cells), the
+    * per-cell stats ride ONE scan into an nCells-bounded collect;
+    * cells below the threshold keep paying the (broadcast) tombstone
+    * anti-join instead of a rewrite — the standard dead-fraction
+    * trade. Returns the compacted cell ids. */
+  def compactIvfCells(spark: SparkSession, path: String,
+                      minDeadFrac: Double = 0.1,
+                      fs: graft.sources.Dfs = graft.sources.Dfs.default)
+      : Seq[Int] = {
+    val tomb = tombstoneIds(spark, path, fs).getOrElse(return Seq.empty)
+    val cells = spark.read.parquet(s"$path/cells")
+    val stats = cells
+      .join(broadcast(tomb.select(col("vec_id"), lit(1).as("dead"))),
+        Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), count(col("dead")).as("nd"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val toCompact = stats.collect {
+      case (c, n, nd) if nd > 0 && nd.toDouble / n >= minDeadFrac => c
+    }.sorted.toSeq
+    if (toCompact.isEmpty) return Seq.empty
+    toCompact.foreach { c =>
+      val dir = s"$path/cells/cell=$c"
+      val tmp = s"$path/_compact_tmp_cell_$c"
+      spark.read.parquet(dir)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      fs.delete(dir)
+      fs.rename(tmp, dir)
+    }
+    // tombstones shrink to ids still physically present (cells kept
+    // below the threshold); an emptied set deletes the dir outright
+    val remaining = tomb.join(
+      spark.read.parquet(s"$path/cells").select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val tmpT = s"$path/_tombstones_tmp"
+    remaining.write.mode(SaveMode.Overwrite).parquet(tmpT)
+    val nRemain = spark.read.parquet(tmpT).count()
+    fs.delete(s"$path/_tombstones")
+    if (nRemain > 0) fs.rename(tmpT, s"$path/_tombstones")
+    else fs.delete(tmpT)
+    // meta keeps describing PHYSICAL cell content (the append-path
+    // contract): recompute the fingerprint from the compacted layout
+    val fp = corpusFingerprint(spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("embedding")))
+    val metaPath = s"$path/_index_meta.tsv"
+    val old = fs.readString(metaPath).split("\n").filter(_.nonEmpty)
+      .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    fs.writeStringAtomic(metaPath,
+      ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
+    toCompact
   }
 
   /** Restart-safe ensure of a [[writeIvfPqIndex]] layout at `path` —
@@ -1304,6 +1388,25 @@ object Similarity {
       annRecall(searchIvfIndex(s, path, q, 5, nProbe = 14),
         cosineTopK(e, 10, 5), 5)
     }),
+    // soft-delete visibility gate: ensure the full-corpus index
+    // (reuse protocol), overwrite the tombstone set with vec_id % 7
+    // == 3 (idempotent — the gate's delete set is total, so re-runs
+    // land the same state), then search. The exact side runs over
+    // the LIVE corpus on BOTH engines, so recall 1 proves deleted
+    // vectors neither appear as neighbors nor displace live ones.
+    "s_ivf_delete" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ivfIndexPath(s, dir) + "_del"
+      val fs = graft.sources.Dfs.default
+      ensureIvfIndex(e, path, nCells = 16, refineIters = 2)
+      fs.delete(s"$path/_tombstones")
+      deleteFromIvfIndex(e.filter(col("vec_id") % 7 === 3), path)
+      val live = e.filter(col("vec_id") % 7 =!= 3)
+      val q = live.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      annRecall(searchIvfIndex(s, path, q, 5, nProbe = 14),
+        cosineTopK(live, 10, 5), 5)
+    }),
     // SemDeDup with a closed-form clustering (table-0 4-bit SRP
     // bucket → 16 clusters) and the corpus-calibrated 0.4 threshold
     // (see s_embed_neardup). ORACLED as a mechanism restatement: the
@@ -1416,6 +1519,13 @@ object Similarity {
   private val exactTop5Sql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored)"""
 
+  // the same brute force over the LIVE corpus only (vec_id % 7 = 3
+  // soft-deleted on the Spark side): neither q nor the candidate pool
+  // may see a deleted vector — recall 1 certifies tombstone
+  // invisibility end to end
+  private val exactTop5LiveSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10 AND vec_id % 7 != 3), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid AND vec_id % 7 != 3), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored)"""
+
   // same brute-force scoring, restricted to cross-label candidates
   private val hardNegSql =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id < 10), scored AS (SELECT qid, vec_id AS nid, $dotSql / (${normSql("qe")} * ${normSql("embedding")}) AS sim FROM q, embeddings WHERE vec_id != qid AND label != qlabel), ranked AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM scored) SELECT qid, nid, round(sim*1e4)/1e4 AS sim, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5"""
@@ -1489,6 +1599,8 @@ object Similarity {
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     "s_ivf_append" ->
       s"""$exactTop5Sql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
+    "s_ivf_delete" ->
+      s"""$exactTop5LiveSql SELECT qid, CAST(count(*) AS DOUBLE) / 5 AS recall_at_5 FROM ranked WHERE rk <= 5 GROUP BY qid""",
     // the clustered-corpus gate runs over the SYNTHETIC fixture (not
     // a testdata table), so the oracle states the recall-1 CLAIM
     // directly: exact-vs-PQ comparison happens on the Spark side

@@ -341,6 +341,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF delete + compaction: tombstones hide ids, compaction reclaims rows, search unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    Similarity.ensureIvfIndex(emb, path, nCells = 8, refineIters = 1)
+    val queries = emb.filter(col("vec_id") < 5 && col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val full = Similarity.searchIvfIndex(spark, path, queries, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soft delete a third of the corpus: no deleted id may surface
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 3 === 0), path)
+    val afterDel = Similarity.searchIvfIndex(spark, path, queries, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterDel.forall(_._2 % 3 != 0), afterDel.toString)
+    assert(afterDel !== full, "a 1/3 delete must change some top-3 list")
+    val physBefore = spark.read.parquet(s"$path/cells").count()
+    // every cell is ≥ threshold dead (uniform % 3 delete) → all
+    // compact; rows physically gone, tombstone dir emptied away
+    val compacted = Similarity.compactIvfCells(spark, path, minDeadFrac = 0.1)
+    assert(compacted.nonEmpty)
+    val physAfter = spark.read.parquet(s"$path/cells").count()
+    assert(physAfter < physBefore)
+    assert(spark.read.parquet(s"$path/cells")
+      .filter(col("vec_id") % 3 === 0).count() === 0L)
+    assert(!new java.io.File(s"$path/_tombstones").exists(),
+      "fully-reclaimed tombstone set must be dropped")
+    // the reader-visible result is IDENTICAL before and after the
+    // physical rewrite — compaction is pure reclamation
+    val afterCompact = Similarity.searchIvfIndex(spark, path, queries, 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterCompact === afterDel)
+  }
+
   test("IVF-ANN: k-means refinement preserves cell count and seed-level recall") {
     val exact = Similarity.cosineTopK(emb, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1457,6 +1489,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(removed.nonEmpty, "old bucket versions should be reclaimed")
     assert(Merge.versions(dir) === Seq(2))
     assert(state(2) === v2, "latest version must survive vacuum intact")
+  }
+
+  test("restore: head rolls back by manifest republish, idempotent, vacuum-safe") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("restore").toString
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    Merge.writeVersioned(base, dir, "k", nBuckets = 2)
+    Merge.mergeVersioned(s, dir,
+      Seq((2L, "b", 999.0)).toDF("k", "name", "bal"), "k")
+    def state() = Merge.readVersioned(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(state().contains((2L, "b", 999.0)))
+    // restore publishes v2 = v0's manifest; the bad merge is undone
+    assert(Merge.restoreVersion(dir, 0) === 2)
+    assert(state() === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // idempotent: restoring the state the head already has is a no-op
+    assert(Merge.restoreVersion(dir, 0) === 2)
+    assert(Merge.versions(dir) === Seq(0, 1, 2))
+    // history intact until vacuumed — the bad version still reads
+    assert(Merge.readVersioned(s, dir, 1).collect().exists(_.getDouble(2) == 999.0))
+    // vacuum keeps the restored head's (v0-era) dirs alive through
+    // the ordinary reference scan
+    Merge.vacuum(dir, keepLast = 1)
+    assert(state() === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
   }
 
   test("vacuum under a live reader: retained versions read on, carried-forward dirs survive") {
