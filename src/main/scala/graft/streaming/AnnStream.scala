@@ -48,4 +48,38 @@ object AnnStream {
       }
       .start()
   }
+
+  /** One micro-batch of streamed DELETES (vec_id rows): tombstones
+    * land via [[Similarity.deleteFromIvfIndex]] under the same
+    * high-water-mark replay guard — a replayed batch would only
+    * duplicate tombstone rows (the search-side distinct absorbs
+    * that), but skipping it keeps the delete-set's file count
+    * deterministic and the guard uniform across the maintenance
+    * family. The `-del` suffix gives appends and deletes independent
+    * watermarks, so an interleaved append/delete stream pair never
+    * blocks one side on the other's progress. */
+  def deleteBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                  id: String): Unit =
+    if (batchId > MergeStream.lastApplied(indexPath, s"$id-del")) {
+      Similarity.deleteFromIvfIndex(batch, indexPath)
+      MergeStream.recordApplied(indexPath, s"$id-del", batchId)
+    }
+
+  /** Start the delete stream over `idStream` (vec_id). Composes with
+    * a concurrent [[ingestStream]] on the same index: both only ADD
+    * files (cell appends / tombstone appends), so readers keep seeing
+    * a consistent monotone state; physical reclamation stays the
+    * explicitly scheduled [[Similarity.compactIvfCells]]. */
+  def deleteStream(idStream: DataFrame, indexPath: String,
+                   checkpoint: String): StreamingQuery = {
+    val id = MergeStream.streamId(checkpoint)
+    idStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteBatch(batch, batchId, indexPath, id)
+      }
+      .start()
+  }
 }

@@ -58,6 +58,36 @@ class AnnStreamSpec extends AnyFunSuite {
       nCells = 8, refineIters = 1))
   }
 
+  test("deleteBatch: streamed tombstones hide ids, replay skips, compaction preserves results") {
+    val path = JF.createTempDirectory("ann_del").toString + "/idx"
+    assert(!Similarity.ensureIvfIndex(vecs(0, 512), path,
+      nCells = 8, refineIters = 1))
+    val id = "del_lineage"
+    val queries = vecs(0, 4).select(col("vec_id").as("qid"),
+      col("embedding").as("qe"))
+    def hits() = Similarity.searchIvfIndex(spark, path, queries, 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = hits()
+    // stream two delete batches: ids 128..256, then 256..320
+    AnnStream.deleteBatch(vecs(128, 256).select(col("vec_id")), 0L, path, id)
+    AnnStream.deleteBatch(vecs(256, 320).select(col("vec_id")), 1L, path, id)
+    val after = hits()
+    assert(after.forall { case (_, nid) => nid < 128 || nid >= 320 })
+    def tombFiles() = new java.io.File(s"$path/_tombstones").listFiles()
+      .count(_.getName.startsWith("part-"))
+    val files = tombFiles()
+    // at-least-once replay of batch 1 skips at the -del watermark
+    AnnStream.deleteBatch(vecs(256, 320).select(col("vec_id")), 1L, path, id)
+    assert(tombFiles() === files, "replayed delete batch must not re-append")
+    assert(MergeStream.lastApplied(path, s"$id-del") === 1L)
+    // the ingest watermark is independent of the delete watermark
+    assert(MergeStream.lastApplied(path, id) === -1L)
+    // physical reclamation after the stream: reader results unchanged
+    assert(Similarity.compactIvfCells(spark, path, minDeadFrac = 0.05).nonEmpty)
+    assert(hits() === after)
+    assert(before !== after, "a 37% delete must have changed some top-5")
+  }
+
   test("end-to-end ingest stream: file batches append; index searchable after") {
     val base = JF.createTempDirectory("ann_e2e").toString
     val path = s"$base/idx"

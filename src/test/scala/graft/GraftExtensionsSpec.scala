@@ -28,7 +28,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
-      "bloom_longs_agg", "pq_codes", "splitmix_unif", "misra_gries"))
+      "bloom_longs_agg", "pq_codes", "splitmix_unif", "misra_gries",
+      "srp_pack", "hamming_dist"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
@@ -62,6 +63,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .asInstanceOf[ArrayData].numElements() === 64)
     assert(b("simhash64")(Seq(toks)).eval() ===
       b("simhash64")(Seq(toks)).eval())
+    // 1-word BQ code of a vector vs itself: distance 0; static width
+    locally {
+      val code = b("srp_pack")(Seq(vec, Literal(1))).eval()
+      assert(code.asInstanceOf[ArrayData].numElements() === 1)
+      val lit = Literal.create(
+        code.asInstanceOf[ArrayData].toLongArray().toSeq, ArrayType(LongType))
+      assert(b("hamming_dist")(Seq(lit, lit)).eval() === 0)
+    }
     // parameterized kernel: static args must be literals
     assert(b("srp_bucket")(Seq(vec, Literal(4), Literal(0))).eval() != null)
     intercept[IllegalArgumentException](
