@@ -578,6 +578,15 @@ object Similarity {
       case (c, n, nd) if nd > 0 && nd.toDouble / n >= minDeadFrac => c
     }.sorted.toSeq
     if (toCompact.isEmpty) return Seq.empty
+    // meta goes FIRST: the stored fingerprint still matches the
+    // pre-compact corpus, so a crash mid-rewrite would otherwise let
+    // a later ensure REUSE the torn layout. With meta gone, torn
+    // reads as absent and ensure rebuilds — the same completion-
+    // marker contract as every build path here.
+    val metaPath = s"$path/_index_meta.tsv"
+    val old = fs.readString(metaPath).split("\n").filter(_.nonEmpty)
+      .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    fs.delete(metaPath)
     toCompact.foreach { c =>
       val dir = s"$path/cells/cell=$c"
       val tmp = s"$path/_compact_tmp_cell_$c"
@@ -600,11 +609,9 @@ object Similarity {
     else fs.delete(tmpT)
     // meta keeps describing PHYSICAL cell content (the append-path
     // contract): recompute the fingerprint from the compacted layout
+    // and republish — completion marker for the whole pass
     val fp = corpusFingerprint(spark.read.parquet(s"$path/cells")
       .select(col("vec_id"), col("embedding")))
-    val metaPath = s"$path/_index_meta.tsv"
-    val old = fs.readString(metaPath).split("\n").filter(_.nonEmpty)
-      .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
     fs.writeStringAtomic(metaPath,
       ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
     toCompact
