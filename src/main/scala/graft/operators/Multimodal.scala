@@ -102,6 +102,29 @@ object Multimodal {
                             sum_top: Long, sum_left: Long)
 
   private[graft] def bmpStats(docId: Long, d: Array[Byte]): BmpStats = {
+    val (w, h, px) = bmpPixels(docId, d)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val r = px(o); val g = px(o + 1); val b = px(o + 2)
+        sr += r; sg += g; sb += b
+        if (y < h / 2) sTop += r + g + b
+        if (x < w / 2) sLeft += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    BmpStats(docId, w, h, sr, sg, sb, sTop, sLeft)
+  }
+
+  /** Decode a 24bpp BI_RGB BMP to a TOP-DOWN row-major RGB pixel
+    * array (normalizes bottom-up/top-down row order, stride padding,
+    * and BGR byte order — the three spots a shortcut decoder breaks). */
+  private[graft] def bmpPixels(docId: Long,
+                               d: Array[Byte]): (Int, Int, Array[Int]) = {
     require(d.length >= 54 && d(0) == 'B'.toByte && d(1) == 'M'.toByte,
       s"doc $docId: not a BMP")
     def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
@@ -115,7 +138,7 @@ object Multimodal {
     require(u16(28) == 24 && i32(30) == 0,
       s"doc $docId: only 24bpp BI_RGB supported (bpp=${u16(28)})")
     val stride = ((w * 3 + 3) / 4) * 4
-    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
+    val px = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
       val fileRow = if (topDown) y else h - 1 - y
@@ -123,15 +146,15 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val o = rowOff + x * 3
-        val b = d(o) & 0xff; val g = d(o + 1) & 0xff; val r = d(o + 2) & 0xff
-        sr += r; sg += g; sb += b
-        if (y < h / 2) sTop += r + g + b
-        if (x < w / 2) sLeft += r + g + b
+        val t = (y * w + x) * 3
+        px(t) = d(o + 2) & 0xff     // R (file order is BGR)
+        px(t + 1) = d(o + 1) & 0xff // G
+        px(t + 2) = d(o) & 0xff     // B
         x += 1
       }
       y += 1
     }
-    BmpStats(docId, w, h, sr, sg, sb, sTop, sLeft)
+    (w, h, px)
   }
 
   /** Exact integer sample sums from a decoded WAV — the audio
@@ -250,6 +273,27 @@ object Multimodal {
   private[graft] def encodeBmp(docId: Long): Array[Byte] = {
     val w = 5 + (docId % 4).toInt
     val h = 3 + (docId % 3).toInt
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        px(o) = ((docId * 31 + x * 7 + y * 13) % 256).toInt     // R
+        px(o + 1) = ((docId * 17 + x * 11 + y * 5) % 256).toInt // G
+        px(o + 2) = ((docId * 23 + x * 3 + y * 19) % 256).toInt // B
+        x += 1
+      }
+      y += 1
+    }
+    bmpFromPixels(w, h, px)
+  }
+
+  /** Encode a top-down row-major RGB surface as a real 24bpp BI_RGB
+    * BMP: little-endian headers, bottom-up row order, BGR byte order,
+    * rows padded to 4-byte boundaries. */
+  private[graft] def bmpFromPixels(w: Int, h: Int,
+                                   px: Array[Int]): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
     val dataSize = stride * h
     val out = new Array[Byte](54 + dataSize)
@@ -270,9 +314,10 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val o = rowOff + x * 3
-        out(o) = ((docId * 23 + x * 3 + y * 19) % 256).toByte     // B
-        out(o + 1) = ((docId * 17 + x * 11 + y * 5) % 256).toByte // G
-        out(o + 2) = ((docId * 31 + x * 7 + y * 13) % 256).toByte // R
+        val t = (y * w + x) * 3
+        out(o) = px(t + 2).toByte     // B
+        out(o + 1) = px(t + 1).toByte // G
+        out(o + 2) = px(t).toByte     // R
         x += 1
       }
       y += 1
@@ -301,6 +346,31 @@ object Multimodal {
     * Paeth — the encoder cycles them row by row, so each is on the
     * hash gate, not just in a unit test). */
   private[graft] def pngStats(docId: Long, d: Array[Byte]): PngStats = {
+    val (w, h, px) = pngPixels(docId, d)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val r = px(o); val g = px(o + 1); val b = px(o + 2)
+        sr += r; sg += g; sb += b
+        if (y < h / 2) sTop += r + g + b
+        if (x < w / 2) sLeft += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    PngStats(docId, w, h, sr, sg, sb, sTop, sLeft)
+  }
+
+  /** Decode an 8-bit truecolor non-interlaced PNG to a top-down
+    * row-major RGB pixel array: signature check, big-endian chunk
+    * walk with per-chunk CRC32 verification, ancillary-chunk skip,
+    * IDAT concatenation, zlib inflate, and all five spec scanline
+    * unfilters. */
+  private[graft] def pngPixels(docId: Long,
+                               d: Array[Byte]): (Int, Int, Array[Int]) = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     require(d.length >= 8 && d.take(8).sameElements(sig),
       s"doc $docId: not a PNG")
@@ -374,21 +444,7 @@ object Multimodal {
       }
       y += 1
     }
-    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
-    y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val o = (y * w + x) * 3
-        val r = px(o); val g = px(o + 1); val b = px(o + 2)
-        sr += r; sg += g; sb += b
-        if (y < h / 2) sTop += r + g + b
-        if (x < w / 2) sLeft += r + g + b
-        x += 1
-      }
-      y += 1
-    }
-    PngStats(docId, w, h, sr, sg, sb, sTop, sLeft)
+    (w, h, px)
   }
 
   /** Closed-form PNG: dims from the doc id, RGB channels linear in
@@ -400,7 +456,6 @@ object Multimodal {
   private[graft] def encodePng(docId: Long): Array[Byte] = {
     val w = 4 + (docId % 5).toInt
     val h = 3 + (docId % 4).toInt
-    val stride = 1 + 3 * w
     val px = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -414,6 +469,17 @@ object Multimodal {
       }
       y += 1
     }
+    pngFromPixels(w, h, px, docId, s"Comment graft $docId")
+  }
+
+  /** Encode a top-down row-major RGB surface as a real 8-bit
+    * truecolor PNG: per-row filter `(filterSeed + y) % 5` (all five
+    * spec filters on the stream), real zlib DEFLATE, the IDAT split
+    * in two with an ancillary tEXt chunk between them. */
+  private[graft] def pngFromPixels(w: Int, h: Int, px: Array[Int],
+                                   filterSeed: Long,
+                                   comment: String): Array[Byte] = {
+    val stride = 1 + 3 * w
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
       val pa = math.abs(p - a); val pb = math.abs(p - b)
@@ -421,9 +487,9 @@ object Multimodal {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
     val raw = new Array[Byte](stride * h)
-    y = 0
+    var y = 0
     while (y < h) {
-      val f = ((docId + y) % 5).toInt
+      val f = ((filterSeed + y) % 5).toInt
       raw(y * stride) = f.toByte
       var i = 0
       while (i < 3 * w) {
@@ -462,7 +528,7 @@ object Multimodal {
     chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
     val cut = zlen / 2 // split IDAT: decoders must concatenate bodies
     chunk("IDAT", zbuf.slice(0, cut))
-    chunk("tEXt", s"Comment graft $docId".getBytes("US-ASCII"))
+    chunk("tEXt", comment.getBytes("US-ASCII"))
     chunk("IDAT", zbuf.slice(cut, zlen))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -551,6 +617,142 @@ object Multimodal {
       col("doc_id"), col("kind"), col("n_bytes"),
       md5(col("media")).as("content_hash"))
 
+  // --- perceptual-hash near-duplicate detection over the codec seam ---
+
+  /** One RGB channel of the phash corpus. The image id is pre-mixed
+    * through an LCG mod a prime so step-k id subsets stay
+    * discriminative (raw `img*c % 200` makes ids congruent mod 200
+    * pixel-identical), and channels are bounded to [0, 200) so the
+    * variant's small additive perturbation never wraps a byte. */
+  private def phashMix(img: Long): Long =
+    ((img % 1000003L) * 1103515245L + 12345L) % 2147483647L
+
+  private[graft] def phashPixels(img: Long,
+                                 perturbed: Boolean): Array[Int] = {
+    val i1 = phashMix(img)
+    val px = new Array[Int](PhashDim * PhashDim * 3)
+    var y = 0
+    while (y < PhashDim) {
+      var x = 0
+      while (x < PhashDim) {
+        val p = if (perturbed && (x + 2 * y) % 13 == 0)
+          1 + (img % 3).toInt else 0
+        val o = (y * PhashDim + x) * 3
+        px(o) = ((i1 * 179 + x * 89 + y * 101 + x * y * 53) % 200).toInt + p
+        px(o + 1) = ((i1 * 283 + x * 97 + y * 61 + x * y * 31) % 200).toInt + p
+        px(o + 2) = ((i1 * 419 + x * 67 + y * 73 + x * y * 59) % 200).toInt + p
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private[graft] val PhashDim = 16
+
+  /** 64-bit integer average-hash (aHash) of a decoded 16x16 RGB
+    * surface: integer grayscale (r+g+b)/3, 2x2 block sums, bit b set
+    * iff its block sum clears the image mean (64*S_b >= total).
+    * Returned as two nonnegative 32-bit halves so the DuckDB oracle
+    * restates it without signed-shift knife edges. */
+  private[graft] def averageHash64(w: Int, h: Int,
+                                   px: Array[Int]): (Long, Long) = {
+    require(w == PhashDim && h == PhashDim,
+      s"averageHash64 expects ${PhashDim}x$PhashDim, got ${w}x$h")
+    val s = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val gray = (px(o) + px(o + 1) + px(o + 2)) / 3
+        s((y / 2) * 8 + (x / 2)) += gray
+        x += 1
+      }
+      y += 1
+    }
+    var t = 0L
+    var b = 0
+    while (b < 64) { t += s(b); b += 1 }
+    var hi = 0L; var lo = 0L
+    b = 0
+    while (b < 64) {
+      if (64L * s(b) >= t) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Phash corpus: for every 10th document, its image encoded twice
+    * through DIFFERENT real codecs — the base surface as a BMP
+    * (row id 2*doc_id) and a lightly perturbed variant as a PNG
+    * (row id 2*doc_id+1). Near-dup pairs therefore cross the codec
+    * boundary: matching them proves both decoders reconstruct the
+    * same pixel surface. */
+  def phashTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 10 == 0)
+      .mapPartitions(_.flatMap { id =>
+        val bmp = bmpFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = false))
+        val png = pngFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = true),
+          filterSeed = id, comment = s"Comment graft phash $id")
+        Iterator(MediaRow(id * 2, bmp, "image", bmp.length),
+          MediaRow(id * 2 + 1, png, "image", png.length))
+      })
+      .toDF()
+  }
+
+  /** Perceptual near-dup: decode every image through its real codec
+    * (dispatch on magic bytes), average-hash the pixel surface, and
+    * find all pairs within Hamming radius 3 via the SimHash
+    * pigeonhole — 4 exact 16-bit bands over the 64-bit hash, band
+    * join, then popcount verify on candidates only. Emits every
+    * row's hash plus its within-radius neighbor count, so the gate
+    * pins ALL hashes (both codecs' pixel output) and the banded
+    * discovery result in one relation.
+    *
+    * At 100 TB: discovery never goes all-pairs — candidates are
+    * bounded by band-bucket collisions (16-bit keys; a production
+    * corpus adds the hot-bucket cap exactly as `d_simhash_prod`
+    * does), and the verify is a popcount on two longs. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = phashTable(s, dir).as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val (w, h, px) =
+          if (r.media(0) == 'B'.toByte) bmpPixels(r.doc_id, r.media)
+          else pngPixels(r.doc_id, r.media)
+        val (hi, lo) = averageHash64(w, h, px)
+        (r.doc_id, hi, lo)
+      }).toDF("doc_id", "hash_hi", "hash_lo")
+    val banded = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        struct(lit(0).as("band"), col("hash_lo").bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("hash_lo"), 16).as("key")),
+        struct(lit(2).as("band"), col("hash_hi").bitwiseAND(lit(0xFFFFL)).as("key")),
+        struct(lit(3).as("band"), shiftright(col("hash_hi"), 16).as("key")))).as("bk"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("doc_id").as("ida"), col("hash_hi").as("hia"),
+      col("hash_lo").as("loa"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("idb"), col("hash_hi").as("hib"),
+      col("hash_lo").as("lob"), col("band"), col("key"))
+    val pairs = a.join(b, Seq("band", "key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb", "hia", "loa", "hib", "lob").distinct()
+      .filter(bit_count(col("hia").bitwiseXOR(col("hib"))) +
+        bit_count(col("loa").bitwiseXOR(col("lob"))) <= 3)
+    val nbr = pairs.select(col("ida").as("doc_id"))
+      .union(pairs.select(col("idb").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_neighbors"))
+    hashes.join(nbr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mediaMeta _),
     "mm_decode" -> ((s, dir) => {
@@ -601,7 +803,15 @@ object Multimodal {
       pngTable(s, dir).as[MediaRow]
         .mapPartitions(_.map(r => pngStats(r.doc_id, r.media)))
         .toDF()
-    }))
+    }),
+    // perceptual-hash near-dup ACROSS codecs: base image as a real
+    // BMP, perturbed variant as a real PNG; decode both, aHash the
+    // pixels, banded Hamming-radius-3 discovery. The oracle
+    // recomputes every hash from the pixel FORMULA (no codec, no
+    // banding) and counts neighbors all-pairs — hash equality proves
+    // (a) both decoders recovered the exact surface, (b) the
+    // pigeonhole discovery found exactly the true within-radius set.
+    "mm_phash" -> (phashNearDup _))
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -665,5 +875,33 @@ object Multimodal {
         |  CAST(sum(CASE WHEN x < w // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_left
         |FROM ch GROUP BY doc_id, w, h""".stripMargin,
     "mm_decode" ->
-      """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""")
+      """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""",
+    // hashes recomputed from the pixel formula codec-free; neighbor
+    // counts by EXACT all-pairs popcount (no banding in the oracle)
+    "mm_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |v AS (SELECT doc_id*2 AS rid, doc_id AS img, 0 AS pert FROM ids
+        |      UNION ALL SELECT doc_id*2+1, doc_id, 1 FROM ids),
+        |g AS (SELECT rid, img, pert, x, y
+        |      FROM v, (SELECT unnest(range(0,16)) AS x), (SELECT unnest(range(0,16)) AS y)),
+        |vm AS (SELECT rid, ((img % 1000003) * 1103515245 + 12345) % 2147483647 AS i1,
+        |       pert, x, y, img FROM g),
+        |gr AS (SELECT rid, x//2 AS bx, y//2 AS by,
+        |   (((i1*179 + x*89 + y*101 + x*y*53)%200 + (i1*283 + x*97 + y*61 + x*y*31)%200
+        |     + (i1*419 + x*67 + y*73 + x*y*59)%200
+        |     + CASE WHEN pert=1 AND (x+2*y)%13=0 THEN 3*(1+img%3) ELSE 0 END) // 3) AS gray
+        | FROM vm),
+        |blk AS (SELECT rid, by*8+bx AS b, sum(gray) AS s FROM gr GROUP BY rid, bx, by),
+        |tot AS (SELECT rid, sum(s) AS t FROM blk GROUP BY rid),
+        |bits AS (SELECT blk.rid, b, CASE WHEN 64*s >= t THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot USING (rid)),
+        |h AS (SELECT rid,
+        |   CAST(sum(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS hash_lo,
+        |   CAST(sum(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(b-32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hash_hi
+        | FROM bits GROUP BY rid),
+        |nb AS (SELECT a.rid, count(*) AS n FROM h a JOIN h b ON a.rid <> b.rid
+        |   AND bit_count(xor(a.hash_lo, b.hash_lo)) + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3
+        | GROUP BY a.rid)
+        |SELECT h.rid AS doc_id, hash_hi, hash_lo, CAST(coalesce(n, 0) AS BIGINT) AS n_neighbors
+        |FROM h LEFT JOIN nb ON h.rid = nb.rid""".stripMargin)
 }

@@ -533,6 +533,50 @@ class OperatorsSpec extends AnyFunSuite {
       (s3.sum_top.toDouble / ((3/2) * 8 * 3 * 255)).toFloat)
   }
 
+  test("phash: aHash bits, cross-codec roundtrip, banded recall") {
+    import Multimodal._
+    // known-bit surface: block (0,0) all gray 255, the rest gray 1 →
+    // only bit 0's block sum clears the 64*S >= T threshold
+    val px = Array.fill(PhashDim * PhashDim * 3)(1)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      px((y * PhashDim + x) * 3 + c) = 255
+    val (hi0, lo0) = averageHash64(PhashDim, PhashDim, px)
+    assert((hi0, lo0) === ((0L, 1L)))
+    // uniform surface: every block ties the mean → all 64 bits set
+    val (hiU, loU) =
+      averageHash64(PhashDim, PhashDim, Array.fill(PhashDim * PhashDim * 3)(7))
+    assert((hiU, loU) === ((0xFFFFFFFFL, 0xFFFFFFFFL)))
+    // both real codecs reconstruct the exact phash surface
+    for (img <- Seq(0L, 130L, 9997L)) {
+      val base = phashPixels(img, perturbed = false)
+      val pert = phashPixels(img, perturbed = true)
+      val (_, _, viaBmp) =
+        bmpPixels(img, bmpFromPixels(PhashDim, PhashDim, base))
+      val (_, _, viaPng) = pngPixels(img,
+        pngFromPixels(PhashDim, PhashDim, pert, img, s"t t $img"))
+      assert(viaBmp.sameElements(base))
+      assert(viaPng.sameElements(pert))
+      // perturbed variant stays within the Hamming-3 radius
+      val (bh, bl) = averageHash64(PhashDim, PhashDim, base)
+      val (ph, pl) = averageHash64(PhashDim, PhashDim, pert)
+      val ham = java.lang.Long.bitCount(bh ^ ph) +
+        java.lang.Long.bitCount(bl ^ pl)
+      assert(ham <= 3, s"img $img variant drifted to hamming $ham")
+    }
+    // end-to-end banded discovery ≡ brute-force all-pairs at sf0.001
+    val out = phashNearDup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val brute = out.toSeq.map { case (id, (hi, lo, _)) =>
+      id -> out.count { case (id2, (hi2, lo2, _)) =>
+        id2 != id && java.lang.Long.bitCount(hi ^ hi2) +
+          java.lang.Long.bitCount(lo ^ lo2) <= 3
+      }.toLong
+    }.toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, (_, _, n)) => assert(n === brute(id)) }
+  }
+
   test("wav codec: hand-built container decodes to exact known samples") {
     // RIFF/WAVE, fmt → JUNK(odd size 3, padded) → data with 4 signed
     // samples: 100, -200, 300, -32768 (sign extension + LE on the line)
