@@ -1207,9 +1207,87 @@ object Similarity {
         // near-random floats round to ±0.0)
         (round(avg(col("v").cast("double")) * 1e4) / 1e4 + 0.0).as("c"))
 
+  /** Greedy k-center coreset selection (farthest-point traversal):
+    * start from the seed (vec_id 0), then k−1 times add the point
+    * whose squared-L2 distance to its nearest already-selected center
+    * is maximal (ties → smaller vec_id). The classic 2-approximation
+    * for the k-center objective — the standard "diverse subset"
+    * primitive for data-selection / coreset construction in training
+    * pipelines.
+    *
+    * Execution shape: the selected-center set is BOUNDED DRIVER MODEL
+    * STATE (k vectors — the IVF-centroid contract), so each round is
+    * one flat scan of the corpus evaluating `least(d2(e,c1), ...,
+    * d2(e,cj))` — a single codegen'd expression over broadcast
+    * literals — followed by a 1-row argmax collect. Plans never
+    * chain round-over-round (each round rebuilds from the base scan),
+    * so there is no 2^k plan growth and nothing to materialize or
+    * persist. Total work O(n·k²) distance evaluations; the
+    * alternative (persist a running min-dist column, O(n·k)) pays a
+    * corpus-sized state write per round — the wrong trade below
+    * thousands of centers. At 100 TB: k scans of a columnar table
+    * are embarrassingly parallel; production selects over a
+    * stratified sample or maintains the running-dist column in a
+    * bucketed table (the `d_incremental` layout) when k is large.
+    *
+    * Distance arithmetic is index-ordered double folds on both sides
+    * (`zip_with`+`aggregate` here, `list_transform`+`list_reduce` in
+    * the oracle), so selection — argmax over exact IEEE doubles —
+    * agrees bit-for-bit with the unrolled-CTE restatement. */
+  def kCenter(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    def d2(center: Array[Float]): Column =
+      aggregate(
+        zip_with(col("embedding"), typedLit(center), (a, b) => {
+          val d = a.cast("double") - b.cast("double"); d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+    val seed = e.filter(col("vec_id") === 0L)
+      .select(col("embedding")).as[Array[Float]].head()
+    // bounded driver model state: k center vectors + their ids
+    var centers = Vector(0L -> seed)
+    var picked = Vector((1, 0L, 0.0))
+    var j = 2
+    while (j <= k) {
+      val dist = centers.map(c => d2(c._2)) match {
+        case Seq(one) => one
+        case many     => least(many: _*)
+      }
+      val row = e.filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .select(col("vec_id"), col("embedding"), dist.as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(1).head()
+      centers :+= (row.getLong(0) -> row.getSeq[Float](1).toArray)
+      picked :+= ((j, row.getLong(0), row.getDouble(2)))
+      j += 1
+    }
+    picked.toDF("rank", "vec_id", "dist")
+      .select(col("rank"), col("vec_id"),
+        (round(col("dist") * 1e6) / 1e6).as("dist"))
+  }
+
+  /** Unrolled-CTE oracle for [[kCenter]] — the same greedy loop in
+    * plain SQL: round j picks `ORDER BY dist DESC, vec_id LIMIT 1`
+    * over `least`-folded exact-double distances, with no Spark
+    * machinery in it. */
+  private def kCenterOracleSql(k: Int): String = {
+    def d2(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($v) + 1), i -> (CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)) * (CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+    val base =
+      s"""WITH sel1 AS (SELECT 1 AS rank, CAST(0 AS BIGINT) AS vec_id, CAST(0 AS DOUBLE) AS dist), d1 AS MATERIALIZED (SELECT a.vec_id, ${d2("a.embedding", "c.ce")} AS dist FROM embeddings a, (SELECT embedding AS ce FROM embeddings WHERE vec_id = 0) c)"""
+    val rounds = (2 to k).map { j =>
+      val prevD = s"d${j - 1}"; val prevS = s"sel${j - 1}"
+      s"""p$j AS MATERIALIZED (SELECT vec_id, dist FROM $prevD WHERE vec_id NOT IN (SELECT vec_id FROM $prevS) ORDER BY dist DESC, vec_id LIMIT 1), sel$j AS MATERIALIZED (SELECT * FROM $prevS UNION ALL SELECT $j, vec_id, dist FROM p$j), d$j AS MATERIALIZED (SELECT d.vec_id, least(d.dist, ${d2("e.embedding", "c.ce")}) AS dist FROM $prevD d JOIN embeddings e ON e.vec_id = d.vec_id, (SELECT embedding AS ce FROM embeddings WHERE vec_id = (SELECT vec_id FROM p$j)) c)"""
+    }.mkString(", ", ", ", "")
+    s"$base$rounds SELECT CAST(rank AS INTEGER) AS rank, vec_id, round(dist*1e6)/1e6 AS dist FROM sel$k"
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_kcenter" -> ((s, dir) => kCenter(emb(s, dir), 16)),
     "s_centroids" -> ((s, dir) => labelCentroids(emb(s, dir))),
     "s_cosine_topk" -> ((s, dir) => cosineTopK(emb(s, dir), 10, 5)),
     // lexical (BM25) ⊕ dense (cosine, query vector 0) rank fusion —
@@ -1563,6 +1641,7 @@ object Similarity {
   // therefore PROVES the deterministic ANN search recovered the full
   // exact top-5 for every query — the d_minhash_exact proof shape.
   val oracle: Map[String, String] = Map(
+    "s_kcenter" -> kCenterOracleSql(16),
     "s_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n,
         |  round(avg(CAST(embedding[i] AS DOUBLE))*1e4)/1e4 + 0.0 AS c

@@ -416,6 +416,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCenter matches driver-side farthest-point traversal") {
+    val k = 8
+    val got = Similarity.kCenter(emb, k).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getInt(0), r.getLong(1)))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d
+      }
+      s
+    }
+    var sel = Vector(0L)
+    while (sel.size < k) {
+      val next = vecs.toSeq.filterNot(p => sel.contains(p._1))
+        .map { case (id, v) => (id, sel.map(c => d2(vecs(c), v)).min) }
+        .minBy { case (id, d) => (-d, id) }._1
+      sel :+= next
+    }
+    assert(got.map(_._2).toVector === sel)
+    // first pick really is the farthest point from the seed
+    assert(got(1)._2 ===
+      vecs.toSeq.filter(_._1 != 0L)
+        .maxBy { case (id, v) => (d2(vecs(0L), v), -id) }._1)
+  }
+
   test("as-of join: hand-computed case incl. equal-ts inclusivity") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
