@@ -59,6 +59,9 @@ object GraftRegistry {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "srp_pack" -> (es => SrpPack(es(0), staticInt(es(1), "srp_pack words"))),
     "hamming_dist" -> (es => HammingDist(es(0), es(1))),
+    "cdc_chunks" -> (es => CdcChunks(es(0),
+      staticInt(es(1), "cdc_chunks window"),
+      staticInt(es(2), "cdc_chunks divisor"))),
     "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
     "word_ngrams_3" -> (es => WordNgrams(es.head, 3)),
     "word_ngrams_2" -> (es => WordNgrams(es.head, 2)),

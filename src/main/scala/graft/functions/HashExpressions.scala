@@ -117,6 +117,23 @@ object HashExpressions {
     override def prettyName: String = "srp_pack"
   }
 
+  /** Content-defined chunking of a document into token chunks —
+    * codegen-native wrapper over [[Kernels.cdcChunks]]. */
+  case class CdcChunks(child: Expression, w: Int, div: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      Kernels.cdcChunks(v.asInstanceOf[UTF8String], w, div)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cdcChunks($c, $w, $div)")
+    override protected def withNewChildInternal(c: Expression): CdcChunks =
+      copy(child = c)
+    override def prettyName: String = "cdc_chunks"
+  }
+
   /** Hamming distance of two packed sign codes (array<long>); word
     * count mismatch → null, SQL-style, like [[CosineSimilarity]]. */
   case class HammingDist(left: Expression, right: Expression)
@@ -479,6 +496,10 @@ object HashExpressions {
     call_function("srp_pack", c, org.apache.spark.sql.functions.lit(words))
   def hamming_dist(a: Column, b: Column): Column =
     call_function("hamming_dist", a, b)
+  def cdc_chunks(c: Column, w: Int, div: Int): Column =
+    call_function("cdc_chunks", c,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(div))
   def sig_agreement(a: Column, b: Column): Column =
     call_function("sig_agreement", a, b)
   def word_ngrams3(c: Column): Column = call_function("word_ngrams_3", c)

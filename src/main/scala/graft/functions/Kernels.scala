@@ -20,6 +20,61 @@ object Kernels {
   @inline private def hashStr(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  /** Content-defined chunking: split `text` into variable-length
+    * token chunks whose boundaries depend only on LOCAL content — a
+    * window-w rolling hash over per-token polynomial hashes, with a
+    * boundary declared after token i when the window hash divides
+    * `div`. Insertions/deletions therefore only perturb boundaries
+    * inside one window of the edit; all other chunks keep their
+    * identity — the property fixed-stride spans (d_span_dedup) lack.
+    *
+    * Arithmetic is the oracle-restatable shape (nonnegative mod-1e9+7
+    * folds over codepoints, in index order) rather than XXH64: the
+    * DuckDB gate recomputes every boundary with list folds, so this
+    * kernel is pinned end to end. Empty text → one empty chunk,
+    * mirroring `string_split`'s `['']`. */
+  def cdcChunks(text: UTF8String, w: Int, div: Int): ArrayData = {
+    val P = 1000000007L
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 7L
+      val it = toks(i).codePoints().iterator()
+      while (it.hasNext) acc = (acc * 31 + it.nextInt()) % P
+      th(i) = acc
+      i += 1
+    }
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    i = w // 1-based end position of the first full window
+    while (i <= n) {
+      var acc = 11L
+      var j = i - w
+      while (j < i) { acc = (acc * 31 + th(j)) % P; j += 1 }
+      if (acc % div == 0) ends += i
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != n) ends += n
+    val out = new Array[AnyRef](ends.length)
+    var start = 0 // 0-based inclusive
+    i = 0
+    while (i < ends.length) {
+      val e = ends(i) // 1-based inclusive end = 0-based exclusive
+      val sb = new java.lang.StringBuilder()
+      var j = start
+      while (j < e) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      start = e
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash: array<string> tokens → 64-bit signature. */
   def simhash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)

@@ -961,7 +961,52 @@ object Dedup {
           "train").otherwise("test").as("split"))
   }
 
+  /** Content-defined chunking fingerprint, one row per document: the
+    * chunk count plus an md5-of-chunk-md5s fingerprint, so the gate
+    * pins EVERY boundary the rolling hash declared in every document.
+    * Chunking is scan-local (the codegen'd [[graft.functions.Kernels
+    * .cdcChunks]] kernel — zero shuffles in this query), which is the
+    * 100-TB property: boundaries depend only on a w-token window, so
+    * any partitioning of the corpus chunks identically, and an
+    * insertion/deletion perturbs at most the chunks overlapping one
+    * window of the edit — the robustness fixed-stride spans
+    * (`d_span_dedup`) fundamentally lack. */
+  def cdcFingerprint(df: DataFrame, w: Int = 4, div: Int = 8): DataFrame = {
+    import graft.functions.HashExpressions.cdc_chunks
+    df.select(col("doc_id"),
+        cdc_chunks(col("text"), w, div).as("chunks"))
+      .select(col("doc_id"),
+        size(col("chunks")).as("n_chunks"),
+        md5(concat_ws("", transform(col("chunks"), c => md5(c)))).as("fp"))
+  }
+
+  /** Cross-document duplicate CDC chunks: explode chunk hashes and
+    * aggregate — the chunk-granularity exact-dedup discovery. The
+    * only exchange carries (16-byte hash, token count) rows, never
+    * chunk text; at corpus scale this is the same md5-groupBy shape
+    * as `d_exact` applied below document granularity. */
+  def cdcDuplicateChunks(df: DataFrame, w: Int = 4,
+                         div: Int = 8): DataFrame = {
+    import graft.functions.HashExpressions.cdc_chunks
+    df.select(col("doc_id"),
+        explode(cdc_chunks(col("text"), w, div)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"),
+        size(split(col("chunk"), " ", -1)).as("n_tokens"))
+      .groupBy(col("chunk_hash"), col("n_tokens"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cdc_chunks" -> ((s, dir) => {
+      graft.functions.HashExpressions.register(s)
+      cdcFingerprint(docs(s, dir))
+    }),
+    "d_cdc_dups" -> ((s, dir) => {
+      graft.functions.HashExpressions.register(s)
+      cdcDuplicateChunks(docs(s, dir))
+    }),
     "p_clean_corpus" -> ((s, dir) => cleanCorpus(docs(s, dir))),
     "p_dedup_pipeline" -> ((s, dir) => dedupPipeline(docs(s, dir))),
     "d_incremental" -> ((s, dir) => incrementalVerifiedPairs(s, docs(s, dir))),
@@ -1055,7 +1100,28 @@ object Dedup {
         s"""WITH sigs(doc_id, sig) AS (VALUES $sigs), chunks AS (SELECT doc_id, sig, b AS band, (sig >> (b * 16)) & 65535 AS chunk FROM sigs, (VALUES (0), (1), (2), (3)) bands(b)), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3""")
   }
 
+  /** Shared CDC restatement: tokens, per-token codepoint polyhashes,
+    * window-4 rolling hashes, mod-8 boundaries, chunk slices — list
+    * folds in index order, no kernel, no Spark machinery. */
+  private val cdcBaseSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |th AS (SELECT doc_id, toks, len(toks) AS n,
+      |  list_transform(toks, t -> list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i]) AS BIGINT))), (a,c) -> (a*31+c) % 1000000007)) AS th FROM t),
+      |b AS (SELECT doc_id, toks, n, list_filter(range(4, n+1), i -> list_reduce(list_prepend(CAST(11 AS BIGINT), th[i-3:i]), (a,x) -> (a*31+x) % 1000000007) % 8 = 0) AS bp FROM th),
+      |e AS (SELECT doc_id, toks, CASE WHEN len(bp)=0 OR bp[-1] != n THEN list_append(bp, n) ELSE bp END AS ends FROM b)""".stripMargin
+
   def oracle: Map[String, String] = simhashProdOracle ++ Map(
+    "d_cdc_chunks" ->
+      s"""$cdcBaseSql,
+        |c AS (SELECT doc_id, list_transform(range(1, len(ends)+1), k -> md5(array_to_string(toks[(CASE WHEN k=1 THEN 1 ELSE ends[k-1]+1 END):(ends[k])], ' '))) AS chs FROM e)
+        |SELECT doc_id, CAST(len(chs) AS INTEGER) AS n_chunks, md5(array_to_string(chs, '')) AS fp FROM c""".stripMargin,
+    "d_cdc_dups" ->
+      s"""$cdcBaseSql,
+        |x AS (SELECT doc_id, unnest(list_transform(range(1, len(ends)+1), k -> struct_pack(
+        |   h := md5(array_to_string(toks[(CASE WHEN k=1 THEN 1 ELSE ends[k-1]+1 END):(ends[k])], ' ')),
+        |   l := ends[k] - (CASE WHEN k=1 THEN 0 ELSE ends[k-1] END)))) AS ch FROM e)
+        |SELECT ch.h AS chunk_hash, CAST(ch.l AS INTEGER) AS n_tokens, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, count(*) AS n_occ
+        |FROM x GROUP BY 1,2 HAVING count(*) >= 2""".stripMargin,
     // the WHOLE pipeline restated relationally: quality gate, exact
     // dedup keep-min, exact J>=0.8 pairs among survivors, recursive
     // transitive closure, canonical-only survivors, md5 split tag —

@@ -29,7 +29,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
       "bloom_longs_agg", "pq_codes", "splitmix_unif", "misra_gries",
-      "srp_pack", "hamming_dist"))
+      "srp_pack", "hamming_dist", "cdc_chunks"))
   }
 
   test("every injected builder evaluates correctly on literal input") {

@@ -416,6 +416,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunking: reference model, chunk reassembly, edit locality") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Kernels
+    val P = 1000000007L
+    def ref(text: String, w: Int, div: Int): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      val th = toks.map(_.codePoints().toArray
+        .foldLeft(7L)((a, c) => (a * 31 + c) % P))
+      val ends = (w to toks.length).filter { i =>
+        th.slice(i - w, i).foldLeft(11L)((a, x) => (a * 31 + x) % P) % div == 0
+      }
+      val allEnds =
+        if (ends.isEmpty || ends.last != toks.length) ends :+ toks.length
+        else ends
+      allEnds.zip(0 +: allEnds.dropRight(1)).map { case (e, s) =>
+        toks.slice(s, e).mkString(" ")
+      }
+    }
+    def kernel(text: String, w: Int, div: Int): Seq[String] = {
+      val a = Kernels.cdcChunks(UTF8String.fromString(text), w, div)
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    }
+    val sample = "a quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight again"
+    for (t <- Seq(sample, "one", "", "a b", "x " * 40 + "y")) {
+      val got = kernel(t, 4, 8)
+      assert(got === ref(t, 4, 8), s"text: '$t'")
+      // chunks reassemble to the original text exactly
+      assert(got.mkString(" ") === t)
+    }
+    // edit locality: inserting one token early in a long doc leaves
+    // the chunk multiset mostly intact (the CDC property; a fixed
+    // stride would shift every later span)
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val edited = ("tok1 INSERTED " + base.drop(5))
+    val cb = kernel(base, 4, 8).groupBy(identity).view.mapValues(_.size)
+    val ce = kernel(edited, 4, 8).groupBy(identity).view.mapValues(_.size)
+    val shared = cb.keys.toSet.intersect(ce.keys.toSet)
+      .toSeq.map(k => math.min(cb(k), ce(k))).sum
+    assert(shared >= cb.values.sum - 3,
+      s"edit perturbed more than the local window: $shared of ${cb.values.sum}")
+  }
+
   test("kCenter matches driver-side farthest-point traversal") {
     val k = 8
     val got = Similarity.kCenter(emb, k).collect()
