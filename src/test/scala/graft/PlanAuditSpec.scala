@@ -115,6 +115,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // explode accidentally repartitioned
     val p3 = plan(graft.SparkEntry.queries("c_chunk_overlap")(spark, sf))
     assert(!p3.contains("Exchange"), p3)
+    // CDC chunk fingerprinting is a pure scan-local kernel map
+    val p4 = plan(graft.SparkEntry.queries("d_cdc_chunks")(spark, sf))
+    assert(!p4.contains("Exchange"), p4)
+  }
+
+  test("mm_phash: banded discovery — equality band join, never a cartesian") {
+    val p = plan(graft.SparkEntry.queries("mm_phash")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("b2_project stays inside whole-stage codegen") {
