@@ -259,7 +259,20 @@ object Layout {
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val fp = (scala.util.hashing.MurmurHash3.stringHash(dir) & Int.MaxValue)
       .toString
-    val ot = s"orders_bkt_$fp"; val lt = s"lineitem_bkt_$fp"
+    // CONTENT-sensitive reuse, like every other ensure path (the
+    // ensureIvfIndex/_fixture_meta contract): a catalog-existence
+    // check alone reuses stale bucketed copies after the corpus at
+    // `dir` is regenerated (code-review r10). Key sums are reduced
+    // mod a prime so the fingerprint aggregate can't overflow ANSI
+    // sum at any replica scale.
+    def contentFp(df: DataFrame, key: String): String = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col(key) % 1000003L), lit(0L))).head()
+      s"${r.getLong(0)}_${r.getLong(1)}"
+    }
+    val ofp = contentFp(Tables.load(s, dir, "orders"), "o_orderkey")
+    val lfp = contentFp(Tables.load(s, dir, "lineitem"), "l_orderkey")
+    val ot = s"orders_bkt_${fp}_$ofp"; val lt = s"lineitem_bkt_${fp}_$lfp"
     val wh = s.conf.get("spark.sql.warehouse.dir")
     def ensure(name: String, build: => DataFrame,
                bucketCol: String): Unit =

@@ -496,13 +496,9 @@ object Merge {
     * other's layouts. Configurable via `spark.graft.mergeFixtureDir`
     * — on a cluster, a shared filesystem. */
   private[graft] def fixturePath(spark: SparkSession, dir: String,
-                          demo: String): String = {
-    val base = spark.conf.get("spark.graft.mergeFixtureDir",
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_merge_fixture")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"$base/$key/$demo"
-  }
+                          demo: String): String =
+    graft.sources.Dfs.stableCacheDir(spark, "spark.graft.mergeFixtureDir",
+      "graft_merge_fixture", dir) + s"/$demo"
 
   /** Restart-safe ensure of a demo's versioned/bucketed table at its
     * stable path — [[graft.operators.Similarity.ensureIvfIndex]]'s

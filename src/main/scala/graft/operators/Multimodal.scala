@@ -101,8 +101,14 @@ object Multimodal {
                             sum_r: Long, sum_g: Long, sum_b: Long,
                             sum_top: Long, sum_left: Long)
 
-  private[graft] def bmpStats(docId: Long, d: Array[Byte]): BmpStats = {
-    val (w, h, px) = bmpPixels(docId, d)
+  /** The ONE pixel-sum kernel both image gates share: (sum_r, sum_g,
+    * sum_b, top-half sum, left-half sum) over a top-down row-major
+    * RGB surface. Both codecs' oracles restate exactly this
+    * arithmetic, so keeping a single body removes the risk of the
+    * two gates' half-image conventions drifting apart
+    * (code-review r10). */
+  private def pixelSums(w: Int, h: Int,
+                        px: Array[Int]): (Long, Long, Long, Long, Long) = {
     var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
     var y = 0
     while (y < h) {
@@ -117,6 +123,12 @@ object Multimodal {
       }
       y += 1
     }
+    (sr, sg, sb, sTop, sLeft)
+  }
+
+  private[graft] def bmpStats(docId: Long, d: Array[Byte]): BmpStats = {
+    val (w, h, px) = bmpPixels(docId, d)
+    val (sr, sg, sb, sTop, sLeft) = pixelSums(w, h, px)
     BmpStats(docId, w, h, sr, sg, sb, sTop, sLeft)
   }
 
@@ -347,20 +359,7 @@ object Multimodal {
     * hash gate, not just in a unit test). */
   private[graft] def pngStats(docId: Long, d: Array[Byte]): PngStats = {
     val (w, h, px) = pngPixels(docId, d)
-    var sr = 0L; var sg = 0L; var sb = 0L; var sTop = 0L; var sLeft = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val o = (y * w + x) * 3
-        val r = px(o); val g = px(o + 1); val b = px(o + 2)
-        sr += r; sg += g; sb += b
-        if (y < h / 2) sTop += r + g + b
-        if (x < w / 2) sLeft += r + g + b
-        x += 1
-      }
-      y += 1
-    }
+    val (sr, sg, sb, sTop, sLeft) = pixelSums(w, h, px)
     PngStats(docId, w, h, sr, sg, sb, sTop, sLeft)
   }
 
@@ -509,10 +508,21 @@ object Multimodal {
       }
       y += 1
     }
+    // loop until finished(): zlib's worst case EXCEEDS input+64 on
+    // incompressible surfaces (~5 bytes per 16 KiB block), and a
+    // single deflate() call would silently truncate the stream into
+    // a corrupt PNG (code-review r10)
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
-    val zbuf = new Array[Byte](raw.length + 64)
-    val zlen = defl.deflate(zbuf); defl.end()
+    val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val zchunk = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val n = defl.deflate(zchunk)
+      zout.write(zchunk, 0, n)
+    }
+    defl.end()
+    val zbuf = zout.toByteArray
+    val zlen = zbuf.length
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
       (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)

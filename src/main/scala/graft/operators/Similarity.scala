@@ -447,13 +447,9 @@ object Similarity {
     * `spark.graft.ivfIndexDir` — on a real cluster point it at a
     * shared filesystem; the local default is a fixed temp-root
     * subtree keyed by the corpus path. */
-  private[graft] def ivfIndexPath(spark: SparkSession, dir: String): String = {
-    val base = spark.conf.get("spark.graft.ivfIndexDir",
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_ivf_index")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"$base/$key"
-  }
+  private[graft] def ivfIndexPath(spark: SparkSession, dir: String): String =
+    graft.sources.Dfs.stableCacheDir(spark, "spark.graft.ivfIndexDir",
+      "graft_ivf_index", dir)
 
   // ------------------------------------------------ IVF-PQ on disk //
 
@@ -517,17 +513,27 @@ object Similarity {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
       .sortBy(_._1).toSeq
+    // batch-only aggregates BEFORE the append; the fingerprint's
+    // three components (count, vecIdSum, xor-of-row-hashes) were
+    // chosen to COMPOSE, so the grown layout's fingerprint is
+    // old ⊕ batch without rescanning the index — a full-disk
+    // recompute here made every streaming micro-batch O(index size),
+    // quadratic total ingest work (code-review r10). Crash between
+    // append and meta publish leaves pre-append meta: the next
+    // ensure over the grown corpus mismatches and rebuilds — the
+    // same torn-state contract as before.
+    val bfp = corpusFingerprint(
+      newVecs.select(col("vec_id"), col("embedding")))
     newVecs.select(col("vec_id"), col("embedding"),
         nearestCell(centroids, col("embedding")).as("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$path/cells")
-    // recompute the full content fingerprint FROM DISK (vec_id +
-    // embedding columns of the grown layout) so meta stays disk truth
-    val fp = corpusFingerprint(spark.read.parquet(s"$path/cells")
-      .select(col("vec_id"), col("embedding")))
     val metaPath = s"$path/_index_meta.tsv"
     val old = fs.readString(metaPath).split("\n").filter(_.nonEmpty)
       .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    val fp = (old("count").toLong + bfp._1,
+      old("vecIdSum").toLong + bfp._2,
+      old("contentSig").toLong ^ bfp._3)
     fs.writeStringAtomic(metaPath,
       ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
   }
@@ -649,13 +655,9 @@ object Similarity {
   /** Stable on-disk home for a corpus dir's IVF-PQ index (the
     * [[ivfIndexPath]] convention, separate subtree so the two layouts
     * never collide). Configurable via `spark.graft.ivfPqIndexDir`. */
-  private[graft] def ivfPqIndexPath(spark: SparkSession, dir: String): String = {
-    val base = spark.conf.get("spark.graft.ivfPqIndexDir",
-      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_ivfpq_index")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"$base/$key"
-  }
+  private[graft] def ivfPqIndexPath(spark: SparkSession, dir: String): String =
+    graft.sources.Dfs.stableCacheDir(spark, "spark.graft.ivfPqIndexDir",
+      "graft_ivfpq_index", dir)
 
   /** Probed ADC search over a persisted [[writeIvfPqIndex]] layout:
     * probe cells come from the persisted centroid model (scan-local

@@ -376,7 +376,11 @@ object TextAnalysis {
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
     val base = substring_index(noFrag, "?", 1)
-    val qs = when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1))
+    // everything after the FIRST '?': '?' is legal inside a query
+    // value, so substring_index(-1) (after the LAST '?') would drop
+    // query content on e.g. "...?b=1?c=2" (code-review r10)
+    val qs = when(instr(noFrag, "?") > 0,
+        noFrag.substr(instr(noFrag, "?") + 1, lit(1000000)))
       .otherwise(lit(""))
     val scheme = lower(substring_index(base, "://", 1))
     val rest = substring_index(base, "://", -1)
@@ -417,6 +421,9 @@ object TextAnalysis {
       when(id % 11 === 0, lit("?utm_only=1"))
         .otherwise(concat(lit("?utm_source=x&id="), (id % 13).cast("string"),
           lit("&utm_campaign=y"))),
+      // literal '?' INSIDE a query value — legal per RFC 3986; pins
+      // the after-FIRST-'?' extraction (code-review r10)
+      when(id % 17 === 0, lit("&q=a?b")).otherwise(lit("")),
       when(id % 6 === 0, lit("#frag")).otherwise(lit("")))
   }
 
@@ -538,11 +545,14 @@ object TextAnalysis {
         |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
         |  || (CASE WHEN doc_id % 11 = 0 THEN '?utm_only=1'
         |           ELSE '?utm_source=x&id=' || (doc_id % 13) || '&utm_campaign=y' END)
+        |  || (CASE WHEN doc_id % 17 = 0 THEN '&q=a?b' ELSE '' END)
         |  || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url_raw
         |  FROM documents),
         |c AS (SELECT doc_id, url_raw, split_part(url_raw, '#', 1) AS nofrag FROM raw),
         |d AS (SELECT doc_id, url_raw, split_part(nofrag, '?', 1) AS base,
-        |             split_part(nofrag, '?', 2) AS qs FROM c),
+        |             CASE WHEN instr(nofrag, '?') > 0
+        |                  THEN substr(nofrag, CAST(instr(nofrag, '?') AS INTEGER) + 1)
+        |                  ELSE '' END AS qs FROM c),
         |e AS (SELECT doc_id, url_raw, qs,
         |             lower(split_part(base, '://', 1)) AS scheme,
         |             split_part(base, '://', 2) AS rest FROM d),

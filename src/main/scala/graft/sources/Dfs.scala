@@ -123,4 +123,20 @@ object Dfs {
     * Spark's own readers use; local runs resolve file:// exactly as
     * before). */
   lazy val default: Dfs = new HadoopDfs(() => new Configuration())
+
+  /** Stable per-corpus cache location for restart-safe artifacts
+    * (persisted ANN indexes, merge-demo fixtures): a conf-overridable
+    * base plus a 12-hex md5 key of the corpus dir. ONE derivation for
+    * every ensure path — three verbatim copies of this logic drifting
+    * apart would silently split artifact locations across operators
+    * (code-review r10). */
+  def stableCacheDir(spark: org.apache.spark.sql.SparkSession,
+                     confKey: String, defaultName: String,
+                     dir: String): String = {
+    val base = spark.conf.get(confKey,
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/" + defaultName)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$base/$key"
+  }
 }

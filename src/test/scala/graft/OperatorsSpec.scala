@@ -1395,6 +1395,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.size === 101)
   }
 
+  test("rankSkewFree ranks NULL values and groups like the plain window") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", Some(3.0)), ("a", None), ("a", Some(1.0)),
+      ("a", None), ("a", Some(1.0)), ("b", Some(2.0)), ("b", None))
+      .toDF("g", "v")
+    val got = Skew.rankSkewFree(df, "g", "v", nBuckets = 4)
+      .select(col("g"), col("v"), col("rnk")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+      .sortBy(t => (t._1, t._2.map(_.toString).getOrElse(""), t._3))
+    val want = df.select(col("g"), col("v"),
+        rank().over(Window.partitionBy("g").orderBy("v")).cast("long")
+          .as("rnk")).collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+      .sortBy(t => (t._1, t._2.map(_.toString).getOrElse(""), t._3))
+    assert(got.toSeq === want.toSeq)
+    // empty input: no rows, no NPE (min() is NULL — the old guard
+    // crashed at getDouble; code-review r10)
+    assert(Skew.rankSkewFree(df.limit(0), "g", "v").count() === 0L)
+    // all-NULL column: everything ties at rank 1 per group
+    val an = Seq(("a", Option.empty[Double]), ("a", None)).toDF("g", "v")
+    assert(Skew.rankSkewFree(an, "g", "v").select("rnk")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 1L))
+  }
+
   test("online dedup stream: near-dups dropped across batches AND across a restart") {
     import java.nio.file.{Files => JF, Paths => JP}
     val in = JF.createTempDirectory("ods_in").toString
