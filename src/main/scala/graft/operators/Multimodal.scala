@@ -709,8 +709,17 @@ object Multimodal {
         val bmp = bmpFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = false))
         val png = pngFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = true),
           filterSeed = id, comment = s"Comment graft phash $id")
-        Iterator(MediaRow(id * 2, bmp, "image", bmp.length),
-          MediaRow(id * 2 + 1, png, "image", png.length))
+        val base = Iterator(MediaRow(id * 3, bmp, "image", bmp.length),
+          MediaRow(id * 3 + 1, png, "image", png.length))
+        // every 5th image also carries its PERTURBED surface as a
+        // BMP — a Hamming-0 cross-codec twin of the PNG row — so
+        // neighbor groups have unequal sizes (pairs AND trios) and
+        // the count aggregation is exercised beyond symmetric pairs
+        if (id % 50 == 0) {
+          val twin =
+            bmpFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = true))
+          base ++ Iterator(MediaRow(id * 3 + 2, twin, "image", twin.length))
+        } else base
       })
       .toDF()
   }
@@ -890,8 +899,9 @@ object Multimodal {
     // counts by EXACT all-pairs popcount (no banding in the oracle)
     "mm_phash" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
-        |v AS (SELECT doc_id*2 AS rid, doc_id AS img, 0 AS pert FROM ids
-        |      UNION ALL SELECT doc_id*2+1, doc_id, 1 FROM ids),
+        |v AS (SELECT doc_id*3 AS rid, doc_id AS img, 0 AS pert FROM ids
+        |      UNION ALL SELECT doc_id*3+1, doc_id, 1 FROM ids
+        |      UNION ALL SELECT doc_id*3+2, doc_id, 1 FROM ids WHERE doc_id % 50 = 0),
         |g AS (SELECT rid, img, pert, x, y
         |      FROM v, (SELECT unnest(range(0,16)) AS x), (SELECT unnest(range(0,16)) AS y)),
         |vm AS (SELECT rid, ((img % 1000003) * 1103515245 + 12345) % 2147483647 AS i1,
