@@ -97,7 +97,7 @@ object Dedup {
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastSnapshot =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[operators] def materialize(df: DataFrame, site: String): DataFrame =
+  private[graft] def materialize(df: DataFrame, site: String): DataFrame =
     materializeDir(df, site)._1
 
   /** [[materialize]] that also returns the snapshot directory, for

@@ -13,10 +13,10 @@ import graft.sources.Tables
   * one Catalyst plan space). */
 object Extended {
 
-  private def round(c: Column, n: Int): Column = {
-    val p = math.pow(10, n)
-    org.apache.spark.sql.functions.round(c * p) / p
-  }
+  // ONE rounding-grid contract for the whole battery — see the
+  // scaladoc on Relational.round (code-review r10: three drifting
+  // copies of a parity-critical helper)
+  private def round(c: Column, n: Int): Column = Relational.round(c, n)
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
     Tables.load(s, dir, name)

@@ -32,7 +32,7 @@ object Relational {
     * rounds the scaled double. Oracles write round(x*1eN)/1eN
     * literally.
     */
-  private def round(c: Column, n: Int): Column = {
+  private[queries] def round(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
     org.apache.spark.sql.functions.round(c * p) / p
   }

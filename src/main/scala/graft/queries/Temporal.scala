@@ -293,9 +293,21 @@ object Temporal {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"))
-    val pts = iv.select(col("start_us").as("t"), lit(1).as("delta"), col("user_id"))
-      .unionAll(iv.select(col("end_us").as("t"), lit(-1).as("delta"), col("user_id")))
-      .withColumn("day", expr(s"t DIV ${86400L * us}L"))
+    // materialize the sweep points ONCE: the driver-side day-total
+    // collect below and the returned ranking plan both consume them,
+    // and an unpinned lineage recomputed the full session_window
+    // aggregation — the query's most expensive stage — twice per run
+    // (code-review r10). Write-and-readback, not persist: the
+    // returned plan is consumed after this function returns, so an
+    // unpersist-before-return would evict the cache before the
+    // action, and leaving it cached would break the persist-hygiene
+    // gate.
+    val pts = graft.operators.Dedup.materialize(
+      iv.select(col("start_us").as("t"), lit(1).as("delta"), col("user_id"))
+        .unionAll(iv.select(col("end_us").as("t"), lit(-1).as("delta"),
+          col("user_id")))
+        .withColumn("day", expr(s"t DIV ${86400L * us}L")),
+      "conc_pts")
     val dayTotals = pts.groupBy(col("day"))
       .agg(sum(col("delta")).as("d")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

@@ -35,7 +35,7 @@ import graft.sources.Tables
   */
 object TpchSupply {
 
-  private def round2(c: Column): Column = round(c * 100) / 100
+  private def round2(c: Column): Column = Relational.round(c, 2)
 
   private def t(s: SparkSession, dir: String)(name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -157,7 +157,11 @@ object TpchSupply {
     val total = broadcast(psv.agg(sum(col("v")).as("total_v")))
     psv.groupBy(col("ps_partkey")).agg(sum(col("v")).as("raw_value"))
       .crossJoin(total)
-      .filter(col("raw_value") > col("total_v") * 0.005)
+      // BOTH filter operands on the shared 1e2 rounding grid (the
+      // battery's convention, cf. Q15): comparing raw double sums
+      // lets partial-aggregation order flip a boundary row vs the
+      // single-node oracle (code-review r10)
+      .filter(round2(col("raw_value")) > round2(col("total_v") * 0.005))
       .select(col("ps_partkey"), round2(col("raw_value")).as("value"))
   }
 
@@ -246,8 +250,8 @@ object TpchSupply {
          JOIN nation ON s_nationkey = n_nationkey
          WHERE n_name = 'NATION_7'
          GROUP BY ps_partkey
-         HAVING sum(ps_supplycost*ps_availqty) > (
-           SELECT sum(ps_supplycost*ps_availqty)*0.005 FROM partsupp
+         HAVING round((sum(ps_supplycost*ps_availqty))*1e2)/1e2 > (
+           SELECT round((sum(ps_supplycost*ps_availqty)*0.005)*1e2)/1e2 FROM partsupp
            JOIN supplier ON ps_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
            WHERE n_name = 'NATION_7')"""),

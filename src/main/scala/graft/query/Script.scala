@@ -26,16 +26,26 @@ object Script {
     var last: Option[DataFrame] = None
     val letRe = "(?is)^LET\\s+([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(.+)$".r
     val retRe = "(?is)^RETURN\\s+(.+)$".r
+    val created = Seq.newBuilder[String]
     statements.foreach {
       case letRe(name, sql) =>
         spark.sql(sql).createOrReplaceTempView(name)
+        created += name
       case retRe(sql) =>
         last = Some(spark.sql(sql))
       case sql =>
         last = Some(spark.sql(sql))
     }
-    last.getOrElse(throw new IllegalArgumentException(
+    val result = last.getOrElse(throw new IllegalArgumentException(
       "script has no RETURN / result statement"))
+    // LET bindings are SCRIPT-scoped: every statement (including the
+    // result) is already analyzed, so dropping the views now cannot
+    // affect execution — leaving them registered leaked bindings into
+    // the shared session, where a later unrelated query named `keep`
+    // would silently resolve to this script's stale result
+    // (code-review r10)
+    created.result().foreach(spark.catalog.dropTempView)
+    result
   }
 
   /** Registry gate for the script surface (SURVEY §2.B B12 LET /
@@ -82,7 +92,11 @@ object Script {
         |FROM keep k JOIN spend s ON k.c_custkey = s.o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 3""".stripMargin)
 
-  /** Quote-aware top-level `;` split. */
+  /** Quote-aware top-level `;` split. Inside a literal, a backslash
+    * escapes the next character (Spark SQL's `'don\'t; x'`), so an
+    * escaped quote does NOT close the literal and a `;` after it
+    * stays inside — the unescaped version split such scripts
+    * mid-literal (code-review r10). */
   private[graft] def split(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -92,7 +106,9 @@ object Script {
       val c = script.charAt(i)
       if (quote != 0) {
         cur += c
-        if (c == quote) quote = 0
+        if (c == '\\' && i + 1 < script.length) {
+          cur += script.charAt(i + 1); i += 1
+        } else if (c == quote) quote = 0
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur += c
         case ';' => out += cur.toString; cur.clear()

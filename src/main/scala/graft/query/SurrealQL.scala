@@ -110,7 +110,11 @@ object SurrealQL {
     val parenRe = "(?s)^\\((.+)\\)\\s*((?:\\[0\\]|\\.[a-zA-Z_][a-zA-Z0-9_]*)*)$".r
     val varRe = "(?s)^\\$([a-zA-Z_][a-zA-Z0-9_]*)\\s*((?:\\[0\\]|\\.[a-zA-Z_][a-zA-Z0-9_]*)*)$".r
     e match {
-      case countRe(inner) =>
+      // balanced() guard as on parenRe: without it the greedy match
+      // swallows arithmetic BETWEEN two count() terms — e.g.
+      // `count($a) + count($b)` captured inner "$a) + count($b"
+      // (code-review r10)
+      case countRe(inner) if balanced(inner) =>
         val n = evalExpr(inner.trim, t, vars).count()
         val spark = t.entities.sparkSession
         spark.range(1).select(lit(n).as("count"))
@@ -200,12 +204,28 @@ object SurrealQL {
 
   /** `[0]` on a DataFrame = first row (SurrealQL array-of-rows);
     * `.field` = project that column. */
+  /** `[0]` must be DETERMINISTIC: SurrealDB returns record-id-ordered
+    * results, so `(SELECT ...)[0]` means the smallest id, not
+    * whichever partition answers a bare limit(1) first — scripts that
+    * DELETE/UPDATE through a `[0]` binding would otherwise touch a
+    * different record per run (code-review r10). Order by `id` when
+    * present, else by every visible column. */
+  private def firstRow(df: DataFrame): DataFrame = {
+    val cols =
+      if (df.columns.contains("id")) Seq(col("id"))
+      else {
+        val visible = df.columns.toSeq.filterNot(_.startsWith("_"))
+        (if (visible.nonEmpty) visible else df.columns.toSeq).map(col)
+      }
+    df.orderBy(cols: _*).limit(1)
+  }
+
   private def applyPostfix(df0: DataFrame, postfix: String): DataFrame = {
     var df = df0
     val tokens = "\\[0\\]|\\.[a-zA-Z_][a-zA-Z0-9_]*".r
       .findAllIn(Option(postfix).getOrElse("")).toList
     tokens.foreach {
-      case "[0]" => df = df.limit(1)
+      case "[0]" => df = firstRow(df)
       case f =>
         val name = f.drop(1)
         // keep the hidden claims-owner provenance alongside a claims
@@ -604,7 +624,7 @@ object SurrealQL {
     WikiTables(entities, claims)
   }
 
-  private def scalarOf(df: DataFrame): Any = df.limit(1).collect() match {
+  private def scalarOf(df: DataFrame): Any = firstRow(df).collect() match {
     case Array(row) if !row.isNullAt(0) => row.get(0)
     case _ => null
   }
@@ -686,16 +706,24 @@ object SurrealQL {
     val parts = Seq.newBuilder[String]
     var depth = 0; var quote = false; var start = 0; var i = 0
     val upper = s.toUpperCase
+    // ANY whitespace delimits the keyword (newline-indented AND/OR in
+    // verbatim multi-line scripts, tabs) — matching topLevelKeyword's
+    // tolerance; a single-literal-space match silently failed to
+    // split and made run() reject the condition (code-review r10)
+    def wordAt(j: Int): Boolean =
+      j > 0 && s.charAt(j - 1).isWhitespace &&
+        upper.startsWith(word, j) &&
+        j + word.length < s.length &&
+        s.charAt(j + word.length).isWhitespace
     while (i < s.length) {
       s.charAt(i) match {
         case '"' => quote = !quote
         case '(' | '[' if !quote => depth += 1
         case ')' | ']' if !quote => depth -= 1
         case _ =>
-          if (!quote && depth == 0 &&
-            upper.startsWith(" " + word + " ", i)) {
-            parts += s.substring(start, i)
-            start = i + word.length + 2
+          if (!quote && depth == 0 && wordAt(i)) {
+            parts += s.substring(start, i - 1)
+            start = i + word.length + 1
             i = start - 1
           }
       }

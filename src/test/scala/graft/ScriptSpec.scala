@@ -30,6 +30,20 @@ class ScriptSpec extends AnyFunSuite {
     assert(n === expected && n > 0)
   }
 
+  test("backslash-escaped quote inside a literal doesn't close it") {
+    val out = Script.run(spark, "SELECT 'don\\'t; x' AS s")
+    assert(out.collect()(0).getString(0) === "don't; x")
+  }
+
+  test("LET bindings are script-scoped: views dropped after run") {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    Script.run(spark,
+      "LET leak_probe = SELECT 1 AS one; RETURN SELECT * FROM leak_probe")
+      .collect()
+    assert(!spark.catalog.tableExists("leak_probe"),
+      "LET view leaked into the shared session")
+  }
+
   test("quoted semicolons don't split statements") {
     assert(Script.split("SELECT ';' AS a; SELECT 1").map(_.trim)
       .filter(_.nonEmpty) === Seq("SELECT ';' AS a", "SELECT 1"))

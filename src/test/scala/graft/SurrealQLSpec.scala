@@ -255,6 +255,29 @@ class SurrealQLSpec extends AnyFunSuite {
     assert(out.returned.get.collect()(0).getLong(0) === 3L)
   }
 
+  test("newline/tab-delimited AND splits like single-space AND") {
+    // verbatim multi-line scripts put conjunctions at line starts;
+    // the splitter must accept ANY whitespace around AND/OR
+    val out = SurrealQL.run(tables,
+      "return select id from Entity\nwhere label != \"nope\"\nAND\tlabel != \"also no\"")
+    assert(out.returned.get.count() === 3L)
+  }
+
+  test("arithmetic between two count() terms") {
+    val out = SurrealQL.run(tables,
+      "return count(select * from Entity) + count(select * from Entity)")
+    assert(out.returned.get.collect()(0).getLong(0) === 6L)
+  }
+
+  test("[0] is deterministic: smallest row, not an arbitrary partition's") {
+    val out = SurrealQL.run(tables,
+      "return (select label from Entity)[0]")
+    val got = out.returned.get.collect()(0).getString(0)
+    val all = SurrealQL.run(tables, "return select label from Entity")
+      .returned.get.collect().map(_.getString(0)).sorted
+    assert(got === all.head)
+  }
+
   test("extension: projection-position subselects, correlated via $parent") {
     // correlated count: entities sharing this row's label (self incl.)
     // — compiled to one grouped aggregate + left join, no collect
