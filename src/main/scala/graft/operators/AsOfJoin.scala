@@ -66,8 +66,14 @@ object AsOfJoin {
         lit(null).cast(structType(left)).as("_l"),
         payload.as("_r")): _*)
 
+    // `_r` as the final sort key: multiple reference rows sharing
+    // (key, ts) would otherwise tie completely and `last()` would
+    // return whichever the shuffle happened to order later — a
+    // different payload per run. With the payload in the ordering,
+    // ties resolve to the greatest payload struct, deterministically
+    // (code-review r10).
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_ord"), col("_side"))
+      .orderBy(col("_ord"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.unionByName(r)

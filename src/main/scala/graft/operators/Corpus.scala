@@ -769,7 +769,7 @@ object Corpus {
         |          ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS BIGINT) AS mix_rank
         |      FROM documents)
         |SELECT r.doc_id, r.source, r.mix_rank, q.quota
-        |FROM r JOIN q USING (source) WHERE mix_rank <= quota""".stripMargin,
+        |FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source WHERE mix_rank <= quota""".stripMargin,
     "c_length_batches" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
         |b AS (SELECT doc_id, n, CAST(floor(log2(n)) AS BIGINT) AS lb,
@@ -821,7 +821,7 @@ object Corpus {
         |        CAST(row_number() OVER (PARTITION BY source
         |          ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER), doc_id) AS BIGINT) AS mix_rank
         |      FROM kept),
-        |m AS (SELECT r.doc_id, r.source, r.mix_rank, r.text FROM r JOIN q USING (source) WHERE mix_rank <= quota),
+        |m AS (SELECT r.doc_id, r.source, r.mix_rank, r.text FROM r JOIN q ON r.source IS NOT DISTINCT FROM q.source WHERE mix_rank <= quota),
         |p AS (SELECT doc_id, source, mix_rank,
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |        md5(CAST(doc_id AS VARCHAR)) AS k FROM m),

@@ -55,8 +55,14 @@ object Profile {
     val metrics: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
       ("complete_orderkey",
         count(col("l_orderkey")).cast("double") / n, _ === 1.0),
+      // DISTINCT over the struct, not the column pair: multi-column
+      // countDistinct skips rows with any NULL field while the
+      // oracle's count(DISTINCT (a,b)) counts NULL-bearing tuples —
+      // the audit would diverge exactly on the dirty rows it exists
+      // to flag (code-review r10)
       ("unique_line_key",
-        countDistinct(col("l_orderkey"), col("l_linenumber")).cast("double") / n,
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber")))
+          .cast("double") / n,
         _ === 1.0),
       ("qty_in_range",
         sum(when(col("l_quantity").between(1, 50), 1).otherwise(0))
@@ -108,8 +114,12 @@ object Profile {
       s"${i.toDouble / nBuckets}D").mkString(", ")
     val cuts = v.filter(col("is_ref"))
       .agg(expr(s"percentile(v, array($qs))")).head().getSeq[Double](0)
-    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + (col("v") > lit(c)).cast("int") }
+    // coalesce: a NULL value folds to a NULL bucket on the Spark side
+    // while the oracle's CASE WHEN yields 0 per cut (bucket 0) — the
+    // same NULL class the is_ref coalesce above already handles
+    // (code-review r10)
+    val bucket = coalesce(cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + (col("v") > lit(c)).cast("int") }, lit(0))
     val counts = v.groupBy(bucket.as("bucket"))
       .agg(sum(col("is_ref").cast("long")).as("n_ref"),
         sum((!col("is_ref")).cast("long")).as("n_cand"))

@@ -413,13 +413,22 @@ object Similarity {
     * CONTENT — a regenerated corpus with the same ids but new
     * vectors rebuilds, never reuses stale cells into a hash gate.
     * bit_xor (not sum of hashes) cannot overflow under ANSI. */
-  private def corpusFingerprint(vecs: DataFrame): (Long, Long, Long) = {
+  private[graft] def corpusFingerprint(vecs: DataFrame): (Long, Long, Long) = {
     val r = vecs.agg(count(lit(1)).as("n"),
       coalesce(sum(col("vec_id")), lit(0L)).as("s"),
       coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L))
         .as("x")).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
+
+  /** Fingerprint composition law: the three components (count,
+    * vecIdSum, xor-of-row-hashes) of a disjoint union are the
+    * component-wise sum/sum/xor — what makes append maintenance
+    * O(batch) and lets the stream's write-ahead intent predict the
+    * post-append meta exactly. */
+  private[graft] def composeFp(a: (Long, Long, Long),
+                               b: (Long, Long, Long)): (Long, Long, Long) =
+    (a._1 + b._1, a._2 + b._2, a._3 ^ b._3)
 
   private[graft] def ivfMetaString(nCells: Int, refineIters: Int,
                                    fp: (Long, Long, Long)): String =
@@ -531,9 +540,9 @@ object Similarity {
     val metaPath = s"$path/_index_meta.tsv"
     val old = fs.readString(metaPath).split("\n").filter(_.nonEmpty)
       .map(_.split("\t")).map(a => a(0) -> a(1)).toMap
-    val fp = (old("count").toLong + bfp._1,
-      old("vecIdSum").toLong + bfp._2,
-      old("contentSig").toLong ^ bfp._3)
+    val fp = composeFp(
+      (old("count").toLong, old("vecIdSum").toLong,
+        old("contentSig").toLong), bfp)
     fs.writeStringAtomic(metaPath,
       ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
   }

@@ -25,13 +25,50 @@ import graft.operators.Similarity
   * writer per index path (the MergeStream contract). */
 object AnnStream {
 
+  private def readMetaFp(indexPath: String,
+                         fs: graft.sources.Dfs): (Long, Long, Long) = {
+    val m = fs.readString(s"$indexPath/_index_meta.tsv").split("\n")
+      .filter(_.nonEmpty).map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    (m("count").toLong, m("vecIdSum").toLong, m("contentSig").toLong)
+  }
+
   /** One micro-batch of the ingest — exposed so the spec drives
     * replay scenarios deterministically ([[CorpusStream
-    * .curationStage]] convention). */
+    * .curationStage]] convention).
+    *
+    * The high-water mark alone leaves a crash window: append commits,
+    * the process dies before `recordApplied`, and the redelivered
+    * batch would append AGAIN (appendIvfIndex is not idempotent). A
+    * WRITE-AHEAD INTENT closes it: before appending, the expected
+    * post-append meta fingerprint (current ⊕ batch — exact, by the
+    * composition law) is published; on redelivery, intent.batchId ==
+    * this batch AND meta == intent.fp proves the append landed, so
+    * only the record is replayed. An out-of-band meta change
+    * (compaction between stream runs) fails the fp equality and
+    * takes the normal append path — never a wrong skip. The one
+    * state this cannot repair is a crash MIDWAY through the
+    * append's file writes (meta unwritten, stray partial files):
+    * the re-append then leaves orphans that the next
+    * `ensureIvfIndex` fingerprint check detects and rebuilds away. */
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
                   id: String): Unit =
     if (batchId > MergeStream.lastApplied(indexPath, id)) {
-      Similarity.appendIvfIndex(batch, indexPath)
+      val fs = graft.sources.Dfs.default
+      val intentFile = s"$indexPath/_append_intent_$id.tsv"
+      val cur = readMetaFp(indexPath, fs)
+      val landed = fs.exists(intentFile) && {
+        val a = fs.readString(intentFile).trim.split("\t")
+        a(0).toLong == batchId &&
+          (a(1).toLong, a(2).toLong, a(3).toLong) == cur
+      }
+      if (!landed) {
+        val bfp = Similarity.corpusFingerprint(
+          batch.select(batch.col("vec_id"), batch.col("embedding")))
+        val exp = Similarity.composeFp(cur, bfp)
+        fs.writeStringAtomic(intentFile,
+          s"$batchId\t${exp._1}\t${exp._2}\t${exp._3}\n")
+        Similarity.appendIvfIndex(batch, indexPath)
+      }
       MergeStream.recordApplied(indexPath, id, batchId)
     }
 

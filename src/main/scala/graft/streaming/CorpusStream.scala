@@ -70,9 +70,16 @@ object CorpusStream {
         .parquet(s"$statePath")
         .groupBy(col("sh")).agg(sum(col("df_part")).as("docfreq"))
         .filter(col("docfreq") >= minDocs)
-      Corpus.repetitionSignals(batch, col("text"))
-        .join(Corpus.boilerplateScore(sh, boiler), Seq("doc_id"))
-        .join(Corpus.piiAudit(batch, col("text")), Seq("doc_id"))
+      // anchor on piiAudit — it emits one row per INPUT doc. The
+      // signal frames are sparse (a 1-token doc has no bigrams, a
+      // <3-token doc no shingles), so inner joins silently dropped
+      // short documents from the curated output entirely
+      // (code-review r10); left joins keep every doc, with NULL for
+      // the metrics that genuinely don't exist at that length.
+      Corpus.piiAudit(batch, col("text"))
+        .join(Corpus.repetitionSignals(batch, col("text")),
+          Seq("doc_id"), "left")
+        .join(Corpus.boilerplateScore(sh, boiler), Seq("doc_id"), "left")
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     } finally { sh.unpersist(blocking = true); () }
   }

@@ -38,8 +38,12 @@ object DriftStream {
   }
 
   private def bucketOf(v: Column, cuts: Seq[Double]): Column =
-    cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + (v.cast("double") > lit(c)).cast("int") }
+    // coalesce: NULL values fold to a NULL bucket, which NPE'd the
+    // reference fit's primitive getInt and diverged from the batch
+    // operator — bucket 0 matches Profile.psiDrift's (fixed) NULL
+    // classification (code-review r10)
+    coalesce(cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + (v.cast("double") > lit(c)).cast("int") }, lit(0))
 
   /** Profile the reference ONCE — same decile arithmetic as the
     * batch operator ([[graft.operators.Profile.psiDrift]] computes

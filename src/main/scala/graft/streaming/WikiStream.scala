@@ -72,13 +72,22 @@ object WikiStream {
         // which copy wins is arbitrary, matching upsert semantics)
         val updates = mediaRows(batch).dropDuplicates("id")
         val fs = graft.sources.Dfs.default
-        val bootstrapped = fs.exists(viewDir) &&
-          fs.exists(s"$viewDir/_SUCCESS") &&
-          fs.listDirNames(viewDir).exists(_.startsWith("_mb="))
-        if (!bootstrapped)
+        // our OWN marker, not Spark's _SUCCESS (absent when a cluster
+        // disables marksuccessfuljobs — Merge's CompleteMarker makes
+        // the same argument): depending on _SUCCESS meant every batch
+        // re-bootstrapped with Overwrite on such configs, wiping the
+        // accumulated view each trigger. The marker also PERSISTS
+        // nBuckets, so a restart with a different caller value merges
+        // with the on-disk bucketing instead of pruning the wrong
+        // _mb= directories (code-review r10).
+        val metaPath = s"$viewDir/_GRAFT_VIEW_META"
+        if (!fs.exists(metaPath)) {
           Merge.writeTarget(updates, viewDir, "id", nBuckets)
-        else
-          Merge.into(batch.sparkSession, viewDir, updates, "id", nBuckets)
+          fs.writeStringAtomic(metaPath, s"nBuckets\t$nBuckets\n")
+        } else {
+          val nb = fs.readString(metaPath).trim.split("\t")(1).toInt
+          Merge.into(batch.sparkSession, viewDir, updates, "id", nb)
+        }
       }
       .start()
 }
