@@ -79,9 +79,13 @@ object Porter2 {
     def inR2(suffixLen: Int): Boolean = w.length - suffixLen >= r2
     def containsVowel(s: String): Boolean = s.exists(c => vowels.contains(c) && c != 'Y')
 
-    // step 0: 's / s' / '
-    for (s <- Seq("'s'", "'s", "'")) {
-      if (w.endsWith(s)) { w = w.dropRight(s.length); r1 = math.min(r1, w.length); r2 = math.min(r2, w.length) }
+    // step 0: remove the LONGEST of 's' / 's / ' — exactly one
+    // removal per the Snowball spec; a loop over all three could
+    // strip twice (e.g. a token ending '' + 's) and diverge from
+    // reference Porter2 (code-review r10)
+    Seq("'s'", "'s", "'").find(w.endsWith).foreach { s =>
+      w = w.dropRight(s.length)
+      r1 = math.min(r1, w.length); r2 = math.min(r2, w.length)
     }
 
     // step 1a

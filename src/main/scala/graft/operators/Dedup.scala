@@ -128,9 +128,13 @@ object Dedup {
   def shingles(text: Column): Column =
     graft.functions.HashExpressions.word_ngrams3(split(text, " "))
 
-  /** Exact pairwise n-gram Jaccard over a bounded candidate set —
-    * the relational formulation that also serves as the LSH rerank. */
-  def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
+  /** The shared shingle-postings subtree of BOTH exact pair joins
+    * (Jaccard and containment): per-doc distinct-shingle sizes and
+    * the (a < b) pair intersection counts. ONE definition so the
+    * promised 100-TB df-guard (drop shingles shared by ~every doc
+    * before the pair join) lands here once, for both operators
+    * (code-review r10: the subtree was duplicated verbatim). */
+  private def shinglePairCounts(df: DataFrame): (DataFrame, DataFrame) = {
     graft.functions.HashExpressions.register(df.sparkSession)
     val sh = df
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
@@ -139,6 +143,13 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
+    (sizes, inter)
+  }
+
+  /** Exact pairwise n-gram Jaccard over a bounded candidate set —
+    * the relational formulation that also serves as the LSH rerank. */
+  def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
+    val (sizes, inter) = shinglePairCounts(df)
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -169,14 +180,8 @@ object Dedup {
     * rare). Threshold applies to the RAW ratio; the published value
     * is 1e-4-rounded (the registry's standard double contract). */
   def containmentPairs(df: DataFrame, minContainment: Double): DataFrame = {
-    graft.functions.HashExpressions.register(df.sparkSession)
-    val sh = df
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    val (sizes, inter0) = shinglePairCounts(df)
+    val inter = inter0
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
     val directed = inter.select(col("doc_a").as("src"), col("doc_b").as("dst"),
@@ -346,12 +351,12 @@ object Dedup {
                    minEst: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val sigd = signatures(df)
 
-    // band key: hash of each rows-sized signature slice (unrolled
-    // Scala-side: band count is a compile-time constant)
+    // band key: ONE definition ([[bandKeyArray]]) shared with the
+    // persisted-index paths — a second inline copy of the key formula
+    // could drift and make in-batch and index-probe dedup bucket the
+    // same signatures differently (code-review r10)
     val banded = sigd.select(col("doc_id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, rows)),
-            lit(b))): _*)))
+        posexplode(bandKeyArray(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     // same-bucket candidate pairs (skew guard: drop hot buckets)
@@ -435,12 +440,31 @@ object Dedup {
       location.fold(sw)(dir => sw.option("path", s"$dir/sigs"))
         .saveAsTable(s"${table}_sigs")
     } finally { sigd.unpersist(); () }
+    // band geometry lives WITH the table, not in callers' heads: the
+    // probe/append paths read it back, so a caller passing different
+    // bands/rows after a restart cannot silently bucket probe keys
+    // that can never match the indexed ones (code-review r10)
+    df.sparkSession.sql(s"ALTER TABLE ${table}_bands SET TBLPROPERTIES " +
+      s"('graft.bands' = '$bands', 'graft.rows' = '$rows')")
   }
+
+  /** The index's recorded band geometry, falling back to the caller's
+    * values for pre-property indexes. The recorded values WIN: they
+    * describe the on-disk band keys. */
+  private def lshGeometry(spark: SparkSession, table: String,
+                          bands: Int, rows: Int): (Int, Int) = try {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${table}_bands")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (props.get("graft.bands").map(_.toInt).getOrElse(bands),
+      props.get("graft.rows").map(_.toInt).getOrElse(rows))
+  } catch { case _: Exception => (bands, rows) }
 
   /** Fold a deduped shard into the index; the bucketed layout is
     * preserved, so the next shard's probe stays exchange-free. */
   def appendToLshIndex(df: DataFrame, table: String, nBuckets: Int = 8,
-                       bands: Int = 16, rows: Int = 4): Unit = {
+                       bands0: Int = 16, rows0: Int = 4): Unit = {
+    // appends must key bands exactly like the on-disk index
+    val (bands, rows) = lshGeometry(df.sparkSession, table, bands0, rows0)
     val sigd = signatures(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -468,16 +492,28 @@ object Dedup {
     if (!fs.exists(bandsDir) || !fs.exists(sigsDir) || !fs.exists(meta))
       return spark.catalog.tableExists(s"${table}_bands") &&
         spark.catalog.tableExists(s"${table}_sigs")
-    val nBuckets = fs.readString(meta)
-      .linesIterator.map(_.split("\t", 2)).collectFirst {
-        case Array("nBuckets", n) => n.toInt
-      }.getOrElse(throw new IllegalStateException(s"no nBuckets in $meta"))
-    if (!spark.catalog.tableExists(s"${table}_bands"))
+    val kv = fs.readString(meta)
+      .linesIterator.map(_.split("\t", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val nBuckets = kv.getOrElse("nBuckets",
+      throw new IllegalStateException(s"no nBuckets in $meta")).toInt
+    if (!spark.catalog.tableExists(s"${table}_bands")) {
       spark.sql(
         s"""CREATE TABLE ${table}_bands (doc_id BIGINT, bucket BIGINT)
            |USING PARQUET
            |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $nBuckets BUCKETS
            |LOCATION '$bandsDir'""".stripMargin)
+      // re-register the band GEOMETRY too (not just the bucketing):
+      // probe/append read it back via lshGeometry, so a post-restart
+      // caller with different bands/rows defaults cannot compute keys
+      // the on-disk index never contained (code-review r10)
+      (kv.get("bands"), kv.get("rows")) match {
+        case (Some(b), Some(r)) =>
+          spark.sql(s"ALTER TABLE ${table}_bands SET TBLPROPERTIES " +
+            s"('graft.bands' = '$b', 'graft.rows' = '$r')")
+        case _ => ()
+      }
+    }
     if (!spark.catalog.tableExists(s"${table}_sigs"))
       spark.sql(
         s"""CREATE TABLE ${table}_sigs (doc_id BIGINT, sig ARRAY<BIGINT>)
@@ -494,8 +530,10 @@ object Dedup {
     * are [[minhashPairs]]' job on the shard alone. */
   def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
                         table: String, minEst: Double = 0.5,
-                        maxBucket: Int = 64, bands: Int = 16,
-                        rows: Int = 4, bloomBits: Int = 1 << 22): DataFrame = {
+                        maxBucket: Int = 64, bands0: Int = 16,
+                        rows0: Int = 4, bloomBits: Int = 1 << 22): DataFrame = {
+    // the table's recorded geometry wins over the caller's defaults
+    val (bands, rows) = lshGeometry(spark, table, bands0, rows0)
     // the shard's signatures feed the probe AND the verify join —
     // shard-sized; snapshot them so the kernel runs once WITHOUT a
     // persist() whose blocks would outlive the returned lazy plan.
@@ -652,16 +690,26 @@ object Dedup {
     * pipeline runs (minhash near-dup removal chains after it via
     * [[minhashPairs]] — kept out of this query so the whole pipeline
     * stays SQL-oracle-checkable). */
-  def cleanCorpus(df: DataFrame): DataFrame = {
+  /** The quality gate (>= 10 tokens, mean token length in [2, 12]) —
+    * ONE definition shared by [[cleanCorpus]] and [[dedupPipeline]]
+    * so the composed pipeline stays the composition of its
+    * advertised stages (code-review r10: the thresholds were
+    * inlined twice). */
+  private def qualityRows(df: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val meanLen = (length(col("text")) - size(toks) + 1).cast("double") /
       size(toks).cast("double")
-    val quality = df.filter(size(toks) >= 10 &&
-      meanLen >= 2.0 && meanLen <= 12.0)
+    df.filter(size(toks) >= 10 && meanLen >= 2.0 && meanLen <= 12.0)
+  }
+
+  /** Normalized-exact keep-min over already-quality-gated rows. */
+  private def exactKeepIds(quality: DataFrame): DataFrame =
     quality.groupBy(md5(normalized(col("text")).cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-  }
+
+  def cleanCorpus(df: DataFrame): DataFrame =
+    exactKeepIds(qualityRows(df))
 
   /** LSH discovery verified against exact Jaccard, SQL-oracle-checkable:
     * the LSH candidate pairs are joined back to the exact n-gram
@@ -940,16 +988,8 @@ object Dedup {
     * corpus release runs nightly. */
   def dedupPipeline(df: DataFrame, minJaccard: Double = 0.8,
                     trainPct: Int = 80): DataFrame = {
-    val toks = split(col("text"), " ")
-    val meanLen = (length(col("text")) - size(toks) + 1).cast("double") /
-      size(toks).cast("double")
-    val quality = df.filter(size(toks) >= 10 &&
-      meanLen >= 2.0 && meanLen <= 12.0)
-    val exactIds = quality
-      .groupBy(md5(normalized(col("text")).cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val kept = quality.join(exactIds, Seq("doc_id"), "left_semi")
+    val quality = qualityRows(df)
+    val kept = quality.join(exactKeepIds(quality), Seq("doc_id"), "left_semi")
     val comps = connectedComponents(
       minhashVerifiedPairs(kept, minJaccard)
         .select(col("doc_a"), col("doc_b")))

@@ -56,6 +56,17 @@ object Graph {
     customerSupplierEdgesNum(orders, lineitem)
       .select(decodeNode(col("a")).as("a"), decodeNode(col("b")).as("b"))
 
+  /** Symmetrized (undirected) edge snapshot — the ONE definition of
+    * what "the same undirected graph" means for every graph operator
+    * here (pagerank / PPR / label propagation / BFS); four inline
+    * copies could drift on e.g. self-loop or distinct() handling
+    * (code-review r10). */
+  private def symSnapshot(edges: DataFrame, site: String): DataFrame =
+    Dedup.materialize(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
+      site)
+
   /** Fixed-iteration damped PageRank over an undirected edge list
     * (columns `a`, `b`). Returns (node, rank) with rank rounded to
     * 1e-6 — deterministic up to float reassociation in the neighbor
@@ -93,10 +104,7 @@ object Graph {
     // total), the degree table (node count rides the write as an
     // observe() — zero extra jobs, the CC move), and the
     // degree-annotated edge list the loop scans.
-    val symSnap = Dedup.materialize(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
-      "pr_sym")
+    val symSnap = symSnapshot(edges, "pr_sym")
     val degObs = org.apache.spark.sql.Observation()
     val degSnap = Dedup.materialize(
       symSnap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -154,12 +162,17 @@ object Graph {
     * seed set is never re-joined raw). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            damping: Double = 0.85): DataFrame = {
-    val symSnap = Dedup.materialize(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
-      "ppr_sym")
-    val seedSet = seeds.select(col("node")).distinct()
-    val nSeeds = seedSet.count()
+    val symSnap = symSnapshot(edges, "ppr_sym")
+    // seed count rides observe() on the snapshot write (the CC
+    // move, used three functions up) — the former separate .count()
+    // spent one full extra job AND recomputed the distinct for the
+    // join below (code-review r10)
+    val seedObs = org.apache.spark.sql.Observation()
+    val seedSet = Dedup.materialize(
+      seeds.select(col("node")).distinct()
+        .observe(seedObs, count(lit(1)).as("n")),
+      "ppr_seeds")
+    val nSeeds = seedObs.get("n").asInstanceOf[Long]
     require(nSeeds > 0, "personalizedPageRank: empty seed set")
     // degree + seed indicator + per-node teleport base, one snapshot
     val nodeSnap = Dedup.materialize(
@@ -283,10 +296,7 @@ object Graph {
     * aggregate (partials combine map-side), never a per-node window
     * sort. Labels are 8-byte ids end to end. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val symSnap = Dedup.materialize(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
-      "lpa_sym")
+    val symSnap = symSnapshot(edges, "lpa_sym")
     var labels = symSnap.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var i = 0
@@ -329,10 +339,7 @@ object Graph {
     * edge list (an isolated trusted node is still trusted). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
-    val sym = Dedup.materialize(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))),
-      "bfs_sym")
+    val sym = symSnapshot(edges, "bfs_sym")
     var settled = Dedup.materialize(
       seeds.select(col("node")).distinct()
         .select(col("node"), lit(0).as("hops")), "bfs_d0")

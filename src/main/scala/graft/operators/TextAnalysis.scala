@@ -123,15 +123,20 @@ object TextAnalysis {
     val preCounts = bgCounts
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cbg")).as("cpre"))
-    // |V| for add-one smoothing: distinct unigrams, a corpus-level
-    // scalar (eager count — the model is trained before scoring)
-    val v = df.select(explode(tokens(text)).as("w")).distinct().count()
+    // |V| for add-one smoothing: distinct unigrams as a broadcast
+    // 1-row scalar folded into the plan — the former eager
+    // .distinct().count() paid a full extra corpus scan + shuffle at
+    // plan-BUILD time, before the returned DataFrame was ever
+    // consumed (code-review r10)
+    val vocab = broadcast(df.select(explode(tokens(text)).as("w"))
+      .agg(countDistinct(col("w")).as("v")))
     bigrams
       .join(bgCounts, Seq("bg"))
       .join(preCounts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(vocab)
       .select(col("doc_id"),
         log((col("cbg") + 1).cast("double") /
-          (col("cpre") + v).cast("double")).as("lp"))
+          (col("cpre") + col("v")).cast("double")).as("lp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (round(avg(col("lp")) * 1e4) / 1e4).as("lm_score"))
@@ -398,9 +403,15 @@ object TextAnalysis {
     val qc = array_join(filter(split(qs, "&"),
       p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
         p.startsWith("gclid="))), "&")
-    concat(scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path,
-      when(qc =!= "", concat(lit("?"), qc)).otherwise(lit("")))
+    // schemeless/protocol-relative inputs pass through UNCHANGED:
+    // without "://", substring_index returns the whole string for
+    // both halves and the concat below would emit
+    // "example.com/a://example.com/a"-shaped garbage, silently
+    // splitting dedup-by-canonical-url groups (code-review r10)
+    when(instr(base, "://") === 0, u).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")), path,
+        when(qc =!= "", concat(lit("?"), qc)).otherwise(lit(""))))
   }
 
   /** Closed-form messy URL per document (mixed-case scheme/host,
