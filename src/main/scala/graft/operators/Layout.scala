@@ -274,6 +274,18 @@ object Layout {
     val lfp = contentFp(Tables.load(s, dir, "lineitem"), "l_orderkey")
     val ot = s"orders_bkt_${fp}_$ofp"; val lt = s"lineitem_bkt_${fp}_$lfp"
     val wh = s.conf.get("spark.sql.warehouse.dir")
+    // reclaim SUPERSEDED generations of this corpus's bucketed copies:
+    // every regeneration mints a new content-fingerprinted name, and
+    // without cleanup each one stranded a full orders+lineitem copy in
+    // the warehouse forever (code-review r10)
+    s.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => (n.startsWith(s"orders_bkt_${fp}_") && n != ot) ||
+        (n.startsWith(s"lineitem_bkt_${fp}_") && n != lt))
+      .foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        graft.sources.Dfs.default.delete(s"$wh/$n")
+      }
     def ensure(name: String, build: => DataFrame,
                bucketCol: String): Unit =
       if (!s.catalog.tableExists(name)) {

@@ -82,12 +82,18 @@ object Multimodal {
       val n = st.width.toLong * st.height
       val topN = (st.height / 2).toLong * st.width
       val leftN = (st.width / 2).toLong * st.height
+      // height/width 1 make a half-image region EMPTY (topN/leftN =
+      // 0); its mean is defined as 0 rather than 0/0 = NaN, which
+      // would silently poison downstream cosine/ANN math
+      // (code-review r10)
+      def regionMean(sum: Long, cnt: Long): Float =
+        if (cnt == 0) 0f else (sum.toDouble / (cnt * 3 * 255)).toFloat
       val features = Array(
         (st.sum_r.toDouble / (n * 255)).toFloat,
         (st.sum_g.toDouble / (n * 255)).toFloat,
         (st.sum_b.toDouble / (n * 255)).toFloat,
-        (st.sum_top.toDouble / (topN * 3 * 255)).toFloat,
-        (st.sum_left.toDouble / (leftN * 3 * 255)).toFloat,
+        regionMean(st.sum_top, topN),
+        regionMean(st.sum_left, leftN),
         ((st.sum_r + st.sum_g + st.sum_b).toDouble / (n * 3 * 255)).toFloat)
       MediaFeatures(r.doc_id, r.kind, st.width, st.height, features,
         Array.empty[Int])
@@ -149,7 +155,15 @@ object Multimodal {
     val h = math.abs(hRaw)
     require(u16(28) == 24 && i32(30) == 0,
       s"doc $docId: only 24bpp BI_RGB supported (bpp=${u16(28)})")
+    // declared geometry must FIT the payload: a truncated or
+    // header-corrupt file previously crashed with a bare
+    // ArrayIndexOutOfBounds instead of the descriptive reject every
+    // other malformation gets (code-review r10)
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"doc $docId: bad dimensions ${w}x$hRaw")
     val stride = ((w * 3 + 3) / 4) * 4
+    require(pixOff >= 54 && pixOff.toLong + stride.toLong * h <= d.length,
+      s"doc $docId: truncated BMP (need ${pixOff.toLong + stride.toLong * h} bytes, have ${d.length})")
     val px = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -198,6 +212,12 @@ object Multimodal {
     var st: WavStats = null
     while (off + 8 <= d.length && st == null) {
       val id = str4(off); val size = i32(off + 4); val body = off + 8
+      // the declared chunk body must FIT the payload — a size field
+      // larger than the remaining bytes previously read past the
+      // array end with a bare AIOOBE instead of the descriptive
+      // reject every other malformation gets (code-review r10)
+      require(size >= 0 && body.toLong + size <= d.length,
+        s"doc $docId: truncated '$id' chunk (size=$size, have ${d.length - body})")
       id match {
         case "fmt " =>
           require(u16(body) == 1 && u16(body + 2) == 1 && u16(body + 14) == 16,
@@ -383,6 +403,9 @@ object Multimodal {
     while (!done) {
       require(off + 12 <= d.length, s"doc $docId: truncated chunk list")
       val len = be32(off); val typ = str4(off + 4); val body = off + 8
+      // the declared body + CRC must fit before anything reads them
+      require(len >= 0 && body.toLong + len + 4 <= d.length,
+        s"doc $docId: truncated $typ chunk (len=$len)")
       val crc = new java.util.zip.CRC32()
       crc.update(d, off + 4, 4 + len)
       require(crc.getValue.toInt == be32(body + len),
@@ -536,9 +559,15 @@ object Multimodal {
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte))
     chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    // tEXt BEFORE the IDAT run: ISO 15948 requires multiple IDATs to
+    // be CONSECUTIVE, so an ancillary chunk between them made the
+    // emitted files spec-invalid for strict decoders even though the
+    // in-repo decoder tolerated it (code-review r10). The decoder
+    // still must skip the ancillary chunk AND concatenate split
+    // IDATs - both properties stay on the gate.
+    chunk("tEXt", comment.getBytes("US-ASCII"))
     val cut = zlen / 2 // split IDAT: decoders must concatenate bodies
     chunk("IDAT", zbuf.slice(0, cut))
-    chunk("tEXt", comment.getBytes("US-ASCII"))
     chunk("IDAT", zbuf.slice(cut, zlen))
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -697,8 +726,9 @@ object Multimodal {
 
   /** Phash corpus: for every 10th document, its image encoded twice
     * through DIFFERENT real codecs — the base surface as a BMP
-    * (row id 2*doc_id) and a lightly perturbed variant as a PNG
-    * (row id 2*doc_id+1). Near-dup pairs therefore cross the codec
+    * (row id 3*doc_id) and a lightly perturbed variant as a PNG
+    * (row id 3*doc_id+1; every 5th image adds a third cross-codec
+    * twin at 3*doc_id+2). Near-dup pairs therefore cross the codec
     * boundary: matching them proves both decoders reconstruct the
     * same pixel surface. */
   def phashTable(s: SparkSession, dir: String): DataFrame = {

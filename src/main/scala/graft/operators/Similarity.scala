@@ -367,9 +367,7 @@ object Similarity {
                      nProbe: Int = 4): DataFrame = {
     graft.functions.HashExpressions.register(spark)
     // the centroid side table IS the model: nCells × dim, driver-held
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
-      .sortBy(_._1).toSeq
+    val centroids = loadCentroids(spark, path)
     val probes = queries
       .select(col("qid"), col("qe"),
         explode(topCells(centroids, col("qe"), nProbe)).as("pc"))
@@ -435,6 +433,41 @@ object Similarity {
     s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
       s"count\t${fp._1}\nvecIdSum\t${fp._2}\ncontentSig\t${fp._3}\n"
 
+  /** The driver-held centroid model of a persisted index — ONE
+    * loader for the search/append/PQ paths (code-review r10: the
+    * collect+sort shape was triplicated). */
+  private def loadCentroids(spark: SparkSession,
+                            path: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+
+  /** Per-query ADC lookup tables over PQ codebooks: for each query,
+    * an (nSub x codesPerSub) table of exact query-subvector /
+    * codeword dot products (index-ordered double folds — the
+    * oracle-parity arithmetic). ONE builder for the on-disk and
+    * in-memory PQ search paths. */
+  private def pqQueryLut(spark: SparkSession,
+                         books: Map[Int, Seq[(Int, Seq[Float])]],
+                         qs: Array[(Long, Seq[Float])]): DataFrame = {
+    val nSub = books.size
+    val subDim = books(0).head._2.size
+    val lutRows = qs.map { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = (0 until nSub).map { mi =>
+        books(mi).map { case (_, ce) =>
+          val qsub = qv.slice(mi * subDim, (mi + 1) * subDim)
+          qsub.zip(ce).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        }
+      }
+      org.apache.spark.sql.Row(qid, lut)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(lutRows.toSeq, 1),
+      StructType(Seq(StructField("qid", LongType),
+        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+  }
+
   def ensureIvfIndex(embeddings: DataFrame, path: String,
                      nCells: Int = 16, refineIters: Int = 2,
                      fs: graft.sources.Dfs = graft.sources.Dfs.default): Boolean = {
@@ -443,8 +476,18 @@ object Similarity {
       corpusFingerprint(embeddings))
     if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true
     else {
+      // tombstones survive the rebuild: they are USER deletions
+      // layered on top of whatever layout serves the corpus, and the
+      // corpus parquet still contains the deleted rows — a plain
+      // fs.delete(path) silently resurrected every soft-deleted
+      // vector on any rebuild (code-review r10)
+      val tombs = s"$path/_tombstones"
+      val tombsTmp = s"${path}_tombstones_keep"
+      val hadTombs = fs.exists(tombs)
+      if (hadTombs) { fs.delete(tombsTmp); fs.rename(tombs, tombsTmp) }
       fs.delete(path)
       writeIvfIndex(embeddings, path, nCells, refineIters)
+      if (hadTombs) fs.rename(tombsTmp, tombs)
       fs.writeStringAtomic(metaPath, meta)
       false
     }
@@ -519,9 +562,7 @@ object Similarity {
       : Unit = {
     val spark = newVecs.sparkSession
     graft.functions.HashExpressions.register(spark)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
-      .sortBy(_._1).toSeq
+    val centroids = loadCentroids(spark, path)
     // batch-only aggregates BEFORE the append; the fingerprint's
     // three components (count, vecIdSum, xor-of-row-hashes) were
     // chosen to COMPOSE, so the grown layout's fingerprint is
@@ -681,9 +722,7 @@ object Similarity {
                        shortlistFrac: Double = 0.25,
                        minShortlist: Int = 100): DataFrame = {
     graft.functions.HashExpressions.register(spark)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1))
-      .sortBy(_._1).toSeq
+    val centroids = loadCentroids(spark, path)
     val books: Map[Int, Seq[(Int, Seq[Float])]] =
       spark.read.parquet(s"$path/books")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
@@ -695,27 +734,27 @@ object Similarity {
     val subDim = books(0).head._2.size
     val qs = queries.select(col("qid"), col("qe")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
-    val lutRows = qs.map { case (qid, qv) =>
-      val lut: Seq[Seq[Double]] = (0 until nSub).map { mi =>
-        books(mi).map { case (_, ce) =>
-          val qsub = qv.slice(mi * subDim, (mi + 1) * subDim)
-          qsub.zip(ce).map { case (a, b) => a.toDouble * b.toDouble }.sum
-        }
-      }
-      org.apache.spark.sql.Row(qid, lut)
-    }
-    import org.apache.spark.sql.types._
-    val lutDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(lutRows.toSeq, 1),
-      StructType(Seq(StructField("qid", LongType),
-        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+    val lutDf = pqQueryLut(spark, books, qs)
     // per-query probe cells, collected as a bounded (qid → cells) model
     val probes = queries
       .select(col("qid"), explode(topCells(centroids, col("qe"), nProbe)).as("pc"))
       .select(col("qid"), col("pc.cell").as("cell"))
     val cellSet = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nCells values
-    val n = spark.read.parquet(s"$path/cells").count()
+    // shortlist sizing from the meta's recorded count — a
+    // count() over the cells table was a full-index scan per search
+    // batch, defeating the probed-directories scale story
+    // (code-review r10); the scan remains only the fallback for
+    // meta-less layouts
+    val fsm = graft.sources.Dfs.default
+    val metaPath = s"$path/_index_meta.tsv"
+    val n =
+      if (fsm.exists(metaPath))
+        fsm.readString(metaPath).split("\n").filter(_.nonEmpty)
+          .map(_.split("\t")).collectFirst { case Array("count", v) =>
+            v.toLong }
+          .getOrElse(spark.read.parquet(s"$path/cells").count())
+      else spark.read.parquet(s"$path/cells").count()
     val shortlist = math.max(minShortlist,
       math.ceil(n * shortlistFrac).toInt)
     val index = spark.read.parquet(s"$path/cells")
@@ -935,21 +974,8 @@ object Similarity {
     val qs = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
-    val lutRows = qs.map { case (qid, qv) =>
-      val lut: Seq[Seq[Double]] = (0 until nSub).map { mi =>
-        books(mi).map { case (_, ce) =>
-          val qsub = qv.slice(mi * subDim, (mi + 1) * subDim)
-          qsub.zip(ce).map { case (a, b) => a.toDouble * b.toDouble }.sum
-        }
-      }
-      org.apache.spark.sql.Row(qid, lut)
-    }
     val spark = embeddings.sparkSession
-    import org.apache.spark.sql.types._
-    val lutDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(lutRows.toSeq, 1),
-      StructType(Seq(StructField("qid", LongType),
-        StructField("lut", ArrayType(ArrayType(DoubleType))))))
+    val lutDf = pqQueryLut(spark, books, qs)
     // ADC score ≈ dot(q, x)/|x| — rank-equivalent to cosine for a
     // fixed query (|q| is constant per qid and drops out)
     val adc = coded.crossJoin(broadcast(lutDf))
@@ -1148,6 +1174,13 @@ object Similarity {
   def mmrTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCand: Int = 10, lambda: Double = 0.7,
               lambdaComp: Double = 0.3): DataFrame = {
+    // lambdaComp is a SEPARATE literal (not derived 1 - lambda)
+    // because 1 - 0.7 != 0.3 in doubles and the oracle restates the
+    // same source literals — but the two must still form an MMR
+    // convex combination, so a caller changing one without the other
+    // fails loudly instead of silently re-weighting (code-review r10)
+    require(math.abs(lambda + lambdaComp - 1.0) < 1e-9,
+      s"mmrTopK: lambda + lambdaComp must be 1, got $lambda + $lambdaComp")
     import org.apache.spark.sql.expressions.Window
     graft.functions.HashExpressions.register(embeddings.sparkSession)
     val cand = Dedup.materialize(
