@@ -58,6 +58,44 @@ class AnnStreamSpec extends AnyFunSuite {
       nCells = 8, refineIters = 1))
   }
 
+  test("ingestBatch crash window: append landed, record missed, redelivery skips") {
+    val path = JF.createTempDirectory("ann_crash").toString + "/idx"
+    assert(!Similarity.ensureIvfIndex(vecs(0, 256), path,
+      nCells = 8, refineIters = 1))
+    def n() = spark.read.parquet(s"$path/cells").count()
+    val id = "crash_lineage"
+    val b0 = vecs(256, 384)
+    // simulate the crash BETWEEN append and recordApplied: run the
+    // append exactly as ingestBatch would (intent first), then "die"
+    // before the hwm write
+    val fs = graft.sources.Dfs.default
+    val meta = fs.readString(s"$path/_index_meta.tsv").split("\n")
+      .filter(_.nonEmpty).map(_.split("\t")).map(a => a(0) -> a(1)).toMap
+    val bfp = Similarity.corpusFingerprint(
+      b0.select(col("vec_id"), col("embedding")))
+    val exp = Similarity.composeFp(
+      (meta("count").toLong, meta("vecIdSum").toLong,
+        meta("contentSig").toLong), bfp)
+    fs.writeStringAtomic(s"$path/_append_intent_$id.tsv",
+      s"0\t${exp._1}\t${exp._2}\t${exp._3}\n")
+    Similarity.appendIvfIndex(b0, path)
+    assert(n() === 384)
+    assert(MergeStream.lastApplied(path, id) === -1L) // record "crashed"
+    // at-least-once redelivery of batch 0: the write-ahead intent
+    // matches the post-append meta, so the append is SKIPPED and only
+    // the record replays — no duplicate vectors
+    AnnStream.ingestBatch(b0, 0L, path, id)
+    assert(n() === 384, "redelivered batch must not re-append")
+    assert(MergeStream.lastApplied(path, id) === 0L)
+    // the next genuinely-new batch takes the normal append path even
+    // though the stale intent file is still present
+    AnnStream.ingestBatch(vecs(384, 512), 1L, path, id)
+    assert(n() === 512)
+    // and the grown layout still fingerprint-matches the full corpus
+    assert(Similarity.ensureIvfIndex(vecs(0, 512), path,
+      nCells = 8, refineIters = 1))
+  }
+
   test("deleteBatch: streamed tombstones hide ids, replay skips, compaction preserves results") {
     val path = JF.createTempDirectory("ann_del").toString + "/idx"
     assert(!Similarity.ensureIvfIndex(vecs(0, 512), path,

@@ -52,5 +52,29 @@ class WikiStreamSpec extends AnyFunSuite {
       .select(col("id.id"), col("episodes")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(v2 === Map(1L -> 10.0, 2L -> 30.0, 3L -> 5.0))
+
+    // bootstrap detection is OUR marker, not Spark's _SUCCESS: on
+    // object-store configs that disable marksuccessfuljobs the
+    // _SUCCESS file never exists, and the old check re-bootstrapped
+    // (Overwrite!) every batch — the view would hold only the last
+    // batch. The marker also persists nBuckets.
+    val meta = JPaths.get(s"$viewDir/_GRAFT_VIEW_META")
+    assert(Files.exists(meta), "view meta marker missing")
+    assert(Files.readString(meta).trim === "nBuckets\t16")
+
+    // restart with a DIFFERENT caller nBuckets: the recorded value
+    // must win, so the merge prunes the on-disk _mb= bucketing and
+    // upserts correctly instead of splitting keys across bucketings
+    Files.writeString(JPaths.get(s"$dumpDir/f3.json"),
+      entityLine(2, "show b", 40))
+    val q2 = WikiStream.incrementalMediaView(spark, dumpDir, viewDir,
+      cp, nBuckets = 32)
+    q2.processAllAvailable(); q2.stop()
+    val v3 = spark.read.parquet(viewDir)
+      .select(col("id.id"), col("episodes")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v3 === Map(1L -> 10.0, 2L -> 40.0, 3L -> 5.0))
+    // one row per id — a wrong-bucketing merge would leave id 2 twice
+    assert(spark.read.parquet(viewDir).count() === 3)
   }
 }
