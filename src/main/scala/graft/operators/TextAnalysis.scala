@@ -270,6 +270,27 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against the corpus-derived
+    * top-`k` token vocabulary — the "how much of this doc will the
+    * tokenizer shred into rare pieces" signal a pretraining filter
+    * thresholds on. The vocabulary is a BOUNDED MODEL (top-k via
+    * [[vocabTopK]]'s deterministic freq-desc/token-asc cut, broadcast
+    * back); the corpus pass is tokenize → broadcast membership
+    * left-anti count, so the only full-width exchange is the
+    * vocabulary count's term-keyed, map-side-combined groupBy. */
+  def oovRate(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val vocab = broadcast(vocabTopK(df, text, k).select(col("token")))
+    val toks = df.select(col("doc_id"), explode(tokens(text)).as("token"))
+    val totals = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val oov = toks.join(vocab, Seq("token"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    totals.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (round(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double") * 1e4) / 1e4).as("oov_rate"))
+  }
+
   /** Sketch-guided EXACT heavy hitters over the corpus 1..maxN-gram
     * stream: every gram with frequency > total/k, with its exact
     * count — the common-phrase / boilerplate-mining pass.
@@ -499,6 +520,8 @@ object TextAnalysis {
       pmiCollocations(docs(s, dir), col("text"), minCount = 5)),
     "t_vocab_topk" -> ((s, dir) =>
       vocabTopK(docs(s, dir), col("text"), 100)),
+    "t_oov_rate" -> ((s, dir) =>
+      oovRate(docs(s, dir), col("text"), 16)),
     // 17k-gram vocabulary vs a 1024-entry sketch: eviction pressure
     // is real, and the hash gate proves the two-pass answer is still
     // exact (threshold total/200 clears the total/1025 guarantee)
@@ -606,6 +629,16 @@ object TextAnalysis {
         |WHERE c12 >= 5""".stripMargin,
     "t_vocab_topk" ->
       "SELECT token, count(*) AS freq FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY freq DESC, token LIMIT 100",
+    // vocabulary cut restated with the same freq-desc/token-asc
+    // tie-break; OOV counted by anti-membership against it
+    "t_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY token ORDER BY freq DESC, token LIMIT 16)),
+        |t AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+        |o AS (SELECT doc_id, count(*) AS n_oov FROM toks WHERE token NOT IN (SELECT token FROM v) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens, coalesce(o.n_oov, 0) AS n_oov,
+        |  round((CAST(coalesce(o.n_oov, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))*1e4)/1e4 AS oov_rate
+        |FROM t LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
     // the naive full-vocabulary restatement of the sketch-guided
     // two-pass query: same 1..3-gram stream, same integer threshold
     "t_heavy_hitters" ->
