@@ -1038,7 +1038,43 @@ object Dedup {
       .filter(col("n_occ") >= 2)
   }
 
+  /** Chunk-granularity contamination audit: per EVAL document, the
+    * fraction of its CDC chunks appearing verbatim anywhere in the
+    * train corpus — [[contamination]]'s decontamination question
+    * asked with insertion-robust boundaries, so a benchmark answer
+    * pasted into a train page WITH surrounding edits still hits on
+    * its interior chunks where fixed windows would shift past it.
+    *
+    * Scale shape: the eval side is tiny, so its distinct chunk hashes
+    * BROADCAST into the train scan (one pass, no train shuffle); the
+    * surviving hit set is ≤ |eval chunks|, joined back to the eval
+    * chunks for the per-doc rate. */
+  def cdcContamination(train: DataFrame, probe: DataFrame,
+                       w: Int = 4, div: Int = 8): DataFrame = {
+    import graft.functions.HashExpressions.cdc_chunks
+    def chunkHashes(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          explode(cdc_chunks(col("text"), w, div)).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val pc = chunkHashes(probe)
+    val pHashes = broadcast(pc.select(col("h")).distinct())
+    val hitH = chunkHashes(train).select(col("h"))
+      .join(pHashes, Seq("h"), "left_semi").distinct()
+    pc.join(hitH.withColumn("_hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), count(col("_hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_chunks"), col("n_hit"),
+        (round(col("n_hit").cast("double") /
+          col("n_chunks").cast("double") * 1e4) / 1e4).as("hit_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cdc_contamination" -> ((s, dir) => {
+      graft.functions.HashExpressions.register(s)
+      val d = docs(s, dir)
+      cdcContamination(d.filter(col("doc_id") >= 10),
+        d.filter(col("doc_id") < 10))
+    }),
     "d_cdc_chunks" -> ((s, dir) => {
       graft.functions.HashExpressions.register(s)
       cdcFingerprint(docs(s, dir))
@@ -1151,6 +1187,18 @@ object Dedup {
       |e AS (SELECT doc_id, toks, CASE WHEN len(bp)=0 OR bp[-1] != n THEN list_append(bp, n) ELSE bp END AS ends FROM b)""".stripMargin
 
   def oracle: Map[String, String] = simhashProdOracle ++ Map(
+    // chunks for ALL docs from the shared restatement, split by side,
+    // exact distinct-hash membership — no broadcast machinery
+    "d_cdc_contamination" ->
+      s"""$cdcBaseSql,
+        |x AS (SELECT doc_id, unnest(list_transform(range(1, len(ends)+1), k -> struct_pack(
+        |   h := md5(array_to_string(toks[(CASE WHEN k=1 THEN 1 ELSE ends[k-1]+1 END):(ends[k])], ' '))))) AS ch FROM e),
+        |sel AS (SELECT doc_id, ch.h AS h FROM x),
+        |pp AS (SELECT doc_id, h FROM sel WHERE doc_id < 10),
+        |trh AS (SELECT DISTINCT h FROM sel WHERE doc_id >= 10)
+        |SELECT pp.doc_id, count(*) AS n_chunks, count(trh.h) AS n_hit,
+        |  round((CAST(count(trh.h) AS DOUBLE)/CAST(count(*) AS DOUBLE))*1e4)/1e4 AS hit_rate
+        |FROM pp LEFT JOIN trh ON pp.h = trh.h GROUP BY pp.doc_id""".stripMargin,
     "d_cdc_chunks" ->
       s"""$cdcBaseSql,
         |c AS (SELECT doc_id, list_transform(range(1, len(ends)+1), k -> md5(array_to_string(toks[(CASE WHEN k=1 THEN 1 ELSE ends[k-1]+1 END):(ends[k])], ' '))) AS chs FROM e)
