@@ -59,9 +59,17 @@ object GraftRegistry {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "srp_pack" -> (es => SrpPack(es(0), staticInt(es(1), "srp_pack words"))),
     "hamming_dist" -> (es => HammingDist(es(0), es(1))),
-    "cdc_chunks" -> (es => CdcChunks(es(0),
-      staticInt(es(1), "cdc_chunks window"),
-      staticInt(es(2), "cdc_chunks divisor"))),
+    "cdc_chunks" -> (es => {
+      val w = staticInt(es(1), "cdc_chunks window")
+      val div = staticInt(es(2), "cdc_chunks divisor")
+      // fail at analysis time like z_order_n: div=0 would throw
+      // ArithmeticException per ROW at execution (acc % div), and
+      // w<=0 silently declares a boundary at position 0, emitting a
+      // spurious empty first chunk that breaks reassembly
+      require(w >= 1, s"cdc_chunks window must be >= 1, got $w")
+      require(div >= 1, s"cdc_chunks divisor must be >= 1, got $div")
+      CdcChunks(es(0), w, div)
+    }),
     "sig_agreement" -> (es => SigAgreement(es(0), es(1))),
     "word_ngrams_3" -> (es => WordNgrams(es.head, 3)),
     "word_ngrams_2" -> (es => WordNgrams(es.head, 2)),

@@ -474,6 +474,20 @@ object Similarity {
     val metaPath = s"$path/_index_meta.tsv"
     val meta = ivfMetaString(nCells, refineIters,
       corpusFingerprint(embeddings))
+    // Crash recovery: a rebuild interrupted between the tombstone
+    // stash-rename below and the restoring rename strands the user's
+    // delete set at ${path}_tombstones_keep — and the next ensure
+    // would rebuild WITHOUT it, silently resurrecting deletions (and
+    // leaking the _keep dir forever). Re-adopt it first; the meta
+    // file is written only after a fully successful rebuild, so a
+    // leftover stash always implies the index dir has no live
+    // tombstones of its own (code-review r10).
+    val stash = s"${path}_tombstones_keep"
+    if (fs.exists(stash)) {
+      fs.delete(s"$path/_tombstones")
+      fs.rename(stash, s"$path/_tombstones")
+      fs.delete(metaPath) // the interrupted rebuild is not trustworthy
+    }
     if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true
     else {
       // tombstones survive the rebuild: they are USER deletions
@@ -482,7 +496,7 @@ object Similarity {
       // fs.delete(path) silently resurrected every soft-deleted
       // vector on any rebuild (code-review r10)
       val tombs = s"$path/_tombstones"
-      val tombsTmp = s"${path}_tombstones_keep"
+      val tombsTmp = stash
       val hadTombs = fs.exists(tombs)
       if (hadTombs) { fs.delete(tombsTmp); fs.rename(tombs, tombsTmp) }
       fs.delete(path)

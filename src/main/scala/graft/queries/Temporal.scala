@@ -389,7 +389,7 @@ object Temporal {
         |  FROM g GROUP BY user_id, sid),
         |pts AS (SELECT start_us AS t, 1 AS delta, user_id FROM iv
         |  UNION ALL SELECT end_us, -1, user_id FROM iv),
-        |run AS (SELECT t, sum(delta) OVER (ORDER BY t, delta, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active FROM pts)
+        |run AS (SELECT t, CAST(sum(delta) OVER (ORDER BY t, delta, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active FROM pts)
         |SELECT (t // 3600000000) * 3600000000 AS hour_us, max(active) AS max_active
         |FROM run GROUP BY 1""".stripMargin,
     // each event expands to its 4 containing hop windows via epoch-µs
