@@ -491,7 +491,7 @@ object Multimodal {
       }
       y += 1
     }
-    pngFromPixels(w, h, px, docId, s"Comment graft $docId")
+    pngFromPixels(w, h, px, docId, s"Comment\u0000graft $docId")
   }
 
   /** Encode a top-down row-major RGB surface as a real 8-bit
@@ -738,7 +738,7 @@ object Multimodal {
       .mapPartitions(_.flatMap { id =>
         val bmp = bmpFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = false))
         val png = pngFromPixels(PhashDim, PhashDim, phashPixels(id, perturbed = true),
-          filterSeed = id, comment = s"Comment graft phash $id")
+          filterSeed = id, comment = s"Comment\u0000graft phash $id")
         val base = Iterator(MediaRow(id * 3, bmp, "image", bmp.length),
           MediaRow(id * 3 + 1, png, "image", png.length))
         // every 5th image also carries its PERTURBED surface as a

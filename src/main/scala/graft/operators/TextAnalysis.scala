@@ -320,10 +320,54 @@ object TextAnalysis {
     * OperatorsSpec under adversarial repartitioning). */
   def heavyHitters(df: DataFrame, text: Column, maxN: Int, k: Int,
                    capacity: Int): DataFrame = {
-    require(maxN >= 1 && maxN <= 3, s"maxN must be 1..3, got $maxN")
     require(capacity + 1 >= k,
       s"exactness needs capacity+1 >= k (got capacity=$capacity, k=$k): " +
         "the sketch only guarantees retention above total/(capacity+1)")
+    heavyHittersCore(df, text, maxN, thrNum = k, thrDen = 1L,
+      capacity = capacity)
+  }
+
+  /** Corpus-size-INVARIANT heavy hitters: grams whose frequency
+    * exceeds (num/den) x the MEAN DOCUMENT's gram mass
+    * (total/n_docs) — "appears more often than num/den average
+    * documents' worth of grams". The plain [[heavyHitters]] cutoff
+    * total/k degrades to vacuous-empty whenever corpus growth adds
+    * content-disjoint documents (ten federated crawls, the ScaleUp
+    * replica): total grows, per-gram frequencies don't, and at some
+    * scale NOTHING clears total/k. Normalizing by n_docs keeps the
+    * per-document bar fixed at every corpus size, so the answer
+    * grows with the corpus instead of evaporating (VERDICT r10 #6).
+    *
+    * Exactness: the Misra-Gries retention guarantee is
+    * freq > total/(capacity+1), so the capacity must scale with the
+    * document count — capacity+1 >= den*n_docs/num — and is computed
+    * here from a pre-pass count (still bounded driver model state:
+    * 2*n_docs/5 strings at num/den = 5/2, i.e. ~20k at the 100x
+    * replica). Integer threshold arithmetic on both engines:
+    * freq * den * n_docs > total * num. */
+  def heavyHittersPerDoc(df: DataFrame, text: Column, maxN: Int,
+                         num: Int, den: Int,
+                         minCapacity: Int): DataFrame = {
+    require(num >= 1 && den >= 1, s"need num,den >= 1, got $num/$den")
+    val nDocs = df.count()
+    require(nDocs > 0, "empty corpus")
+    val needed = ((den * nDocs + num - 1) / num).toInt // ceil
+    heavyHittersCore(df, text, maxN, thrNum = den * nDocs,
+      thrDen = num.toLong,
+      capacity = math.max(minCapacity, needed))
+  }
+
+  /** Shared two-pass core: exact grams with
+    * freq * thrNum > total * thrDen. Caller guarantees
+    * (capacity+1) * thrDen >= thrNum (sketch retention covers the
+    * threshold). */
+  private def heavyHittersCore(df: DataFrame, text: Column, maxN: Int,
+                               thrNum: Long, thrDen: Long,
+                               capacity: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 3, s"maxN must be 1..3, got $maxN")
+    require((capacity + 1L) * thrDen >= thrNum,
+      s"exactness needs (capacity+1)*thrDen >= thrNum " +
+        s"(got capacity=$capacity, thr=$thrNum/$thrDen)")
     graft.functions.HashExpressions.register(df.sparkSession)
     val toks = tokens(text)
     val grams = df.select(explode(maxN match {
@@ -349,7 +393,7 @@ object TextAnalysis {
     // pass 2: exact counts for the bounded candidate set only
     grams.join(broadcast(candDf), "gram")
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") * k > lit(total))
+      .filter(col("freq") * lit(thrNum) > lit(total) * lit(thrDen))
       .orderBy(col("freq").desc, col("gram").asc)
   }
 
@@ -524,10 +568,14 @@ object TextAnalysis {
       oovRate(docs(s, dir), col("text"), 16)),
     // 17k-gram vocabulary vs a 1024-entry sketch: eviction pressure
     // is real, and the hash gate proves the two-pass answer is still
-    // exact (threshold total/200 clears the total/1025 guarantee)
+    // exact. Per-doc-relative threshold 2.5x the mean document's
+    // gram mass — identical to the old total/200 at the 500-doc base
+    // corpus, but non-vacuous on content-disjoint replicas (the 10x
+    // rehearsal returns 30 rows per replica instead of engines-agree-
+    // on-empty; VERDICT r10 #6)
     "t_heavy_hitters" -> ((s, dir) =>
-      heavyHitters(docs(s, dir), col("text"), maxN = 3, k = 200,
-        capacity = 1024)),
+      heavyHittersPerDoc(docs(s, dir), col("text"), maxN = 3,
+        num = 5, den = 2, minCapacity = 1024)),
     "t_tfidf_sim" -> ((s, dir) =>
       tfidfSimilarPairs(docs(s, dir), col("text"),
         maxDf = 5, minCosine = 0.2)),
@@ -649,8 +697,9 @@ object TextAnalysis {
         |  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) FROM t
         |  UNION ALL
         |  SELECT unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) FROM t),
-        |n AS (SELECT count(*) AS total FROM g)
-        |SELECT gram, count(*) AS freq FROM g, n GROUP BY gram, n.total HAVING count(*) * 200 > n.total""".stripMargin,
+        |n AS (SELECT count(*) AS total FROM g),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT gram, count(*) AS freq FROM g, n, nd GROUP BY gram, n.total, nd.n_docs HAVING count(*) * 2 * nd.n_docs > n.total * 5""".stripMargin,
     // the pruned TF-IDF space restated whole: same shingles, same
     // +1-smoothed idf, same df cutoff, same norm definition — the
     // cosine threshold applies to the ROUNDED value on both engines

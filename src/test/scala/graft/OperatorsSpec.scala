@@ -623,7 +623,7 @@ class OperatorsSpec extends AnyFunSuite {
       val (_, _, viaBmp) =
         bmpPixels(img, bmpFromPixels(PhashDim, PhashDim, base))
       val (_, _, viaPng) = pngPixels(img,
-        pngFromPixels(PhashDim, PhashDim, pert, img, s"t t $img"))
+        pngFromPixels(PhashDim, PhashDim, pert, img, s"t\u0000t $img"))
       assert(viaBmp.sameElements(base))
       assert(viaPng.sameElements(pert))
       // perturbed variant stays within the Hamming-3 radius
@@ -1975,6 +1975,46 @@ class OperatorsSpec extends AnyFunSuite {
       TextAnalysis.heavyHitters(docs, col("text"), maxN = 3,
         k = 40, capacity = 16)
     }
+  }
+
+  test("per-doc heavy hitters: content-disjoint replication scales the answer, not to empty") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 120).map { i =>
+      if (i % 3 == 0) "the quick fox jumps high"
+      else (0 until 8).map(_ => s"w${rnd.nextInt(400)}").mkString(" ")
+    }
+    def corpus(reps: Int) = (0 until reps).flatMap { k =>
+      texts.zipWithIndex.map { case (t, i) =>
+        val tt = if (k == 0) t
+                 else t.split(" ").map(_ + ('a' + k - 1).toChar).mkString(" ")
+        ((k * 1000000L + i), tt)
+      }
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = TextAnalysis
+      .heavyHittersPerDoc(df, col("text"), maxN = 3,
+        num = 3, den = 2, minCapacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = run(corpus(1))
+    assert(base.nonEmpty, "fixture plants heavy hitters; none at 1x")
+    val x4 = run(corpus(4))
+    // ScaleUp-shaped growth: each replica's suffixed grams clear the
+    // SAME per-document bar, so the answer is base x4 — the old
+    // total/k cutoff returned EMPTY here (nothing scales with total)
+    assert(x4.size === base.size * 4, s"got ${x4.size} vs ${base.size} x4")
+    assert(base.forall { case (g, f) => x4.get(g).contains(f) })
+    // and it still equals the full-shuffle truth at 4x
+    val df4 = corpus(4)
+    val toks4 = split(col("text"), " ")
+    val grams4 = df4.select(explode(concat(toks4,
+      call_function("word_ngrams_2", toks4),
+      call_function("word_ngrams_3", toks4))).as("gram"))
+    val total4 = grams4.count()
+    val nDocs4 = df4.count()
+    val truth = grams4.groupBy("gram").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 2 * nDocs4 > lit(total4) * 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(x4 === truth)
   }
 
   test("containment join: a quoted subset scores ~1 one way, low the other") {
