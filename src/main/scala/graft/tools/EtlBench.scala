@@ -19,6 +19,26 @@ import graft.ingest.Load
   */
 object EtlBench {
 
+  /** One synthetic dump entity (line body, no comma/newline) —
+    * shared with [[Bz2Probe]]'s parallel multistream writer. */
+  private[tools] def entityJson(i: Int): String = {
+    val qid = 1000000 + i
+    val kind = i % 20 // 1 property page per 20 items
+    val sb = new StringBuilder(1024)
+    if (kind == 19) {
+      sb.append(s"""{"type":"property","id":"P${i / 20 + 100}","labels":{"en":{"language":"en","value":"prop ${i / 20}"},"de":{"language":"de","value":"eigenschaft ${i / 20}"}},"descriptions":{"en":{"language":"en","value":"synthetic property"}},"claims":{}}""")
+    } else {
+      sb.append(s"""{"type":"item","id":"Q$qid","labels":{"en":{"language":"en","value":"item $i"},"ja":{"language":"ja","value":"アイテム$i"},"de":{"language":"de","value":"artikel $i"}},"descriptions":{"en":{"language":"en","value":"synthetic item $i"}},"claims":{""")
+      sb.append(s""""P31":[{"mainsnak":{"snaktype":"value","property":"P31","datavalue":{"value":{"entity-type":"item","numeric-id":${qid % 9973},"id":"Q${qid % 9973}"},"type":"wikibase-entityid"},"datatype":"wikibase-item"},"type":"statement","rank":"normal"}],""")
+      sb.append(s""""P1113":[{"mainsnak":{"snaktype":"value","property":"P1113","datavalue":{"value":{"amount":"+${i % 500}","unit":"1"},"type":"quantity"},"datatype":"quantity"},"type":"statement","qualifiers":{"P1545":[{"snaktype":"value","property":"P1545","datavalue":{"value":"${i % 50}","type":"string"},"datatype":"string"}]},"rank":"normal"}],""")
+      sb.append(s""""P1476":[{"mainsnak":{"snaktype":"value","property":"P1476","datavalue":{"value":{"text":"title $i","language":"en"},"type":"monolingualtext"},"datatype":"monolingualtext"},"type":"statement","rank":"normal"}],""")
+      sb.append(s""""P856":[{"mainsnak":{"snaktype":"value","property":"P856","datavalue":{"value":"https://example.org/$i","type":"string"},"datatype":"url"},"type":"statement","rank":"normal"}],""")
+      sb.append(s""""P580":[{"mainsnak":{"snaktype":"value","property":"P580","datavalue":{"value":{"time":"+20${10 + i % 15}-01-01T00:00:00Z","timezone":0,"before":0,"after":0,"precision":11,"calendarmodel":"http://www.wikidata.org/entity/Q1985727"},"type":"time"},"datatype":"time"},"type":"statement","rank":"normal"}]""")
+      sb.append("}}")
+    }
+    sb.toString
+  }
+
   def writeDump(path: String, n: Int): Unit = {
     val sink: java.io.OutputStream =
       if (path.endsWith(".bz2")) {
@@ -31,21 +51,7 @@ object EtlBench {
     w.write("[\n")
     var i = 0
     while (i < n) {
-      val qid = 1000000 + i
-      val kind = i % 20 // 1 property page per 20 items
-      val sb = new StringBuilder(1024)
-      if (kind == 19) {
-        sb.append(s"""{"type":"property","id":"P${i / 20 + 100}","labels":{"en":{"language":"en","value":"prop ${i / 20}"},"de":{"language":"de","value":"eigenschaft ${i / 20}"}},"descriptions":{"en":{"language":"en","value":"synthetic property"}},"claims":{}}""")
-      } else {
-        sb.append(s"""{"type":"item","id":"Q$qid","labels":{"en":{"language":"en","value":"item $i"},"ja":{"language":"ja","value":"アイテム$i"},"de":{"language":"de","value":"artikel $i"}},"descriptions":{"en":{"language":"en","value":"synthetic item $i"}},"claims":{""")
-        sb.append(s""""P31":[{"mainsnak":{"snaktype":"value","property":"P31","datavalue":{"value":{"entity-type":"item","numeric-id":${qid % 9973},"id":"Q${qid % 9973}"},"type":"wikibase-entityid"},"datatype":"wikibase-item"},"type":"statement","rank":"normal"}],""")
-        sb.append(s""""P1113":[{"mainsnak":{"snaktype":"value","property":"P1113","datavalue":{"value":{"amount":"+${i % 500}","unit":"1"},"type":"quantity"},"datatype":"quantity"},"type":"statement","qualifiers":{"P1545":[{"snaktype":"value","property":"P1545","datavalue":{"value":"${i % 50}","type":"string"},"datatype":"string"}]},"rank":"normal"}],""")
-        sb.append(s""""P1476":[{"mainsnak":{"snaktype":"value","property":"P1476","datavalue":{"value":{"text":"title $i","language":"en"},"type":"monolingualtext"},"datatype":"monolingualtext"},"type":"statement","rank":"normal"}],""")
-        sb.append(s""""P856":[{"mainsnak":{"snaktype":"value","property":"P856","datavalue":{"value":"https://example.org/$i","type":"string"},"datatype":"url"},"type":"statement","rank":"normal"}],""")
-        sb.append(s""""P580":[{"mainsnak":{"snaktype":"value","property":"P580","datavalue":{"value":{"time":"+20${10 + i % 15}-01-01T00:00:00Z","timezone":0,"before":0,"after":0,"precision":11,"calendarmodel":"http://www.wikidata.org/entity/Q1985727"},"type":"time"},"datatype":"time"},"type":"statement","rank":"normal"}]""")
-        sb.append("}}")
-      }
-      w.write(sb.toString)
+      w.write(entityJson(i))
       if (i < n - 1) w.write(",")
       w.write("\n")
       i += 1

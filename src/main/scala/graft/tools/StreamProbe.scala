@@ -27,7 +27,7 @@ object StreamProbe {
 
   /** Write `df` as exactly one JSON file per chunk into `inDir` —
     * the file-stream source's batch unit. */
-  private def stageChunks(inDir: String, chunks: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+  private[tools] def stageChunks(inDir: String, chunks: Seq[org.apache.spark.sql.DataFrame]): Unit = {
     Files.createDirectories(Paths.get(inDir))
     chunks.zipWithIndex.foreach { case (df, i) =>
       val stage = s"$inDir/_stage$i"

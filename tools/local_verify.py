@@ -14,7 +14,9 @@ rows sorted canonically — the same normalization the driver describes.
 """
 import json
 import math
+import os
 import sys
+import threading
 from pathlib import Path
 
 import duckdb
@@ -55,21 +57,60 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
 
+    json_out = Path(sys.argv[3]) if len(sys.argv) > 3 else None
+
     results = {}
+    # resume support for long scale-rehearsal runs: with a jsonOut
+    # that already exists, queries with a recorded verdict are kept
+    # and skipped (delete the file for a fresh run)
     detail = {}
+    if json_out is not None and json_out.exists():
+        detail = json.loads(json_out.read_text())
+        for k, v in detail.items():
+            ok = v.get("rows_match") and v.get("schema_match") \
+                and v.get("hash_match")
+            results[k] = (f"OK rows={v['spark_rows']} (resumed)" if ok
+                          else f"PRIOR-FAIL {str(v.get('err'))[:80]}")
+
+    def flush_detail():
+        if json_out is not None:
+            json_out.write_text(json.dumps(detail, indent=1, sort_keys=True))
+
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        if name in detail:
+            continue
+        print(f".. {name}", flush=True)
         spark_df = pd.read_parquet(Path(out_dir, name))
         if name not in oracle:
             results[name] = f"NO-ORACLE rows={len(spark_df)}"
             continue
+        # ORACLE_TIMEOUT_SEC bounds each DuckDB oracle run (scale
+        # rehearsals: brute-force pair oracles explode at 10x+; a
+        # timed-out oracle is an EXCLUSION to document, not a hang).
+        # Unset = no timeout (the driver-identical default).
+        timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
+        timer = None
+        timed_out = threading.Event()
+        if timeout > 0:
+            def _interrupt():
+                timed_out.set()
+                con.interrupt()
+            timer = threading.Timer(timeout, _interrupt)
+            timer.start()
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            results[name] = f"ORACLE-ERROR {e}"
+            kind = "ORACLE-TIMEOUT" if timed_out.is_set() else "ORACLE-ERROR"
+            results[name] = f"{kind} {e}"
             detail[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "spark_rows": len(spark_df),
-                            "oracle_rows": None, "err": str(e)[:300]}
+                            "oracle_rows": None,
+                            "err": f"{kind}: {str(e)[:300]}"}
+            flush_detail()
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         a, b = canon(spark_df), canon(duck_df)
         d = {"rows_match": len(a) == len(b),
              "schema_match": list(a.columns) == list(b.columns),
@@ -89,8 +130,7 @@ def main():
             d["hash_match"] = mism is None
             results[name] = mism or f"OK rows={len(a)}"
         detail[name] = d
-    if len(sys.argv) > 3:
-        Path(sys.argv[3]).write_text(json.dumps(detail, indent=1, sort_keys=True))
+        flush_detail()
 
     missing = set(oracle) - set(results)
     for name in sorted(missing):
