@@ -213,9 +213,17 @@ object Bench {
     // published by run 1 are unreachable garbage, not input to run 2.
     val sweepStart = System.nanoTime()
     def sweepElapsed(): Double = (System.nanoTime() - sweepStart) / 1e9
+    // PERF_r11 sweep-hygiene experiment: SPARK_GRAFT_SWEEP_GC=1
+    // clears cached relations and forces a full GC between queries,
+    // testing whether long-sweep inflation (b11_anti_join 5.0 s in
+    // the r10 driver sweep vs <0.41 s clean) is in-process residue
+    // (heap/catalog buildup) or host-level contention. Off by
+    // default — the driver contract is the plain sweep.
+    val sweepGc = sys.env.get("SPARK_GRAFT_SWEEP_GC").contains("1")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        if (sweepGc) { spark.catalog.clearCache(); System.gc() }
         val cap = if (sweepElapsed() > LateBudgetSec) LateCapSec
                   else QueryCapSec
         val r1 = runCapped(spark, name, cap) { fn(spark, sfDir).count() }

@@ -114,7 +114,7 @@ object Bz2Probe {
         graft.ingest.Load.run(spark, path, out, format = fmt)
           .entities.count()
       }
-      require(cnt == n - n / 20, s"unexpected entity count $cnt")
+      require(cnt == n, s"unexpected entity count $cnt (expected $n)")
       cnt / sec
     }
     val bz2Eps = load(bz2Path, "bz2", s"$dir/out_bz2")

