@@ -187,7 +187,16 @@ object Relational {
     val li = t(s, dir)("lineitem")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // per-row integer cents, THEN sum: double summation is
+      // order-dependent, and at the 10x rehearsal one of 492k groups
+      // landed within an ulp of a .005 boundary — Spark's partial-agg
+      // order and DuckDB's scan order rounded it apart. Each row's
+      // product is one IEEE multiply (identical on both engines), so
+      // quantizing per row makes the aggregate integer-exact and
+      // associative at ANY scale (PERF_r11).
+      .agg((sum(org.apache.spark.sql.functions.round(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")) / 100.0).as("revenue"))
   }
 
   /** Window functions: per-customer order sequence + running total.
@@ -337,7 +346,7 @@ object Relational {
     "q1_agg" ->
       "SELECT l_returnflag, l_linestatus, round((sum(l_quantity))*1e2)/1e2 AS sum_qty, round((sum(l_extendedprice))*1e2)/1e2 AS sum_base_price, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS sum_disc_price, round((avg(l_quantity))*1e4)/1e4 AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "q_join_agg" ->
-      "SELECT l_orderkey, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O' GROUP BY l_orderkey",
+      "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O' GROUP BY l_orderkey",
     "q_window" ->
       "SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, round((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2)/1e2 AS running FROM orders",
     "q_topk" ->
