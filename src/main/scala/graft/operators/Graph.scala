@@ -482,17 +482,21 @@ object Graph {
     * and the argmax restated as max-count-then-min-label (provably the
     * same total order as Spark's `min(struct(-c, lbl))`). */
   private def lpaOracleSql(iters: Int): String = {
-    val base = "WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+    // MATERIALIZED throughout: v{i} reads l{i-1} twice and l{i} reads
+    // v{i} twice, so CTE inlining expands the chain 4^iters-fold —
+    // fine at sf0.01, a 74 GB DuckDB spill at the 10x rehearsal
+    // (PERF_r11; same hazard class the BPE oracle pins).
+    val base = "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
       "FROM lineitem WHERE l_orderkey % 4 = 0), " +
-      "e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
+      "e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x JOIN lp y " +
       "ON x.ok = y.ok AND x.pk < y.pk), " +
-      "sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), " +
-      "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)"
+      "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), " +
+      "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)"
     val iterCtes = (1 to iters).map { i =>
-      s"v$i AS (SELECT node, lbl, count(*) AS c FROM (" +
+      s"v$i AS MATERIALIZED (SELECT node, lbl, count(*) AS c FROM (" +
         s"SELECT s.dst AS node, l.lbl FROM sym s JOIN l${i - 1} l ON s.src = l.node " +
         s"UNION ALL SELECT node, lbl FROM l${i - 1}) GROUP BY node, lbl), " +
-        s"l$i AS (SELECT v.node, min(v.lbl) AS lbl FROM v$i v " +
+        s"l$i AS MATERIALIZED (SELECT v.node, min(v.lbl) AS lbl FROM v$i v " +
         s"JOIN (SELECT node, max(c) AS mc FROM v$i GROUP BY node) m " +
         s"ON v.node = m.node AND v.c = m.mc GROUP BY v.node)"
     }.mkString(", ", ", ", "")
