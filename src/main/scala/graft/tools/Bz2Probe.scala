@@ -26,6 +26,48 @@ import org.apache.spark.sql.SparkSession
   */
 object Bz2Probe {
 
+  /** 512 hex chars of deterministic splitmix64 noise. The bench
+    * dump's templated JSON bz2-compresses 76x (unrealistic — the
+    * real multilingual dump runs ~10x), which would make a "multi-GB
+    * compressed" fixture need 150+ GB raw. An entropy payload per
+    * entity brings the ratio to a realistic ~6-8x, so the compressed
+    * file is genuinely multi-GB and the decompress work per split is
+    * honest. */
+  private def entropyHex(i: Int): String = {
+    val sb = new java.lang.StringBuilder(512)
+    var x = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    var j = 0
+    while (j < 32) {
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^= x >>> 31
+      sb.append(f"$x%016x")
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** One probe dump line: the bench entity plus a top-level entropy
+    * field (unknown keys are ignored by the explicit-schema parse —
+    * pinned by the smoke `require(cnt == n)` below). */
+  private def line(i: Int): String =
+    "{\"entropy\":\"" + entropyHex(i) + "\"," + EtlBench.entityJson(i).tail
+
+  private def writeJson(path: String, n: Int): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new FileOutputStream(path), StandardCharsets.UTF_8), 1 << 20)
+    w.write("[\n")
+    var i = 0
+    while (i < n) {
+      w.write(line(i))
+      if (i < n - 1) w.write(",")
+      w.write("\n")
+      i += 1
+    }
+    w.write("]\n")
+    w.close()
+  }
+
   /** Parallel multistream bz2 writer: `streams` workers each compress
     * their entity range as an independent bz2 stream; concatenating
     * the streams in order is a valid multistream file (bzip2 readers
@@ -43,7 +85,7 @@ object Bz2Probe {
         if (k == 0) w.write("[\n")
         var i = bounds(k)
         while (i < bounds(k + 1)) {
-          w.write(EtlBench.entityJson(i))
+          w.write(line(i))
           if (i < n - 1) w.write(",")
           w.write("\n")
           i += 1
@@ -89,7 +131,7 @@ object Bz2Probe {
       (a, s)
     }
 
-    timed(s"gen json n=$n")(EtlBench.writeDump(jsonPath, n))
+    timed(s"gen json n=$n")(writeJson(jsonPath, n))
     timed(s"gen bz2 n=$n streams=$streams")(
       writeMultistreamBz2(bz2Path, n, streams))
     val jsonBytes = Files.size(Paths.get(jsonPath))
