@@ -528,7 +528,44 @@ object Corpus {
       lit("@ex.com tel 555-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
 
+  /** k-anonymity audit over the metadata quasi-identifiers a corpus
+    * release exposes (lang, source, length bucket): a document whose
+    * full quasi-identifier tuple has fewer than k peers is a
+    * re-identification risk — the standard pre-release privacy gate
+    * next to [[piiAudit]]'s content scan. Each doc also carries its
+    * peer counts up the generalization ladder (drop the length
+    * bucket, then the source), so curators see which generalization
+    * restores k-anonymity instead of just a flag.
+    *
+    * Shape at 100 TB: three metadata-only grouped counts (map-side
+    * combinable, group cardinality = |lang x source x buckets| —
+    * dimension-sized), broadcast-joined back to the corpus: one
+    * corpus scan, zero corpus shuffles. NULL quasi-identifiers are
+    * excluded up front (stated contract, mirrored in the oracle):
+    * a NULL can't be a re-identification handle. */
+  def kAnonymity(docs: DataFrame, k: Int): DataFrame = {
+    val b = docs
+      .filter(col("lang").isNotNull && col("source").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / 100L).cast("long").as("len_b"))
+    val full = b.groupBy(col("lang"), col("source"), col("len_b"))
+      .agg(count(lit(1)).as("n_full"))
+    val noLen = b.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_no_len"))
+    val langOnly = b.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang_only"))
+    b.join(broadcast(full), Seq("lang", "source", "len_b"))
+      .join(broadcast(noLen), Seq("lang", "source"))
+      .join(broadcast(langOnly), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("source"), col("len_b"),
+        col("n_full"), col("n_no_len"), col("n_lang_only"),
+        (col("n_full") < k).as("at_risk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_k_anonymity" -> ((s, dir) =>
+      kAnonymity(docs(s, dir), k = 20)),
     "c_repetition" -> ((s, dir) =>
       repetitionSignals(docs(s, dir), col("text"))),
     "c_boilerplate" -> ((s, dir) =>
@@ -648,6 +685,14 @@ object Corpus {
       |         + llr_lb + llr_mb + llr_sb""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "c_k_anonymity" ->
+      """WITH b AS (SELECT doc_id, lang, source, n_chars // 100 AS len_b FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL),
+        |f AS (SELECT lang, source, len_b, count(*) AS n_full FROM b GROUP BY 1, 2, 3),
+        |nl AS (SELECT lang, source, count(*) AS n_no_len FROM b GROUP BY 1, 2),
+        |lo AS (SELECT lang, count(*) AS n_lang_only FROM b GROUP BY 1)
+        |SELECT doc_id, lang, source, len_b, n_full, n_no_len, n_lang_only, n_full < 20 AS at_risk
+        |FROM b JOIN f USING (lang, source, len_b) JOIN nl USING (lang, source) JOIN lo USING (lang)""".stripMargin,
     "c_repetition" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |w AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS maxc, CAST(sum(c) AS BIGINT) AS n_tokens
