@@ -468,11 +468,70 @@ object Dedup {
     val sigd = signatures(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bandKeys(sigd, bands, rows).write
+      // collapse to ONE writer task before the bucketed write:
+      // without it every append emits nBuckets x input-partitions
+      // files (the StateGrowthProbe's 100-append stream accumulated
+      // 25,600 files for 245 MB, and the per-batch index scan's
+      // latency grew 5.8x — footer opens, not data; PERF_r11). The
+      // writer fans its task back out into one file per bucket id, so
+      // an append adds exactly <= nBuckets files; repartition is an
+      // exchange, so the signature kernels still compute at full
+      // parallelism upstream, and a micro-batch/daily shard through
+      // one write task is I/O a single core handles comfortably.
+      // (repartition(nBuckets, bucket) does NOT work: repartition's
+      // partition ids don't coincide with the writer's bucket ids —
+      // measured: every task still wrote every bucket.)
+      bandKeys(sigd, bands, rows)
+        .repartition(1).write
         .bucketBy(nBuckets, "bucket").sortBy("bucket")
         .mode(SaveMode.Append).saveAsTable(s"${table}_bands")
-      sigd.write.mode(SaveMode.Append).saveAsTable(s"${table}_sigs")
+      sigd.repartition(1).write
+        .mode(SaveMode.Append).saveAsTable(s"${table}_sigs")
     } finally { sigd.unpersist(); () }
+  }
+
+  /** Compact an external LSH index (the `location/{bands,sigs}`
+    * layout [[initLshIndex]] writes and [[ensureIndexRegistered]]
+    * recovers) back to nBuckets band files + a handful of sig files.
+    * Content-preserving: same rows, same geometry, same location —
+    * only the file count changes. Offline index maintenance, run
+    * between stream restarts (the same operational slot as
+    * AnnStream's IVF compaction): compacted data lands in sibling
+    * `*_compact` directories FIRST, the live dirs swap by rename, and
+    * the catalog re-registers from the meta file — so a crash before
+    * the swap loses nothing, and a crash between the two renames
+    * leaves the `*_compact` dir to adopt (or the index rebuilds from
+    * the accumulated corpus via initLshIndex, the recovery path a
+    * lost index always has). */
+  def compactLshIndex(spark: SparkSession, table: String,
+                      location: String,
+                      fs: graft.sources.Dfs = graft.sources.Dfs.default): Unit = {
+    val kv = fs.readString(s"$location/_index_meta.tsv")
+      .linesIterator.map(_.split("\t", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    val nBuckets = kv("nBuckets").toInt
+    val tmp = s"${table}_bands_compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    fs.delete(s"$location/bands_compact")
+    fs.delete(s"$location/sigs_compact")
+    spark.table(s"${table}_bands")
+      .repartition(1).write
+      .bucketBy(nBuckets, "bucket").sortBy("bucket")
+      .option("path", s"$location/bands_compact").saveAsTable(tmp)
+    spark.table(s"${table}_sigs")
+      .repartition(1)
+      .write.parquet(s"$location/sigs_compact")
+    // swap: catalog entries drop (external — data stays), dirs rename,
+    // ensureIndexRegistered re-creates the entries from the meta file
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+    fs.delete(s"$location/bands")
+    fs.rename(s"$location/bands_compact", s"$location/bands")
+    fs.delete(s"$location/sigs")
+    fs.rename(s"$location/sigs_compact", s"$location/sigs")
+    require(ensureIndexRegistered(spark, table, location, fs),
+      s"index at $location failed to re-register after compaction")
   }
 
   /** Recover the catalog entries of an external-location index after

@@ -152,6 +152,37 @@ class OperatorsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_test_idx_sigs")
   }
 
+  test("LSH index compaction: file count collapses, probe results identical") {
+    val loc = java.nio.file.Files.createTempDirectory("lsh_compact").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    Dedup.initLshIndex(corpus, "graft_cmp_idx", location = Some(loc))
+    // several appends, each a distinct shard slice — accumulates files
+    (0 until 4).foreach { i =>
+      Dedup.appendToLshIndex(
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 4 === i),
+        "graft_cmp_idx")
+    }
+    val probe = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 500000L)
+    def results() = Dedup.dedupAgainstIndex(spark, probe, "graft_cmp_idx",
+        maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val before = results()
+    val filesBefore = new java.io.File(s"$loc/bands")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Dedup.compactLshIndex(spark, "graft_cmp_idx", loc)
+    val filesAfter = new java.io.File(s"$loc/bands")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore,
+      s"compaction grew files: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 8, s"bands not collapsed to nBuckets: $filesAfter")
+    assert(results() === before)
+    assert(before.nonEmpty, "probe fixture finds near-dups")
+    spark.sql("DROP TABLE IF EXISTS graft_cmp_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS graft_cmp_idx_sigs")
+  }
+
   test("IVF index on disk: search matches in-memory IVF, scan prunes partitions") {
     val path = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(emb, path, nCells = 16, refineIters = 2)
