@@ -377,13 +377,13 @@ object Graph {
     * equality proves the frontier/anti-join machinery — which shares
     * no shape with the oracle — lands the same distances. */
   private def bfsOracleSql(maxHops: Int): String = {
-    val base = "WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, " +
+    val base = "WITH e0 AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS a, " +
       "'s' || l_suppkey AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
-      "r0 AS (SELECT DISTINCT 'c' || c_custkey AS node, 0 AS hops " +
+      "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "r0 AS MATERIALIZED (SELECT DISTINCT 'c' || c_custkey AS node, 0 AS hops " +
       "FROM customer WHERE c_custkey < 25)"
     val iterCtes = (1 to maxHops).map { i =>
-      s"r$i AS (SELECT node, min(hops) AS hops FROM (" +
+      s"r$i AS MATERIALIZED (SELECT node, min(hops) AS hops FROM (" +
         s"SELECT node, hops FROM r${i - 1} " +
         s"UNION ALL SELECT s.dst, r.hops + 1 FROM sym s " +
         s"JOIN r${i - 1} r ON s.src = r.node) GROUP BY node)"
@@ -435,14 +435,14 @@ object Graph {
     * 0.15 than Scala's `1 - 0.85`). */
   private def prOracleSql(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
-    val base = "WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, " +
+    val base = "WITH e0 AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS a, " +
       "'s' || l_suppkey AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
-      "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
+      "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
       "nn AS (SELECT count(*) AS n FROM deg), " +
-      "r0 AS (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
+      "r0 AS MATERIALIZED (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
     val iterCtes = (1 to iters).map { i =>
-      s"r$i AS (SELECT s.dst AS src, max(d.deg) AS deg, " +
+      s"r$i AS MATERIALIZED (SELECT s.dst AS src, max(d.deg) AS deg, " +
         s"(1 - $d) / (SELECT n FROM nn) + $d * sum(r.r / r.deg) AS r " +
         s"FROM sym s JOIN r${i - 1} r ON s.src = r.src " +
         s"JOIN deg d ON d.src = s.dst GROUP BY s.dst)"
@@ -458,19 +458,19 @@ object Graph {
     * construction. */
   private def pprOracleSql(iters: Int): String = {
     val d = "CAST(0.85 AS DOUBLE)"
-    val base = "WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS a, " +
+    val base = "WITH e0 AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS a, " +
       "'s' || l_suppkey AS b FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
-      "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
+      "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
       "seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer WHERE c_custkey < 25), " +
       "ns AS (SELECT count(*) AS n FROM seeds), " +
-      "nb AS (SELECT d.src, d.deg, " +
+      "nb AS MATERIALIZED (SELECT d.src, d.deg, " +
       s"CASE WHEN s.node IS NOT NULL THEN (1 - $d) / (SELECT n FROM ns) ELSE 0.0 END AS b, " +
       "CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS r0 " +
       "FROM deg d LEFT JOIN seeds s ON s.node = d.src), " +
-      "r0 AS (SELECT src, deg, b, r0 AS r FROM nb)"
+      "r0 AS MATERIALIZED (SELECT src, deg, b, r0 AS r FROM nb)"
     val iterCtes = (1 to iters).map { i =>
-      s"r$i AS (SELECT s.dst AS src, max(d.deg) AS deg, max(d.b) AS b, " +
+      s"r$i AS MATERIALIZED (SELECT s.dst AS src, max(d.deg) AS deg, max(d.b) AS b, " +
         s"max(d.b) + $d * sum(r.r / r.deg) AS r " +
         s"FROM sym s JOIN r${i - 1} r ON s.src = r.src " +
         s"JOIN nb d ON d.src = s.dst GROUP BY s.dst)"

@@ -539,14 +539,14 @@ object TextAnalysis {
     val base = "WITH toks AS (SELECT string_split(lower(text), ' ') AS t " +
       "FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), " +
       "pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks), " +
-      "e0 AS (SELECT DISTINCT least(t[i], t[i+1]) AS a, " +
+      "e0 AS MATERIALIZED (SELECT DISTINCT least(t[i], t[i+1]) AS a, " +
       "greatest(t[i], t[i+1]) AS b FROM pos WHERE t[i] <> t[i+1]), " +
-      "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
-      "deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
+      "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+      "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src), " +
       "nn AS (SELECT count(*) AS n FROM deg), " +
-      "r0 AS (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
+      "r0 AS MATERIALIZED (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS r FROM deg)"
     val iterCtes = (1 to iters).map { i =>
-      s"r$i AS (SELECT s.dst AS src, max(d.deg) AS deg, " +
+      s"r$i AS MATERIALIZED (SELECT s.dst AS src, max(d.deg) AS deg, " +
         s"(1 - $d) / (SELECT n FROM nn) + $d * sum(r.r / r.deg) AS r " +
         s"FROM sym s JOIN r${i - 1} r ON s.src = r.src " +
         s"JOIN deg d ON d.src = s.dst GROUP BY s.dst)"
