@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Geospatial operators — the query family the reference's
+  * `ClaimValueData::GlobeCoordinate { lat, lon, .. }` claims imply
+  * (`tables.rs:17-21` carries coordinates through to SurrealDB, which
+  * exposes geo::distance etc. over them): within-radius joins,
+  * nearest-neighbor-within-radius, and cell density maps.
+  *
+  * Spark-first shape: NEVER a cross join. Points land in square
+  * lat/lon grid cells sized so the radius cannot span more than one
+  * neighbor cell (cellDeg = radius / 55 km covers |lat| ≤ 60°, where
+  * one lon degree is ≥ 55.6 km); the left side explodes to its 3×3
+  * cell stencil and the join runs on cell ids — candidate volume is
+  * bounded by local density, and the exact haversine filter prunes
+  * the stencil's corners. At 100 TB this is the standard geo-bucket
+  * equi-join: one shuffle on 16-byte cell keys, skew-safe as long as
+  * no single cell is degenerate (a hot-cell guard would ride the same
+  * windowed-count device as the LSH hot-bucket cap).
+  *
+  * Engine-agreement devices (the corpus conventions): coordinates
+  * derive from integer keys via exact integer arithmetic and ONE
+  * double division each, the haversine is written with the identical
+  * operation order on both engines (one transcendental chain), and
+  * every distance comparison happens on the 1e-6-rounded value so a
+  * 1-ulp sin/cos divergence cannot flip a boundary pair. No
+  * antimeridian wrap: derived lon stays in [-90, 90), stated
+  * contract.
+  */
+object Geo {
+
+  val EarthKm = 6371.0
+
+  /** Deterministic synthetic coordinates from an integer key — the
+    * testdata tables carry no geo columns, so the gates derive them
+    * (the oracle re-derives identically; the OPERATOR under test is
+    * the join/nearest/density machinery, not the data). md5-derived
+    * (the corpus's engine-stable pseudo-randomness device — see
+    * TextAnalysis.md5Bucket16): a LINEAR congruential derivation put
+    * every point on a 1-D lattice, and two linear lattices are either
+    * coincident or uniformly far apart — both vacuous gates. The
+    * `tag` decorrelates tables sharing key ranges. lat in [-60, 60),
+    * lon in [-90, 90): inside the stencil-safe band, away from the
+    * antimeridian. */
+  private def md5Bits(tag: String, key: Column, pos: Int): Column =
+    conv(substring(md5(concat(lit(tag), key.cast("string"))), pos, 4),
+      16, 10).cast("long")
+  def latOf(tag: String, key: Column): Column =
+    (md5Bits(tag, key, 1) % 12000L).cast("double") / 100.0 - 60.0
+  def lonOf(tag: String, key: Column): Column =
+    (md5Bits(tag, key, 5) % 18000L).cast("double") / 100.0 - 90.0
+
+  /** Haversine distance in km — operation order mirrored verbatim in
+    * the oracle SQL (same radians/sin/cos/asin chain). */
+  def haversineKm(lat1: Column, lon1: Column,
+                  lat2: Column, lon2: Column): Column = {
+    val sLat = sin(radians(lat2 - lat1) / 2)
+    val sLon = sin(radians(lon2 - lon1) / 2)
+    lit(2 * EarthKm) * asin(sqrt(
+      sLat * sLat + cos(radians(lat1)) * cos(radians(lat2)) * sLon * sLon))
+  }
+
+  /** Distance rounded to 1e-6 km (~1 mm): ALL comparisons and outputs
+    * use this value, so both engines decide boundary pairs from the
+    * same number. */
+  private def distKm6(lat1: Column, lon1: Column,
+                      lat2: Column, lon2: Column): Column =
+    round(haversineKm(lat1, lon1, lat2, lon2) * 1e6) / 1e6
+
+  /** All (left, right) pairs within `radiusKm`, with the rounded
+    * distance. Both inputs: (id, lat, lon). Cell-stencil equi-join —
+    * requires radius ≤ 55 km × cellDeg at |lat| ≤ 60, which the
+    * cell sizing guarantees by construction. */
+  def radiusJoin(left: DataFrame, right: DataFrame,
+                 radiusKm: Double): DataFrame = {
+    val cellDeg = radiusKm / 55.0
+    def cx(c: Column) = floor(c / cellDeg).cast("long")
+    val r = right.select(col("id").as("right_id"),
+      col("lat").as("rlat"), col("lon").as("rlon"),
+      cx(col("lat")).as("cy"), cx(col("lon")).as("cxx"))
+    // left explodes to its 3x3 stencil; the join is then a plain
+    // equi-join on the (cy, cxx) cell key
+    val stencil = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val l = left.select(col("id").as("left_id"),
+        col("lat").as("llat"), col("lon").as("llon"))
+      .withColumn("s", explode(stencil))
+      .select(col("left_id"), col("llat"), col("llon"),
+        (cx(col("llat")) + col("s.dy")).as("cy"),
+        (cx(col("llon")) + col("s.dx")).as("cxx"))
+    l.join(r, Seq("cy", "cxx"))
+      .select(col("left_id"), col("right_id"),
+        distKm6(col("llat"), col("llon"), col("rlat"), col("rlon"))
+          .as("dist_km"))
+      .filter(col("dist_km") <= radiusKm)
+  }
+
+  /** Nearest right-point within `radiusKm` of each left point that
+    * has one — exact given the radius cap (every candidate is in the
+    * stencil), deterministic tie-break (rounded distance, then id). */
+  def nearestWithin(left: DataFrame, right: DataFrame,
+                    radiusKm: Double): DataFrame =
+    radiusJoin(left, right, radiusKm)
+      .groupBy(col("left_id"))
+      .agg(min(struct(col("dist_km"), col("right_id"))).as("best"))
+      .select(col("left_id"), col("best.right_id").as("nearest_id"),
+        col("best.dist_km").as("dist_km"))
+
+  /** Per-cell point counts at `cellDeg` resolution — the density-map
+    * aggregation (one map-side-combined shuffle of cell keys). */
+  def cellDensity(points: DataFrame, cellDeg: Double): DataFrame =
+    points.groupBy(
+        floor(col("lat") / cellDeg).cast("long").as("cy"),
+        floor(col("lon") / cellDeg).cast("long").as("cxx"))
+      .agg(count(lit(1)).as("n"))
+
+  // ------------------------------------------------------- queries //
+
+  private def customers(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(col("c_custkey").as("id"),
+      latOf("c", col("c_custkey")).as("lat"),
+      lonOf("c", col("c_custkey")).as("lon"))
+
+  private def suppliers(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "supplier").select(col("s_suppkey").as("id"),
+      latOf("s", col("s_suppkey")).as("lat"),
+      lonOf("s", col("s_suppkey")).as("lon"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_geo_radius" -> ((s, dir) =>
+      radiusJoin(customers(s, dir), suppliers(s, dir), 50.0)),
+    "q_geo_nearest" -> ((s, dir) =>
+      nearestWithin(customers(s, dir), suppliers(s, dir), 200.0)),
+    "q_geo_density" -> ((s, dir) =>
+      cellDensity(customers(s, dir), 10.0)))
+
+  // -------------------------------------------------------- oracle //
+
+  // identical derivation + identical haversine chain; the oracle is
+  // the brute-force all-pairs restatement, so hash equality PROVES
+  // the stencil join is complete (no within-radius pair escapes a
+  // neighbor cell) as well as value-correct
+  private def pts(table: String, key: String, tag: String) =
+    s"(SELECT $key AS id, " +
+    s"CAST(CAST(('0x' || substring(md5('$tag' || CAST($key AS VARCHAR)), 1, 4)) AS INTEGER) % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat, " +
+    s"CAST(CAST(('0x' || substring(md5('$tag' || CAST($key AS VARCHAR)), 5, 4)) AS INTEGER) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lon " +
+    s"FROM $table)"
+  private val custPts = pts("customer", "c_custkey", "c")
+  private val suppPts = pts("supplier", "s_suppkey", "s")
+  private def hav(l1: String, o1: String, l2: String, o2: String) =
+    s"round(2 * 6371.0 * asin(sqrt(sin(radians($l2 - $l1) / 2) * sin(radians($l2 - $l1) / 2) + " +
+    s"cos(radians($l1)) * cos(radians($l2)) * sin(radians($o2 - $o1) / 2) * sin(radians($o2 - $o1) / 2))) * 1e6) / 1e6"
+
+  val oracle: Map[String, String] = Map(
+    "q_geo_radius" ->
+      (s"SELECT c.id AS left_id, s.id AS right_id, ${hav("c.lat", "c.lon", "s.lat", "s.lon")} AS dist_km " +
+        s"FROM $custPts c, $suppPts s " +
+        s"WHERE ${hav("c.lat", "c.lon", "s.lat", "s.lon")} <= 50.0"),
+    "q_geo_nearest" ->
+      (s"WITH p AS MATERIALIZED (SELECT c.id AS left_id, s.id AS right_id, ${hav("c.lat", "c.lon", "s.lat", "s.lon")} AS dist_km " +
+        s"FROM $custPts c, $suppPts s " +
+        s"WHERE ${hav("c.lat", "c.lon", "s.lat", "s.lon")} <= 200.0), " +
+        "m AS (SELECT left_id, min(dist_km) AS dist_km FROM p GROUP BY left_id) " +
+        // ties break to the smallest id among minimum-distance pairs —
+        // the same total order as Spark's min(struct(dist, id))
+        "SELECT p.left_id, min(p.right_id) AS nearest_id, m.dist_km " +
+        "FROM p JOIN m ON p.left_id = m.left_id AND p.dist_km = m.dist_km " +
+        "GROUP BY p.left_id, m.dist_km"),
+    "q_geo_density" ->
+      ("SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cy, " +
+        "CAST(floor(lon / 10.0) AS BIGINT) AS cxx, count(*) AS n " +
+        s"FROM $custPts GROUP BY 1, 2"))
+}

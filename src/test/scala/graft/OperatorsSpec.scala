@@ -2008,6 +2008,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("geo radius join: cell stencil is complete vs brute force, at boundaries too") {
+    import graft.operators.Geo
+    val s = spark; import s.implicits._
+    // dense enough that cells hold many points and pairs straddle
+    // cell borders; includes the negative-coordinate quadrants
+    val a = (0L until 3000L).toDF("k").select(col("k").as("id"),
+      Geo.latOf("a", col("k")).as("lat"), Geo.lonOf("a", col("k")).as("lon"))
+    val b = (0L until 500L).toDF("k").select(col("k").as("id"),
+      Geo.latOf("b", col("k")).as("lat"), Geo.lonOf("b", col("k")).as("lon"))
+    val got = Geo.radiusJoin(a, b, 120.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = a.crossJoin(
+        b.select(col("id").as("rid"), col("lat").as("blat"), col("lon").as("blon")))
+      .select(col("id"), col("rid"),
+        (round(Geo.haversineKm(col("lat"), col("lon"),
+          col("blat"), col("blon")) * 1e6) / 1e6).as("d"))
+      .filter(col("d") <= 120.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture yields within-radius pairs")
+    assert(got === brute)
+  }
+
   test("unigram tokenizer: model invariants and encode bounds, stable under repartitioning") {
     import graft.operators.Unigram
     val model = Unigram.train(docs, col("text")).collect()
