@@ -484,8 +484,18 @@ object Similarity {
     // tombstones of its own (code-review r10).
     val stash = s"${path}_tombstones_keep"
     if (fs.exists(stash)) {
-      fs.delete(s"$path/_tombstones")
-      fs.rename(stash, s"$path/_tombstones")
+      // MERGE rather than replace: deletes issued after the crash
+      // (appended straight to a fresh _tombstones) must survive too.
+      // Tombstones are append-only parquet files of vec_ids, read
+      // through distinct(), so adopting the stash = moving its files
+      // in beside whatever is already there.
+      val live = s"$path/_tombstones"
+      if (fs.exists(live)) {
+        fs.listNames(stash).zipWithIndex.foreach { case (f, i) =>
+          fs.rename(s"$stash/$f", s"$live/restored-$i-$f")
+        }
+        fs.delete(stash)
+      } else fs.rename(stash, live)
       fs.delete(metaPath) // the interrupted rebuild is not trustworthy
     }
     if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true

@@ -351,7 +351,18 @@ object TextAnalysis {
     require(num >= 1 && den >= 1, s"need num,den >= 1, got $num/$den")
     val nDocs = df.count()
     require(nDocs > 0, "empty corpus")
-    val needed = ((den * nDocs + num - 1) / num).toInt // ceil
+    val neededL = (den * nDocs + num - 1) / num // ceil
+    // The sketch (and the exact answer it guarantees) grows with
+    // n_docs under a per-document threshold — that is the point (a
+    // corpus-size-invariant bar admits more winners from more
+    // content). Driver model state stays bounded: fail loudly at the
+    // scale where "exact heavy hitters" itself needs a distributed
+    // answer set rather than silently OOMing the driver.
+    require(neededL <= 16000000L,
+      s"per-doc heavy hitters needs a $neededL-entry sketch at " +
+        s"n_docs=$nDocs — beyond driver model state; raise num/den " +
+        "or aggregate the answer distributed")
+    val needed = neededL.toInt
     heavyHittersCore(df, text, maxN, thrNum = den * nDocs,
       thrDen = num.toLong,
       capacity = math.max(minCapacity, needed))
