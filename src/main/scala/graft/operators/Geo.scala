@@ -110,6 +110,49 @@ object Geo {
       .select(col("left_id"), col("best.right_id").as("nearest_id"),
         col("best.dist_km").as("dist_km"))
 
+  /** Exact k-nearest-neighbors by expanding-ring search — the
+    * cross-join-free exact kNN: ring radius doubles until a query has
+    * ≥ k candidates inside it, at which point its in-ring top-k IS
+    * its global top-k (any point outside the ring is farther than the
+    * in-ring kth). Each ring is one [[radiusJoin]] over the still-
+    * unsatisfied queries (monotonically shrinking), so total work is
+    * a handful of stencil joins, never |queries| × |points|. Bounded
+    * driver loop: ≤ maxRings rings, one emptiness probe each;
+    * per-ring results pin via localCheckpoint so plans don't chain.
+    * Deterministic ties: (rounded distance, id). Throws if maxRings
+    * rings cannot satisfy every query (k > |points| or r0 too small)
+    * — an incomplete kNN must fail loudly. */
+  def knn(queries: DataFrame, points: DataFrame, k: Int,
+          r0Km: Double = 400.0, maxRings: Int = 7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("left_id"))
+      .orderBy(col("dist_km"), col("right_id"))
+    var remaining = queries.localCheckpoint()
+    var results = List.empty[DataFrame]
+    var r = r0Km
+    var ring = 0
+    while (ring < maxRings && remaining.limit(1).count() > 0) {
+      val cand = radiusJoin(remaining, points, r)
+      val sat = cand.groupBy(col("left_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= k)
+        .select(col("left_id"))
+      results ::= cand.join(sat, "left_id")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("left_id"), col("right_id"), col("rnk"), col("dist_km"))
+        .localCheckpoint()
+      remaining = remaining
+        .join(sat.withColumnRenamed("left_id", "id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      r *= 2; ring += 1
+    }
+    require(remaining.limit(1).count() == 0,
+      s"knn: queries still unsatisfied after $maxRings rings " +
+        s"(outermost radius ${r / 2} km) — k > |points| or r0 too small")
+    results.reduce(_ unionByName _)
+  }
+
   /** Per-cell point counts at `cellDeg` resolution — the density-map
     * aggregation (one map-side-combined shuffle of cell keys). */
   def cellDensity(points: DataFrame, cellDeg: Double): DataFrame =
@@ -136,7 +179,12 @@ object Geo {
     "q_geo_nearest" -> ((s, dir) =>
       nearestWithin(customers(s, dir), suppliers(s, dir), 200.0)),
     "q_geo_density" -> ((s, dir) =>
-      cellDensity(customers(s, dir), 10.0)))
+      cellDensity(customers(s, dir), 10.0)),
+    // suppliers query the customer set: ring 1 (400 km) satisfies
+    // ~half the queries at sf0.01 density, so the gate exercises the
+    // multi-ring path, not just one radius join
+    "q_geo_knn" -> ((s, dir) =>
+      knn(suppliers(s, dir), customers(s, dir), k = 3)))
 
   // -------------------------------------------------------- oracle //
 
@@ -173,5 +221,13 @@ object Geo {
     "q_geo_density" ->
       ("SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cy, " +
         "CAST(floor(lon / 10.0) AS BIGINT) AS cxx, count(*) AS n " +
-        s"FROM $custPts GROUP BY 1, 2"))
+        s"FROM $custPts GROUP BY 1, 2"),
+    // brute-force kNN: hash equality proves the expanding-ring search
+    // finds the exact global top-k with identical tie-breaks
+    "q_geo_knn" ->
+      (s"SELECT left_id, right_id, CAST(rnk AS INTEGER) AS rnk, dist_km FROM (" +
+        s"SELECT s.id AS left_id, c.id AS right_id, " +
+        s"${hav("s.lat", "s.lon", "c.lat", "c.lon")} AS dist_km, " +
+        s"row_number() OVER (PARTITION BY s.id ORDER BY ${hav("s.lat", "s.lon", "c.lat", "c.lon")}, c.id) AS rnk " +
+        s"FROM $suppPts s, $custPts c) WHERE rnk <= 3"))
 }
