@@ -182,9 +182,15 @@ object Geo {
       cellDensity(customers(s, dir), 10.0)),
     // suppliers query the customer set: ring 1 (400 km) satisfies
     // ~half the queries at sf0.01 density, so the gate exercises the
-    // multi-ring path, not just one radius join
+    // multi-ring path, not just one radius join. The query set is the
+    // deterministic 1-in-10 supplier sample: the ORACLE is a brute
+    // cross product, and at the 10x rehearsal the unsampled form's
+    // 1.5e9-pair window sort OOMs DuckDB (the engine side is fine —
+    // the expanding-ring search never builds that product). Same
+    // device as p_entity_resolution's oracle.
     "q_geo_knn" -> ((s, dir) =>
-      knn(suppliers(s, dir), customers(s, dir), k = 3)))
+      knn(suppliers(s, dir).filter(col("id") % 10 === 0),
+        customers(s, dir), k = 3)))
 
   // -------------------------------------------------------- oracle //
 
@@ -229,5 +235,5 @@ object Geo {
         s"SELECT s.id AS left_id, c.id AS right_id, " +
         s"${hav("s.lat", "s.lon", "c.lat", "c.lon")} AS dist_km, " +
         s"row_number() OVER (PARTITION BY s.id ORDER BY ${hav("s.lat", "s.lon", "c.lat", "c.lon")}, c.id) AS rnk " +
-        s"FROM $suppPts s, $custPts c) WHERE rnk <= 3"))
+        s"FROM (SELECT * FROM $suppPts WHERE id % 10 = 0) s, $custPts c) WHERE rnk <= 3"))
 }

@@ -2030,6 +2030,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("geo knn: expanding-ring search equals brute-force top-k, multi-ring path exercised") {
+    import graft.operators.Geo
+    val s = spark; import s.implicits._
+    val q = (0L until 200L).toDF("k").select(col("k").as("id"),
+      Geo.latOf("q", col("k")).as("lat"), Geo.lonOf("q", col("k")).as("lon"))
+    val p = (0L until 800L).toDF("k").select(col("k").as("id"),
+      Geo.latOf("p", col("k")).as("lat"), Geo.lonOf("p", col("k")).as("lon"))
+    // r0 small enough that ring 1 cannot satisfy most queries at this
+    // density — the loop must actually expand
+    val got = Geo.knn(q, p, k = 4, r0Km = 150.0, maxRings = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d"), col("rid"))
+    val brute = q.crossJoin(p.select(col("id").as("rid"),
+        col("lat").as("plat"), col("lon").as("plon")))
+      .select(col("id"), col("rid"),
+        (round(Geo.haversineKm(col("lat"), col("lon"),
+          col("plat"), col("plon")) * 1e6) / 1e6).as("d"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === brute)
+    assert(got.size === 800)
+  }
+
   test("unigram tokenizer: model invariants and encode bounds, stable under repartitioning") {
     import graft.operators.Unigram
     val model = Unigram.train(docs, col("text")).collect()
