@@ -100,15 +100,41 @@ object Geo {
   }
 
   /** Nearest right-point within `radiusKm` of each left point that
-    * has one — exact given the radius cap (every candidate is in the
-    * stencil), deterministic tie-break (rounded distance, then id). */
+    * has one — exact (a point's nearest inside ring r with dist ≤ r
+    * is its global nearest), deterministic tie-break (rounded
+    * distance, then id). Expanding rings rather than one
+    * radius-sized stencil: a single 200 km stencil's candidate count
+    * grows with the PRODUCT of both sides' densities (measured
+    * 0.6 s → 36.8 s across the 100× fixed-geography replicas —
+    * PERF_r11), while rings resolve almost every point in a small
+    * first ring and only the isolated tail pays larger stencils.
+    * Points with no neighbor inside `radiusKm` are absent from the
+    * output (same contract as the single-stencil form). */
   def nearestWithin(left: DataFrame, right: DataFrame,
-                    radiusKm: Double): DataFrame =
-    radiusJoin(left, right, radiusKm)
+                    radiusKm: Double): DataFrame = {
+    def best(cand: DataFrame): DataFrame = cand
       .groupBy(col("left_id"))
       .agg(min(struct(col("dist_km"), col("right_id"))).as("best"))
       .select(col("left_id"), col("best.right_id").as("nearest_id"),
         col("best.dist_km").as("dist_km"))
+    var remaining = left.localCheckpoint()
+    var results = List.empty[DataFrame]
+    var r = radiusKm / 8
+    var done = false
+    while (!done) {
+      val cap = math.min(r, radiusKm)
+      // a point's ring-cap nearest has dist <= cap, so nothing outside
+      // the ring can beat it: per-ring bests ARE global bests
+      val found = best(radiusJoin(remaining, right, cap)).localCheckpoint()
+      results ::= found
+      remaining = remaining.join(
+        found.select(col("left_id").as("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+      done = cap >= radiusKm || remaining.limit(1).count() == 0
+      r *= 2
+    }
+    results.reduce(_ unionByName _)
+  }
 
   /** Exact k-nearest-neighbors by expanding-ring search — the
     * cross-join-free exact kNN: ring radius doubles until a query has
@@ -123,7 +149,7 @@ object Geo {
     * rings cannot satisfy every query (k > |points| or r0 too small)
     * — an incomplete kNN must fail loudly. */
   def knn(queries: DataFrame, points: DataFrame, k: Int,
-          r0Km: Double = 400.0, maxRings: Int = 7): DataFrame = {
+          r0Km: Double = 50.0, maxRings: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("left_id"))
