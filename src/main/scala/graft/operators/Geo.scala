@@ -117,21 +117,28 @@ object Geo {
       .agg(min(struct(col("dist_km"), col("right_id"))).as("best"))
       .select(col("left_id"), col("best.right_id").as("nearest_id"),
         col("best.dist_km").as("dist_km"))
-    var remaining = left.localCheckpoint()
+    // ring snapshots go through Dedup.materialize (write-and-readback),
+    // NOT localCheckpoint: checkpoint blocks persist past the returned
+    // plan and PersistHygieneSpec pins the registry to zero leaked
+    // RDDs. Distinct site per ring — materialize reclaims per-site,
+    // and every ring's snapshot must outlive the final union.
+    var remaining = Dedup.materialize(left, "geo_near_rem")
     var results = List.empty[DataFrame]
     var r = radiusKm / 8
+    var ring = 0
     var done = false
     while (!done) {
       val cap = math.min(r, radiusKm)
       // a point's ring-cap nearest has dist <= cap, so nothing outside
       // the ring can beat it: per-ring bests ARE global bests
-      val found = best(radiusJoin(remaining, right, cap)).localCheckpoint()
+      val found = Dedup.materialize(
+        best(radiusJoin(remaining, right, cap)), s"geo_near_hits_r$ring")
       results ::= found
-      remaining = remaining.join(
-        found.select(col("left_id").as("id")), Seq("id"), "left_anti")
-        .localCheckpoint()
+      remaining = Dedup.materialize(remaining.join(
+        found.select(col("left_id").as("id")), Seq("id"), "left_anti"),
+        "geo_near_rem")
       done = cap >= radiusKm || remaining.limit(1).count() == 0
-      r *= 2
+      r *= 2; ring += 1
     }
     results.reduce(_ unionByName _)
   }
@@ -154,7 +161,9 @@ object Geo {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("left_id"))
       .orderBy(col("dist_km"), col("right_id"))
-    var remaining = queries.localCheckpoint()
+    // snapshot discipline: see nearestWithin — materialize, never
+    // localCheckpoint (PersistHygieneSpec), one site per ring
+    var remaining = Dedup.materialize(queries, "geo_knn_rem")
     var results = List.empty[DataFrame]
     var r = r0Km
     var ring = 0
@@ -163,14 +172,14 @@ object Geo {
       val sat = cand.groupBy(col("left_id"))
         .agg(count(lit(1)).as("n")).filter(col("n") >= k)
         .select(col("left_id"))
-      results ::= cand.join(sat, "left_id")
+      results ::= Dedup.materialize(cand.join(sat, "left_id")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= k)
-        .select(col("left_id"), col("right_id"), col("rnk"), col("dist_km"))
-        .localCheckpoint()
-      remaining = remaining
-        .join(sat.withColumnRenamed("left_id", "id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .select(col("left_id"), col("right_id"), col("rnk"), col("dist_km")),
+        s"geo_knn_hits_r$ring")
+      remaining = Dedup.materialize(remaining
+        .join(sat.withColumnRenamed("left_id", "id"), Seq("id"), "left_anti"),
+        "geo_knn_rem")
       r *= 2; ring += 1
     }
     require(remaining.limit(1).count() == 0,
