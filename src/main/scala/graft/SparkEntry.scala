@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions
-import graft.operators.{Bpe, Corpus, Dedup, Fuzzy, Graph, Layout, Merge, Geo, Multimodal, Profile, Similarity, Skew, TextAnalysis, Unigram}
+import graft.operators.{Bpe, Corpus, Dedup, Fuzzy, Graph, Layout, Merge, Geo, Multimodal, Profile, Similarity, Sketch, Skew, TextAnalysis, Unigram, WordPiece}
 import graft.queries.{Extended, Relational, Temporal, TpchSupply}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ TextFunctions.queries ++ Skew.queries ++
       Merge.queries ++ Corpus.queries ++ Layout.queries ++ Graph.queries ++
-      Fuzzy.queries ++ Bpe.queries ++ Unigram.queries ++ Geo.queries ++ Profile.queries ++
+      Fuzzy.queries ++ Bpe.queries ++ Unigram.queries ++ WordPiece.queries ++ Geo.queries ++ Profile.queries ++ Sketch.queries ++
       graft.query.Script.queries
 
   def oracleSql: Map[String, String] =
@@ -34,6 +34,6 @@ object SparkEntry {
       TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ TextFunctions.oracle ++ Skew.oracle ++
       Merge.oracle ++ Corpus.oracle ++ Layout.oracle ++ Graph.oracle ++
-      Fuzzy.oracle ++ Bpe.oracle ++ Unigram.oracle ++ Geo.oracle ++ Profile.oracle ++
+      Fuzzy.oracle ++ Bpe.oracle ++ Unigram.oracle ++ WordPiece.oracle ++ Geo.oracle ++ Profile.oracle ++ Sketch.oracle ++
       graft.query.Script.oracle
 }

@@ -105,6 +105,10 @@ object GraftRegistry {
     // (pairs with bloom_might_contain_long; numBits a static literal)
     "bloom_longs_agg" -> (es => BloomLongsAgg(es(0),
       staticInt(es(1), "bloom_longs_agg numBits"))),
+    // kmv_longs_agg(hash, k) — k-minimum-values distinct sketch;
+    // k is a static literal (it sizes the aggregation buffer)
+    "kmv_longs_agg" -> (es => Kmv.KmvLongsAgg(es(0),
+      staticInt(es(1), "kmv_longs_agg k"))),
     // pq_codes(vec, books, nSub, k) — codebook and shape are static
     // literals (the driver-trained model baked into the scan)
     "pq_codes" -> (es => {

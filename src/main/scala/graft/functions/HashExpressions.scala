@@ -517,6 +517,9 @@ object HashExpressions {
   def bloom_longs_agg(keys: Column, numBits: Int): Column =
     call_function("bloom_longs_agg", keys,
       org.apache.spark.sql.functions.lit(numBits))
+  def kmv_longs_agg(hash: Column, k: Int): Column =
+    call_function("kmv_longs_agg", hash,
+      org.apache.spark.sql.functions.lit(k))
   def pq_codes(vec: Column, books: Array[Float], nSub: Int, k: Int): Column =
     call_function("pq_codes", vec,
       org.apache.spark.sql.functions.typedLit(books.toSeq),

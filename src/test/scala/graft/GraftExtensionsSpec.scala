@@ -28,8 +28,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
-      "bloom_longs_agg", "pq_codes", "splitmix_unif", "misra_gries",
-      "srp_pack", "hamming_dist", "cdc_chunks"))
+      "bloom_longs_agg", "kmv_longs_agg", "pq_codes", "splitmix_unif",
+      "misra_gries", "srp_pack", "hamming_dist", "cdc_chunks"))
   }
 
   test("every injected builder evaluates correctly on literal input") {

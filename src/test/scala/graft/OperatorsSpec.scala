@@ -2328,6 +2328,104 @@ class OperatorsSpec extends AnyFunSuite {
       s"rewrite diverged:\nagg=${a.mkString(",")}\nsemi/anti=${b.mkString(",")}")
   }
 
+  test("kmv sketch: exact distinct min-k, and merge-of-splits ≡ whole") {
+    import spark.implicits._
+    import graft.functions.HashExpressions.kmv_longs_agg
+    // duplicates on purpose: a duplicate-admitting buffer would differ
+    val vals: Seq[Long] = Seq(9L, 3L, 7L, 3L, 1L, 9L, 5L, 11L, 1L, 2L,
+      8L, 2L, 13L, 5L, 4L)
+    val truth = vals.distinct.sorted.take(8)
+    val whole = vals.toDF("h").agg(kmv_longs_agg(col("h"), 8))
+      .collect()(0).getSeq[Long](0)
+    assert(whole == truth, s"whole sketch $whole != $truth")
+    // monoid: sketch the halves, re-aggregate their registers
+    val (l, r) = vals.splitAt(7)
+    val parts = l.toDF("h").agg(kmv_longs_agg(col("h"), 8).as("mins"))
+      .unionAll(r.toDF("h").agg(kmv_longs_agg(col("h"), 8).as("mins")))
+    val mergedSk = parts.select(explode(col("mins")).as("h"))
+      .agg(kmv_longs_agg(col("h"), 8)).collect()(0).getSeq[Long](0)
+    assert(mergedSk == truth, s"merged sketch $mergedSk != $truth")
+  }
+
+  test("kmv estimator lands near the true distinct count on events") {
+    val ev = Tables.load(spark, sf, "events")
+    val trueN = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    val est = Sketch.kmvMerged(ev).collect()(0)
+      .getAs[Long]("est_distinct")
+    // k=64 → ~13% relative stddev; 3-sigma band (exact when trueN < k)
+    assert(math.abs(est - trueN) <= math.max(1L, (0.4 * trueN).toLong),
+      s"est=$est true=$trueN")
+  }
+
+  test("wordpiece merged-token semantics absorb the inner ## prefix") {
+    assert(WordPiece.mergedToken("h", "##ug") == "hug")
+    assert(WordPiece.mergedToken("##u", "##g") == "##ug")
+    assert(WordPiece.mergedToken("a", "b") == "ab")
+  }
+
+  test("wordpiece greedy encode is longest-match-first with ## forms") {
+    import spark.implicits._
+    val vocab = Set("h", "u", "##u", "##g", "##s", "hug")
+    val words = Seq(("hugs", 1L), ("hug", 1L), ("u", 1L), ("guh", 1L))
+      .toDF("w", "cnt")
+    val got = WordPiece.greedyTokenCount(words, vocab).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_tok")).toMap
+    // hugs → hug + ##s (longest match beats h+##u+##g+##s)
+    assert(got("hugs") == 2L, s"hugs: ${got("hugs")}")
+    assert(got("hug") == 1L)
+    assert(got("u") == 1L)
+    // 'g' has no word-initial form: fallback advances 1 and counts it
+    assert(got("guh") == 3L, s"guh: ${got("guh")}")
+  }
+
+  test("grid dbscan ≡ textbook driver-side DBSCAN on sf0.001 customers") {
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("id"),
+        Geo.latOf("c", col("c_custkey")).as("lat"),
+        Geo.lonOf("c", col("c_custkey")).as("lon"))
+    val got = Geo.dbscan(cust, epsKm = 800.0, minPts = 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // textbook reference: brute neighborhoods, BFS components
+    val pts = cust.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def dist(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val sLat = math.sin(math.toRadians(b._2 - a._2) / 2)
+      val sLon = math.sin(math.toRadians(b._3 - a._3) / 2)
+      val d = 2 * 6371.0 * math.asin(math.sqrt(sLat * sLat +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+          sLon * sLon))
+      math.round(d * 1e6) / 1e6
+    }
+    val nbr = pts.map(p => p._1 ->
+      pts.filter(q => dist(p, q) <= 800.0).map(_._1).toSet).toMap
+    val core = pts.map(_._1).filter(id => nbr(id).size >= 4).toSet
+    // BFS min-label components over core-core edges
+    var label = core.map(id => id -> id).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for (c <- core; n <- nbr(c) if core(n) && label(n) < label(c)) {
+        label += c -> label(n); changed = true
+      }
+    }
+    val expect = pts.map(_._1).map { id =>
+      if (core(id)) id -> ("core", label(id))
+      else {
+        val coreNbrs = nbr(id).filter(core)
+        if (coreNbrs.nonEmpty) id -> ("border", coreNbrs.map(label).min)
+        else id -> ("noise", -1L)
+      }
+    }.toMap
+    assert(expect.values.count(_._1 == "core") > 0, "vacuous: no cores")
+    assert(expect.values.count(_._1 == "noise") > 0, "vacuous: no noise")
+    assert(got == expect, {
+      val diffs = (got.keySet ++ expect.keySet)
+        .filter(k => got.get(k) != expect.get(k)).take(5)
+      s"diverged on ${diffs.map(k => s"$k: got=${got.get(k)} want=${expect.get(k)}").mkString("; ")}"
+    })
+  }
+
   /** Textbook Wagner–Fischer, the truth reference for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
