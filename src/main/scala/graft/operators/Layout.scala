@@ -110,6 +110,62 @@ object Layout {
     nFiles
   }
 
+  /** Per-file BLOOM manifest — point-lookup skipping on a key the
+    * layout is NOT clustered by (the Parquet-bloom / Iceberg-puffin /
+    * Delta-bloom-index pattern). [[writeSkipping]]'s min/max ranges
+    * prune range predicates on the SORT key, but a point lookup on an
+    * unclustered key hits every file's [min, max]; a per-file Bloom
+    * filter answers "might this file contain key x" in one small
+    * manifest read instead of opening every footer. Build cost: one
+    * file-local aggregation ([[graft.functions.HashExpressions
+    * .BloomLongsAgg]] partials fold per partition; each file
+    * contributes one bloomBits-sized filter row). */
+  def writeBloomSkipping(df: DataFrame, path: String, sortKey: Column,
+                         bloomKey: Column, targetRowsPerFile: Long,
+                         bloomBits: Int = 1 << 16): Int = {
+    val s = df.sparkSession
+    graft.functions.HashExpressions.register(s)
+    val nFiles = writeSized(df, s"$path/data", Seq(sortKey),
+      targetRowsPerFile)
+    val keyName = df.select(bloomKey).schema.head.name
+    s.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.functions.HashExpressions
+          .bloom_longs_agg(array(col(keyName)), bloomBits).as("bloom"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom_manifest")
+    nFiles
+  }
+
+  /** Bloom-pruned point-lookup read over a [[writeBloomSkipping]]
+    * layout: returns (DataFrame, files opened, files total). The
+    * manifest is collected driver-side (bounded by FILE count — the
+    * FileIndex regime, like [[skippingRead]]); a file is opened iff
+    * its filter might contain ANY query key. The exact key join still
+    * applies after the scan, so false positives cost I/O, never
+    * correctness. */
+  def bloomSkipRead(s: SparkSession, path: String, keyName: String,
+                    keys: Seq[Long]): (DataFrame, Int, Int) = {
+    val manifest = s.read.parquet(s"$path/bloom_manifest").collect()
+    val files = manifest.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      keys.exists(bf.mightContainLong)
+    }.map(_.getAs[String]("file"))
+    val keysDf = {
+      import s.implicits._
+      keys.toDF(keyName)
+    }
+    val df =
+      if (files.isEmpty)
+        s.read.parquet(s"$path/data").filter(lit(false))
+      else
+        s.read.parquet(files.toIndexedSeq: _*)
+          .join(broadcast(keysDf), keyName)
+    (df, files.length, manifest.length)
+  }
+
   /** Manifest-pruned range read over a [[writeSkipping]] layout:
     * returns (pruned DataFrame, files opened, files total). The file
     * list is collected driver-side — bounded by FILE count, the same
@@ -327,7 +383,36 @@ object Layout {
       (round(col("l_quantity") * 100) / 100).as("l_quantity"))
   }
 
+  /** Gate for the bloom-skipping layout: lineitem clustered by
+    * l_orderkey with a per-file Bloom manifest over the (unclustered)
+    * 52-bit md5 comment hash, then a multi-key point lookup — the
+    * query keys are the comment hashes of every 3000th order's lines,
+    * a driver-held set the oracle re-derives (no data literals). The
+    * hash certifies the bloom-pruned read loses nothing (residual
+    * join = correctness independent of FP rate); LayoutSpec pins that
+    * the blooms actually skip files, the property min/max manifests
+    * cannot give an unclustered key. */
+  def bloomSkipRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    // synthetic content-id (md5 of orderkey#linenumber): the
+    // random-looking unique id whose point lookup is the bloom
+    // index's home use case — min/max ranges on it are vacuous
+    val ch = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+      lit("#"), col("l_linenumber").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), ch.as("ch"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bloomskip").toString
+    writeBloomSkipping(li, path, col("l_orderkey"), col("ch"),
+      targetRowsPerFile = 4000L)
+    val keys = li.filter(col("l_orderkey") % 3000 === 0)
+      .select(col("ch")).distinct().collect().map(_.getLong(0)).toSeq
+    val (df, _, _) = bloomSkipRead(s, path, "ch", keys)
+    df.select(col("l_orderkey"), col("l_partkey"), col("ch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w_bloom_skip" -> (bloomSkipRoundTrip _),
     "w_skipping_read" -> (skippingRoundTrip _),
     "w_bucketed_join" -> (bucketedJoin _),
     "w_partitioned_prune" -> (partitionedRoundTrip _),
@@ -341,6 +426,14 @@ object Layout {
     "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
 
   val oracle: Map[String, String] = Map(
+    // the oracle re-derives the query-key set and ignores the layout
+    // entirely: hash equality proves the bloom-pruned multi-file read
+    // returns exactly the full-scan answer
+    "w_bloom_skip" ->
+      ("WITH li AS (SELECT l_orderkey, l_partkey, " +
+        "CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)), 1, 13)) AS BIGINT) AS ch FROM lineitem), " +
+        "q AS (SELECT DISTINCT ch FROM li WHERE l_orderkey % 3000 = 0) " +
+        "SELECT l_orderkey, l_partkey, ch FROM li JOIN q USING (ch)"),
     "w_skipping_read" ->
       "SELECT l_orderkey, l_partkey, round((l_quantity)*1e2)/1e2 AS l_quantity FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey <= 3000",
     "w_bucketed_join" ->

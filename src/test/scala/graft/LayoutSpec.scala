@@ -146,4 +146,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(opened0 === 0 && empty.count() === 0)
     assert(empty.schema === pruned.schema)
   }
+
+  test("bloom manifest: point lookup on an unclustered key skips files") {
+    val s = spark; import s.implicits._
+    // layout clustered by k; lookups on h, which min/max cannot prune
+    // (each file's [min(h), max(h)] spans ~the whole md5 space)
+    val df = (1L to 4000L).map(k => (k,
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString)
+          .substring(0, 13), 16))).toDF("k", "h")
+    val path = java.nio.file.Files
+      .createTempDirectory("layout_bloom").toString
+    val nFiles = Layout.writeBloomSkipping(df, path, col("k"), col("h"),
+      targetRowsPerFile = 500L)
+    assert(nFiles >= 8, s"nFiles=$nFiles")
+    // 3 query keys live in ≤ 3 files; blooms must find ≤ 3 + FP slack
+    val want = Seq(42L, 1042L, 3999L)
+    val keys = df.filter(col("k").isin(want: _*))
+      .select("h").as[Long].collect().toSeq
+    val (pruned, opened, total) = Layout.bloomSkipRead(s, path, "h", keys)
+    assert(total === nFiles)
+    assert(opened < total, s"no skipping: opened $opened of $total")
+    val got = pruned.select("k").as[Long].collect().sorted
+    assert(got.toSeq == want.sorted, s"rows diverged: ${got.mkString(",")}")
+    // absent key (hash of a value outside the domain) → opens nothing
+    // beyond FP noise and returns zero rows
+    val (miss, openedMiss, _) =
+      Layout.bloomSkipRead(s, path, "h", Seq(-1L))
+    assert(miss.count() === 0)
+    assert(openedMiss <= 1, s"absent key opened $openedMiss files")
+  }
 }
