@@ -174,7 +174,47 @@ object Skew {
 
   // ------------------------------------------------------- queries //
 
+  /** Explicit runtime-filter join (the Bloom semi-join every warehouse
+    * engine plans under selective dim filters — Spark's own
+    * spark.sql.optimizer.runtime.bloomFilter covers simple cases; this
+    * is the explicit form for when the planner can't see the
+    * selectivity): build a Bloom filter over the FILTERED dimension's
+    * join keys (one tiny aggregate; the filter is driver-held model
+    * state, the broadcast regime), push `might_contain` into the fact
+    * scan, and only THEN shuffle for the exact join. The fact rows
+    * that cannot match never enter the exchange — at 100 TB with a 1%
+    * selective dim filter that is a ~99% shuffle-volume cut for the
+    * cost of one bitset broadcast. False positives ride to the exact
+    * join and die there; the oracle is the PLAIN join, so hash
+    * equality proves the pre-filter drops no matching row. */
+  def bloomFilteredJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                        dimKey: String, bits: Int = 1 << 17): DataFrame = {
+    val s = fact.sparkSession
+    graft.functions.HashExpressions.register(s)
+    val filterBytes = dim
+      .agg(graft.functions.HashExpressions
+        .bloom_longs_agg(array(col(dimKey)), bits))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(graft.functions.HashExpressions
+        .bloom_might_contain_long(col(factKey), filterBytes))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // runtime bloom filter vs the plain join oracle: the selective
+    // order filter (~1/8 of orders) prunes the lineitem exchange
+    "k_bloom_join" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      bloomFilteredJoin(li, o, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          (round(sum(col("l_quantity")) * 1e2) / 1e2).as("qty"))
+    }),
     // correctness of the salted rewrite vs the plain GROUP BY oracle
     "k_salted_agg" -> ((s, dir) => {
       val out = saltedAgg(Tables.load(s, dir, "lineitem"),
@@ -211,6 +251,13 @@ object Skew {
     }))
 
   val oracle: Map[String, String] = Map(
+    // the PLAIN join — hash equality proves the bloom pre-filter
+    // drops no matching fact row (FPs die at the exact join)
+    "k_bloom_join" ->
+      ("SELECT o_orderpriority, count(*) AS n_lines, round((sum(l_quantity))*1e2)/1e2 AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0 " +
+        "GROUP BY o_orderpriority"),
     // NOTE: salting sums doubles in a different order than the plain
     // GROUP BY — round(2) absorbs the reassociation error
     "k_salted_agg" ->

@@ -565,7 +565,38 @@ object TextAnalysis {
     s"$base$iterCtes SELECT src AS word, round(r * 1e6) / 1e6 AS rank FROM r$iters"
   }
 
+  /** Index-accelerated substring search (the trigram-index pattern —
+    * Cox's "Regular Expression Matching with a Trigram Index", the
+    * Google Code Search / Zoekt / Hound design): a document can
+    * contain the literal `q` only if its char-trigram SET contains
+    * every trigram of `q`, so the scan evaluates one codegen'd
+    * set-containment prefilter per doc and runs the exact `contains`
+    * verify ONLY on survivors — zero shuffles, zero exchanges, and the
+    * expensive residual runs on the ~5% candidate tail. With the
+    * postings persisted (the [[Layout]] machinery: trigram-bucketed,
+    * the same write-once-probe-forever shape as `w_bloom_skip`) the
+    * prefilter becomes an index probe that never touches non-matching
+    * documents; inline, it is one shuffle-free pass. Hash equality
+    * against the index-free full-scan oracle proves the prefilter is
+    * SOUND — no true match is dropped. Occurrence count via the
+    * length-delta device, identical on both engines. */
+  def substringSearch(df: DataFrame, text: Column, q: String): DataFrame = {
+    require(q.length >= 3, s"substring query needs >= 3 chars: '$q'")
+    val qTris = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
+    val tris = array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(0))),
+      i => text.substr(i, lit(3))))
+    df.filter(size(array_intersect(tris,
+        typedLit(qTris))) === qTris.size)
+      .filter(instr(text, q) > 0)
+      .select(col("doc_id"),
+        ((length(text) - length(replace(text, lit(q), lit("")))) /
+          q.length).cast("long").as("n_occ"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_substring_search" -> ((s, dir) =>
+      substringSearch(docs(s, dir), col("text"), "merge batch")),
     "t_textrank" -> ((s, dir) =>
       textRank(docs(s, dir), col("text"), textRankIters)),
     "t_url_canon" -> ((s, dir) => docs(s, dir)
@@ -619,6 +650,11 @@ object TextAnalysis {
   private val stopList = enStopwords.map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // NO trigram machinery in the oracle — a bare full-scan contains:
+    // hash equality proves the trigram prefilter drops no true match
+    "t_substring_search" ->
+      ("SELECT doc_id, CAST((length(text) - length(replace(text, 'merge batch', ''))) / 11 AS BIGINT) AS n_occ " +
+        "FROM documents WHERE contains(text, 'merge batch')"),
     "t_textrank" -> textRankOracleSql(textRankIters),
     // same closed-form raw URL, canonicalizer restated step by step
     // (split_part returns '' on a missing separator, which matches the

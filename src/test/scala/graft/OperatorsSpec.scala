@@ -2426,6 +2426,43 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("bloom runtime filter prunes the fact side and drops no match") {
+    import graft.functions.HashExpressions._
+    register(spark)
+    val o = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"))
+    val li = Tables.load(spark, sf, "lineitem").select(col("l_orderkey"))
+    val bytes = o.agg(bloom_longs_agg(array(col("o_orderkey")), 1 << 17))
+      .head().getAs[Array[Byte]](0)
+    val total = li.count()
+    val passed = li
+      .filter(bloom_might_contain_long(col("l_orderkey"), bytes)).count()
+    val matched = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(matched > 0, "vacuous: no qualifying orders at sf0.001")
+    // the filter must prune (selective dim) yet keep every match
+    assert(passed < total, s"no pruning: $passed of $total")
+    assert(passed >= matched, s"dropped matches: $passed < $matched")
+  }
+
+  test("trigram prefilter is sound and selective for substring search") {
+    val q = "merge batch"
+    val hits = TextAnalysis.substringSearch(docs, col("text"), q).collect()
+    val truth = docs.filter(instr(col("text"), q) > 0).count()
+    assert(hits.length.toLong == truth, s"${hits.length} != $truth")
+    // occurrence counts are positive wherever a doc matched
+    assert(hits.forall(_.getLong(1) >= 1L))
+    // the prefilter alone (no residual contains) already prunes most
+    // of the corpus — the property that makes the residual cheap
+    val qTris = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
+    val cand = docs.filter(size(array_intersect(
+      array_distinct(transform(sequence(lit(1),
+        greatest(length(col("text")) - 2, lit(0))),
+        i => col("text").substr(i, lit(3)))),
+      typedLit(qTris))) === qTris.size).count()
+    assert(cand < docs.count() / 2, s"prefilter not selective: $cand")
+  }
+
   /** Textbook Wagner–Fischer, the truth reference for the spec. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
