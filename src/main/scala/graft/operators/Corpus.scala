@@ -563,7 +563,39 @@ object Corpus {
         (col("n_full") < k).as("at_risk"))
   }
 
+  /** Join-consistent ("universe") sampling — the VerdictDB/BlinkDB
+    * device for sampling BOTH sides of a join: keep exactly the rows
+    * whose JOIN-KEY hash falls under the rate, on every table. Two
+    * independent Bernoulli samples at rate p keep only p² of the join
+    * (and bias FK joins toward childless parents); sampling the key
+    * UNIVERSE keeps the full join structure of the sampled keys, so
+    * per-key aggregates are exact on the sample and totals scale by
+    * 1/p. The hash is the corpus's md5 device — deterministic, so the
+    * sample is reproducible and the oracle re-derives it. Scale
+    * shape: the predicate evaluates at the scan on each side (no
+    * coordination, no key exchange), cutting BOTH join inputs —
+    * and therefore the join shuffle — by p before any exchange. */
+  def universeSample(df: DataFrame, key: Column, rate10k: Int): DataFrame = {
+    require(rate10k >= 1 && rate10k <= 10000, s"rate10k=$rate10k")
+    df.filter(TextAnalysis.md5Bucket16(key) % 10000 < rate10k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1/8 key-universe sample applied INDEPENDENTLY to both join
+    // sides; the oracle states the predicate once (key equality
+    // implies both sides pass) — hash equality proves the two scans
+    // derive the same universe
+    "c_universe_sample" -> ((s, dir) => {
+      val o = universeSample(Tables.load(s, dir, "orders"),
+        col("o_orderkey"), 1250)
+      val li = universeSample(Tables.load(s, dir, "lineitem"),
+        col("l_orderkey"), 1250)
+      o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          (count(lit(1)) * 8).as("est_total"),
+          (round(sum(col("l_quantity")) * 1e2) / 1e2).as("qty"))
+    }),
     "c_k_anonymity" -> ((s, dir) =>
       kAnonymity(docs(s, dir), k = 20)),
     "c_repetition" -> ((s, dir) =>
@@ -685,6 +717,15 @@ object Corpus {
       |         + llr_lb + llr_mb + llr_sb""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // predicate stated ONCE on the join key (equality implies both
+    // sides pass): matching the double-filtered Spark plan proves the
+    // two independent scans sampled the same key universe
+    "c_universe_sample" ->
+      ("SELECT o_orderpriority, count(*) AS n_lines, count(*) * 8 AS est_total, " +
+        "round((sum(l_quantity))*1e2)/1e2 AS qty " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 < 1250 " +
+        "GROUP BY o_orderpriority"),
     "c_k_anonymity" ->
       """WITH b AS (SELECT doc_id, lang, source, n_chars // 100 AS len_b FROM documents
         |           WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL),
