@@ -94,6 +94,11 @@ object Dedup {
     * ~16 MB of (long,long) pairs: comfortably one task's work. */
   private val SmallCcEdges = 1000000L
 
+  /** Edge-count bound for the DRIVER union-find fast path in
+    * [[connectedComponents]] — ≤ ~1.6 MB of pairs, the bounded
+    * driver-model regime. */
+  private val TinyCcEdges = 100000L
+
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val lastSnapshot =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -820,7 +825,8 @@ object Dedup {
     * write-and-readback dirs) so the plan/lineage stays O(1) deep
     * instead of growing per iteration, the classic failure of
     * iterative DataFrame loops. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          tinyThreshold: Long = TinyCcEdges): DataFrame = {
     val caller = edges.sparkSession
     val a = col("a"); val b = col("b")
     // the symmetric edge set feeds every round — snapshot it once
@@ -847,6 +853,42 @@ object Dedup {
     // identical 1-partition exchanges the non-AQE ReuseExchange rule
     // dedupes. Above it, the caller's full-width AQE plan is the right
     // one — the threshold only picks physical strategy, never results.
+    // Tiny-graph plan mode: below ~100k edges even the 1-partition
+    // loop is pure job-scheduling cost (a percolated 20k-edge
+    // geo graph spent 12.3 s in ~6 snapshot-write iterations —
+    // DbscanProbe). The edge list is then bounded DRIVER-SIDE state
+    // (≤ ~1.6 MB of (long,long) pairs — the same regime as BPE
+    // dictionaries and k-means centroids): collect once, union-find
+    // with path compression (exact per-component min by definition),
+    // hand back a local frame. Identical output contract; the
+    // distributed loop remains the path for real edge sets.
+    if (edgeCount <= tinyThreshold) {
+      val pairs = caller.read.schema(symSnap.schema).parquet(symDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      pairs.foreach { case (x, y) =>
+        parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      // snapshot the key set before the final finds: path compression
+      // updates values mid-iteration (no structural change, but don't
+      // lean on that)
+      val label = parent.keys.toArray.map(n => n -> find(n)).toSeq
+      // component label = min node id: guaranteed by always attaching
+      // the larger root under the smaller
+      import caller.implicits._
+      return label.toDF("doc_id", "component")
+    }
     val small = edgeCount <= SmallCcEdges
     val sess = if (!small) caller else {
       val s2 = caller.newSession()

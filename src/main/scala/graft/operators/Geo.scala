@@ -219,6 +219,12 @@ object Geo {
     val sameTenant =
       floor(col("left_id") / tenantBlock.toDouble).cast("long") ===
         floor(col("right_id") / tenantBlock.toDouble).cast("long")
+    // nbr feeds three consumers (core counts, core-core edges, border
+    // attachment) and recomputes for each — measured CHEAPER than
+    // snapshotting: materializing nbr+core via write-and-readback was
+    // 20.7 s vs 13.4 s at 1× and 28.3 s vs 22.3 s at 10× (the stencil
+    // join is a cheap map-side explode + equi-join; the snapshot
+    // write/commit jobs cost more than three recomputes)
     val nbr = radiusJoin(pts, pts, epsKm).filter(sameTenant)
     val core = nbr.groupBy(col("left_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= minPts)

@@ -1138,14 +1138,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pathGot === (0L to 6L).map(_ -> 0L).toMap)
     // pointer jumping: a 40-hop chain must converge in well under 40
     // rounds (plain one-hop propagation would blow this maxIter and
-    // throw) — the O(log diameter) claim, machine-checked
+    // throw) — the O(log diameter) claim, machine-checked.
+    // tinyThreshold = -1 forces the DISTRIBUTED loop (the default
+    // would route a 40-edge graph through the driver union-find)
     val long = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val longGot = Dedup.connectedComponents(long, maxIter = 10).collect()
+    val longGot = Dedup.connectedComponents(long, maxIter = 10,
+        tinyThreshold = -1L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(longGot === (0L to 40L).map(_ -> 0L).toMap)
     // the iteration cap fails LOUDLY instead of publishing wrong labels
     intercept[IllegalStateException](
-      Dedup.connectedComponents(long, maxIter = 2).collect())
+      Dedup.connectedComponents(long, maxIter = 2,
+        tinyThreshold = -1L).collect())
+    // the driver union-find fast path agrees with the distributed
+    // loop on the same chain
+    assert(Dedup.connectedComponents(long).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === longGot)
     // nothing persisted afterwards (snapshot-based iteration)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
