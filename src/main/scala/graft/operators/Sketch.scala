@@ -77,11 +77,58 @@ object Sketch {
       .agg(kmv_longs_agg(col("h").cast("long"), K).as("mins"))
       .select(lit("all").as("scope") +: estimate(col("mins")): _*)
 
+  /** KMV SET ALGEBRA — audience overlap without a join (the theta-
+    * sketch intersection, Beyer et al. §4 / Cohen's bottom-k
+    * estimators): for user-day sets A ("clicked that day") and B
+    * ("purchased that day"), take the k minima of A ∪ B and count how
+    * many belong to BOTH sets. Membership is decidable from the two
+    * sketches alone — any union-minimum that belongs to A is among
+    * A's k smallest, hence in A's registers — so Jaccard ≈ |kU ∩ kA ∩
+    * kB| / k and |A ∩ B| ≈ J × est(A ∪ B), all from three k-long
+    * register arrays: the classic "overlap of two 100-TB audiences
+    * from two kilobyte sketches" move. Every step is exact integer
+    * set algebra on registers; the one division is by k = 2^6
+    * (exact in binary), and the final product is a single IEEE
+    * multiply+floor — bit-identical across engines, so the oracle
+    * restates the whole estimator and the hash certifies it. */
+  def kmvOverlap(events: DataFrame, typeA: String,
+                 typeB: String): DataFrame = {
+    graft.functions.HashExpressions.register(events.sparkSession)
+    def sk(t: String, nm: String) = events
+      .filter(col("event_type") === t && col("user_id").isNotNull)
+      .select(h52(concat(col("user_id").cast("string"), lit("@"),
+        to_date(col("ts")).cast("string"))).as("h"))
+      .agg(kmv_longs_agg(col("h"), K).as(nm))
+    // 1×1 crossJoin: two single-row sketch frames (the broadcast
+    // scalar-join class, like TextAnalysis's countDistinct scalar)
+    val jac = col("num").cast("double") / K
+    sk(typeA, "ka").crossJoin(sk(typeB, "kb"))
+      .withColumn("ku",
+        slice(array_sort(array_union(col("ka"), col("kb"))), 1, K))
+      .withColumn("num", size(array_intersect(
+        array_intersect(col("ku"), col("ka")), col("kb"))).cast("long"))
+      .withColumn("est_union",
+        when(size(col("ku")) < K, size(col("ku")).cast("long"))
+          .otherwise(floor(lit((K - 1).toDouble) * pow(lit(2.0), lit(52.0)) /
+            element_at(col("ku"), K).cast("double"))))
+      .select(lit(s"$typeA&$typeB").as("pair"),
+        size(col("ku")).cast("long").as("n_union_reg"),
+        col("num").as("n_both"),
+        col("est_union"),
+        jac.as("est_jaccard"),
+        floor(jac * col("est_union").cast("double")).as("est_intersection"))
+  }
+
   // ------------------------------------------------------- queries //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_kmv_distinct" -> ((s, dir) => kmvByType(Tables.load(s, dir, "events"))),
-    "c_kmv_merge" -> ((s, dir) => kmvMerged(Tables.load(s, dir, "events"))))
+    "c_kmv_merge" -> ((s, dir) => kmvMerged(Tables.load(s, dir, "events"))),
+    // user-day audience overlap of two event types — partial overlap
+    // by construction (a user-day needs both a click and a purchase),
+    // so the gate is non-vacuous at every scale
+    "c_kmv_overlap" -> ((s, dir) =>
+      kmvOverlap(Tables.load(s, dir, "events"), "click", "purchase")))
 
   // -------------------------------------------------------- oracle //
 
@@ -105,5 +152,21 @@ object Sketch {
     "c_kmv_merge" ->
       (s"SELECT 'all' AS scope, $estimateSql FROM " +
         s"(SELECT (list_sort(list(DISTINCT h)))[:$K] AS mins " +
-        s"FROM (SELECT $h52Sql AS h FROM events WHERE user_id IS NOT NULL))"))
+        s"FROM (SELECT $h52Sql AS h FROM events WHERE user_id IS NOT NULL))"),
+    // the whole set-algebra estimator restated on the raw table:
+    // per-type user-day sketches, union minima, two-sided membership,
+    // the k-division (exact: k = 2^6) and the floor'd product
+    "c_kmv_overlap" -> {
+      def hs(t: String) =
+        "SELECT DISTINCT CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 13)) AS BIGINT) AS h " +
+        s"FROM events WHERE event_type = '$t' AND user_id IS NOT NULL"
+      s"WITH ka AS (SELECT (list_sort(list(h)))[:$K] AS ka FROM (${hs("click")})), " +
+      s"kb AS (SELECT (list_sort(list(h)))[:$K] AS kb FROM (${hs("purchase")})), " +
+      s"c AS (SELECT ka, kb, (list_sort(list_distinct(ka || kb)))[:$K] AS ku FROM ka, kb), " +
+      "d AS (SELECT ku, CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS BIGINT) AS num, " +
+      s"CASE WHEN len(ku) < $K THEN CAST(len(ku) AS BIGINT) ELSE CAST(floor(${K - 1} * pow(2, 52) / ku[$K]) AS BIGINT) END AS est_union FROM c) " +
+      "SELECT 'click&purchase' AS pair, CAST(len(ku) AS BIGINT) AS n_union_reg, num AS n_both, est_union, " +
+      s"CAST(num AS DOUBLE) / $K AS est_jaccard, " +
+      s"CAST(floor((CAST(num AS DOUBLE) / $K) * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_intersection FROM d"
+    })
 }

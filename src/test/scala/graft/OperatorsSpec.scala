@@ -2366,6 +2366,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"est=$est true=$trueN")
   }
 
+  test("kmv overlap estimator tracks the true user-day intersection") {
+    val ev = Tables.load(spark, sf, "events")
+    def days(t: String) = ev
+      .filter(col("event_type") === t && col("user_id").isNotNull)
+      .select(concat(col("user_id").cast("string"), lit("@"),
+        to_date(col("ts")).cast("string")).as("k")).distinct()
+    val a = days("click"); val b = days("purchase")
+    val trueUnion = a.unionByName(b).distinct().count()
+    val trueInter = a.join(b, "k").count()
+    val r = Sketch.kmvOverlap(ev, "click", "purchase").collect()(0)
+    assert(trueInter > 0, "vacuous: no overlap at sf0.001")
+    // union estimator: ~13% stddev at k=64; 3-sigma band
+    assert(math.abs(r.getAs[Long]("est_union") - trueUnion) <=
+      math.max(2L, (0.4 * trueUnion).toLong),
+      s"union est=${r.getAs[Long]("est_union")} true=$trueUnion")
+    // intersection rides J·k effective samples — loose 2x band, and
+    // exact-zero only if truly disjoint
+    val estI = r.getAs[Long]("est_intersection")
+    assert(estI <= 3 * trueInter && 3 * estI >= trueInter,
+      s"intersection est=$estI true=$trueInter")
+  }
+
   test("wordpiece merged-token semantics absorb the inner ## prefix") {
     assert(WordPiece.mergedToken("h", "##ug") == "hug")
     assert(WordPiece.mergedToken("##u", "##g") == "##ug")
