@@ -33,7 +33,7 @@ object Sketch {
 
   /** 52-bit md5-derived hash (13 hex chars) — exactly representable
     * in a double, so the estimator divide is engine-exact. */
-  private def h52(key: Column): Column =
+  private[graft] def h52(key: Column): Column =
     conv(substring(md5(concat(lit("kmv:"), key.cast("string"))), 1, 13),
       16, 10).cast("long")
 
@@ -44,7 +44,7 @@ object Sketch {
     * estimate: exact size when the sketch never filled (it IS the
     * distinct hash set), else the bottom-k estimator off the k-th
     * smallest hash. */
-  private def estimate(mins: Column): Seq[Column] = Seq(
+  private[graft] def estimate(mins: Column): Seq[Column] = Seq(
     size(mins).cast("long").as("n_reg"),
     array_join(transform(mins, _.cast("string")), ",").as("registers"),
     when(size(mins) < K, size(mins).cast("long"))

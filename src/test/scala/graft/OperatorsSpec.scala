@@ -2366,6 +2366,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"est=$est true=$trueN")
   }
 
+  test("cardinality stream ≡ batch sketch after the last batch; replay idempotent") {
+    val ev = Tables.load(spark, sf, "events")
+    val tmp = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    import graft.streaming.CardinalityStream
+    // three micro-batches partitioning the table
+    val batches = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      CardinalityStream.cardinalityStage(b, i.toLong,
+        s"$tmp/state", s"$tmp/out")
+    }
+    def rows(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    // the KMV monoid makes stream-accumulated state EXACTLY the batch
+    // operator's table (same registers, not just close estimates)
+    val expect = Sketch.kmvByType(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(rows(s"$tmp/out/batch=2") == expect)
+    // at-least-once replay of batch 0 overwrites its own partial:
+    // no double-count, report reflects everything ingested so far
+    CardinalityStream.cardinalityStage(batches(0), 0L,
+      s"$tmp/state", s"$tmp/out")
+    assert(rows(s"$tmp/out/batch=0") == expect,
+      "replayed batch-0 report must equal the full-table sketch")
+  }
+
   test("kmv overlap estimator tracks the true user-day intersection") {
     val ev = Tables.load(spark, sf, "events")
     def days(t: String) = ev
