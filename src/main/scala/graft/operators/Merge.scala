@@ -616,6 +616,37 @@ object Merge {
     * so the hash match proves the republished manifest resolves to
     * v0's bytes (no merge residue, no missing buckets). Idempotence
     * keeps re-runs at the same head. */
+  /** Oracle-checked VACUUM (the Delta/Iceberg retention GC, completing
+    * the lifecycle next to time-travel/restore/compact): v0 = base,
+    * v1 = balance bump on keys ≡ 0 (mod 3), then `vacuum(keepLast=1)`
+    * drops v0's manifest and every bucket directory only v0
+    * referenced. The gate reads the CURRENT version after the vacuum
+    * and carries `n_versions` (the post-vacuum manifest count) as a
+    * column: the oracle's literal `1` and relational restatement of
+    * the merge prove BOTH that retention removed the history and that
+    * it deleted nothing the live version references (a shared still-
+    * referenced bucket wrongly deleted breaks the read; a retained v0
+    * manifest breaks n_versions). Physical-deletion details and
+    * vacuum-under-live-stream safety are pinned in MergeStreamSpec;
+    * idempotent on reuse runs (a second vacuum removes nothing). */
+  def vacuumDemo(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val path = fixturePath(s, dir, "vacuum")
+    ensureFixture(c, "c_custkey", path, lineage = "vacuum-v1") { p =>
+      writeVersioned(c, p, "c_custkey", nBuckets = 8)
+      mergeVersioned(s, p, c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal")), "c_custkey")
+    }
+    vacuum(path, keepLast = 1)
+    readVersioned(s, path)
+      .select(col("c_custkey"), col("c_name"),
+        (org.apache.spark.sql.functions.round(col("c_acctbal") * 1e2) / 1e2)
+          .as("acctbal"),
+        lit(versions(path).length).as("n_versions"))
+  }
+
   def restoreDemo(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -839,7 +870,8 @@ object Merge {
     "m_compact" -> (compactDemo _),
     "m_changes" -> (changesDemo _),
     "m_incremental_agg" -> (incrementalAggDemo _),
-    "m_restore" -> (restoreDemo _))
+    "m_restore" -> (restoreDemo _),
+    "m_vacuum" -> (vacuumDemo _))
 
   val oracle: Map[String, String] = Map(
     // restore rolls the head back to v0, so the truth is the BARE
@@ -848,6 +880,11 @@ object Merge {
     // hash
     "m_restore" ->
       "SELECT c_custkey, c_name, round(c_acctbal*1e2)/1e2 AS acctbal FROM customer",
+    // post-vacuum current state = the merged head, and exactly ONE
+    // manifest version left — both restated with no vacuum machinery
+    "m_vacuum" ->
+      ("SELECT c_custkey, c_name, round(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END * 1e2)/1e2 AS acctbal, " +
+        "1 AS n_versions FROM customer"),
     // the full SCD2 history restated relationally: change detection is
     // IS DISTINCT FROM per attribute, closing is a left join against
     // the changed-key set, no SCD machinery anywhere in the oracle
