@@ -146,7 +146,8 @@ object Layout {
     * applies after the scan, so false positives cost I/O, never
     * correctness. */
   def bloomSkipRead(s: SparkSession, path: String, keyName: String,
-                    keys: Seq[Long]): (DataFrame, Int, Int) = {
+                    keys0: Seq[Long]): (DataFrame, Int, Int) = {
+    val keys = keys0.distinct // a duplicate query key must not duplicate rows
     val manifest = s.read.parquet(s"$path/bloom_manifest").collect()
     val files = manifest.filter { r =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(

@@ -583,9 +583,12 @@ object TextAnalysis {
   def substringSearch(df: DataFrame, text: Column, q: String): DataFrame = {
     require(q.length >= 3, s"substring query needs >= 3 chars: '$q'")
     val qTris = (0 to q.length - 3).map(i => q.substring(i, i + 3)).distinct
-    val tris = array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - 2, lit(0))),
-      i => text.substr(i, lit(3))))
+    // guard like Bpe.pairsOf: Spark's sequence(1, 0) counts DOWN —
+    // a sub-3-char doc must yield an EMPTY trigram set, not garbage
+    val tris = when(length(text) >= 3, array_distinct(transform(
+        sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
     df.filter(size(array_intersect(tris,
         typedLit(qTris))) === qTris.size)
       .filter(instr(text, q) > 0)

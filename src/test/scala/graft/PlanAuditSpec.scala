@@ -702,4 +702,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("top_k_by_score") || p.contains("topkbyscore"),
       p.take(4000))
   }
+
+  test("t_substring_search: zero exchanges — prefilter + verify are scan-local") {
+    graft.functions.HashExpressions.register(spark)
+    val p = plan(graft.operators.TextAnalysis.substringSearch(
+      graft.sources.Tables.load(spark, sf, "documents"),
+      col("text"), "merge batch"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("k_bloom_join: the bloom filter lands in the fact scan's filter, before any exchange") {
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(graft.operators.Skew
+      .bloomFilteredJoin(li, o, "l_orderkey", "o_orderkey"))
+    // the pre-filter must sit BELOW the first exchange/broadcast in
+    // the fact branch: textually, might_contain appears in a Filter
+    // whose subtree is the lineitem scan (no Exchange between them)
+    val filterIdx = p.indexOf("bloom_might_contain_long")
+    assert(filterIdx >= 0, p.take(4000))
+    val below = p.substring(filterIdx,
+      math.min(p.length, filterIdx + 600))
+    assert(below.contains("lineitem"), // scan directly under the filter
+      below)
+  }
+
+  test("c_universe_sample: the key-hash predicate filters BOTH scans before the join") {
+    val p = plan(graft.operators.Corpus.queries("c_universe_sample")(
+      spark, sf))
+    // two Filter-over-scan sites, one per side (conv(substring(md5..)))
+    val n = p.sliding("conv(substring(md5".length)
+      .count(_ == "conv(substring(md5")
+    assert(n >= 2, s"expected the sample predicate on both scans:\n${p.take(4000)}")
+  }
 }
