@@ -19,7 +19,11 @@ object Verify {
     // Spark's scheduler overlaps their stages — the gate's wall time
     // is not the sum of 67 sequential jobs. View/function
     // registrations inside query builders are idempotent.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // SPARK_GRAFT_POOL widens the submit pool for scale rehearsals
+    // (a 100x dump behind 4 threads serializes behind its heaviest
+    // builders); the driver never sets it, so driver runs keep 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_POOL", "4").toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     // SPARK_GRAFT_ONLY=name1,name2 restricts the dump — builder-side
