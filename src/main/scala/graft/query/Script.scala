@@ -55,10 +55,16 @@ object Script {
     * testdata tables so the driver's hash gate covers it (the
     * verbatim-SurrealQL surface stays pinned by SurrealQLSpec over
     * the Wikidata fixtures, which the oracle harness doesn't load).
-    * The oracle restates the SAME statements as one CTE query. */
+    * The oracle restates the SAME statements as one CTE query.
+    * Money sums ride the integer-cent device (per-row
+    * round(x*1e2)→BIGINT, integer sums, one final /1e2): at the 100×
+    * rehearsal the old double-sum total straddled its 2-dec rounding
+    * boundary by 1 ulp across 270k customers per segment (the
+    * q_join_agg class, PERF_r11) — integer addition is associative,
+    * so the cent form is exact at any scale. */
   private val gateScript =
     """LET spend = SELECT o_custkey,
-      |  round(sum(o_totalprice)*1e2)/1e2 AS spent
+      |  sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS spent_c
       |  FROM orders GROUP BY o_custkey;
       |LET active = SELECT c_custkey, c_mktsegment FROM customer
       |  WHERE c_custkey IN (SELECT o_custkey FROM orders);
@@ -66,7 +72,7 @@ object Script {
       |  WHERE c_custkey NOT IN
       |    (SELECT c_custkey FROM customer WHERE c_acctbal < 0);
       |RETURN SELECT c_mktsegment, count(*) AS n_cust,
-      |  round(sum(s.spent)*1e2)/1e2 AS total_spent
+      |  sum(s.spent_c) / 1e2 AS total_spent
       |  FROM keep k JOIN spend s ON k.c_custkey = s.o_custkey
       |  GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 3""".stripMargin
 
@@ -80,7 +86,7 @@ object Script {
   val oracle: Map[String, String] = Map(
     "b18_script" ->
       """WITH spend AS (SELECT o_custkey,
-        |    round(sum(o_totalprice)*1e2)/1e2 AS spent
+        |    sum(CAST(round(o_totalprice * 1e2) AS BIGINT)) AS spent_c
         |    FROM orders GROUP BY o_custkey),
         |  active AS (SELECT c_custkey, c_mktsegment FROM customer
         |    WHERE c_custkey IN (SELECT o_custkey FROM orders)),
@@ -88,7 +94,7 @@ object Script {
         |    WHERE c_custkey NOT IN
         |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
         |SELECT c_mktsegment, count(*) AS n_cust,
-        |  round(sum(s.spent)*1e2)/1e2 AS total_spent
+        |  sum(s.spent_c) / 1e2 AS total_spent
         |FROM keep k JOIN spend s ON k.c_custkey = s.o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment LIMIT 3""".stripMargin)
 

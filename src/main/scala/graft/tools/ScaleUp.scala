@@ -77,13 +77,28 @@ object ScaleUp {
     replicate("events", Seq("event_id", "user_id"))
 
     // documents: replica-tag every token (k > 0) so shingles are
-    // disjoint across replicas; recompute n_chars
+    // disjoint across replicas; recompute n_chars. The suffix is a
+    // base-26 LETTER string (byte-identical to the old single char
+    // for k <= 26, so 10x replicas and their recorded artifacts are
+    // unchanged): the old ('a' + k - 1) char walked into punctuation
+    // and non-ASCII at higher replicas — k=28 ('|') voided every word
+    // of that replica for the tokenizer gates' delimiter filter, and
+    // k=64 (NBSP) ended every doc with a char DuckDB's trim strips
+    // but Spark's keeps, faulting d_exact_norm at the 100x rehearsal
+    // with a data artifact, not an engine bug.
+    def letterSuffix(k: Int): String = {
+      var n = k - 1
+      val sb = new StringBuilder
+      sb.append(('a' + n % 26).toChar); n /= 26
+      while (n > 0) { sb.append(('a' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.result().reverse
+    }
     replicate("documents", Seq("doc_id"), (d, k) =>
       if (k == 0) d
       else d
         .withColumn("text", array_join(
           transform(split(col("text"), " "),
-            t => concat(t, lit(('a' + (k - 1)).toChar.toString))), " "))
+            t => concat(t, lit(letterSuffix(k)))), " "))
         .withColumn("n_chars", length(col("text")).cast("long")))
 
     // embeddings: fresh deterministic vectors per replica (k > 0)
