@@ -215,12 +215,22 @@ object Skew {
         .agg(count(lit(1)).as("n_lines"),
           (round(sum(col("l_quantity")) * 1e2) / 1e2).as("qty"))
     }),
-    // correctness of the salted rewrite vs the plain GROUP BY oracle
+    // correctness of the salted rewrite vs the plain GROUP BY oracle.
+    // The money operand rides the integer-cent device (per-row
+    // round(x*1e2)→BIGINT): at the 100x rehearsal the salted and
+    // plain double sums reassociated across the 2-dec rounding
+    // boundary (the q_join_agg class) — integer partials are exact in
+    // any order, which is also the honest form for a rewrite whose
+    // entire point is re-bracketing the sum. l_quantity
+    // (k_auto_salted) is integer-valued in double, so its sums are
+    // already order-exact and stay on the shared rounding formula.
     "k_salted_agg" -> ((s, dir) => {
-      val out = saltedAgg(Tables.load(s, dir, "lineitem"),
-        "l_returnflag", "l_extendedprice")
+      val out = saltedAgg(Tables.load(s, dir, "lineitem")
+          .withColumn("cents",
+            round(col("l_extendedprice") * 1e2).cast("long")),
+        "l_returnflag", "cents")
       out.select(col("l_returnflag"),
-        (round(col("total") * 1e2) / 1e2).as("total"), col("n"))
+        (col("total") / 1e2).as("total"), col("n"))
     }),
     // l_returnflag has 3 values (~1/3 share each) — the sampler must
     // detect the skew and route through the salted path; the oracle is
@@ -261,7 +271,7 @@ object Skew {
     // NOTE: salting sums doubles in a different order than the plain
     // GROUP BY — round(2) absorbs the reassociation error
     "k_salted_agg" ->
-      "SELECT l_returnflag, round((sum(l_extendedprice))*1e2)/1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+      "SELECT l_returnflag, sum(CAST(round(l_extendedprice * 1e2) AS BIGINT)) / 1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "k_auto_salted" ->
       "SELECT l_returnflag, round((sum(l_quantity))*1e2)/1e2 AS total, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "k_rank_skewfree" ->

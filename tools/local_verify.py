@@ -70,6 +70,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # ORACLE_MEM_LIMIT (e.g. "24GB") bounds DuckDB so a scale-rehearsal
+    # oracle that outgrows RAM records ORACLE-ERROR instead of taking
+    # the whole compare process down with a raw MemoryError (observed:
+    # the iterated graph CTEs at the 100x replica). Unset = DuckDB
+    # default (the driver-identical behavior).
+    mem = os.environ.get("ORACLE_MEM_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # driver testdata tables are single parquet FILES; tool-built
         # replicas (tools/ScaleUp) are Spark parquet DIRECTORIES
