@@ -23,7 +23,10 @@ object Verify {
     // (a 100x dump behind 4 threads serializes behind its heaviest
     // builders); the driver never sets it, so driver runs keep 4
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_POOL", "4").toInt)
+      sys.env.get("SPARK_GRAFT_POOL")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .filter(_ > 0)
+        .getOrElse(4))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     // SPARK_GRAFT_ONLY=name1,name2 restricts the dump — builder-side

@@ -721,21 +721,35 @@ object Dedup {
     * widest (nChunks=16 → every pair within Hamming ≤ 15 is surfaced,
     * guaranteed); candidates are reranked by the exact n-gram Jaccard
     * kernel at `minJaccard`. The DuckDB oracle computes {all pairs
-    * with exact J ≥ minJaccard} with no SimHash at all, so hash
-    * equality PROVES every such pair sits within Hamming ≤ 15 of its
-    * twin AND the banding recovered it. Measured on this corpus:
-    * shingle-feature Hamming over J ≥ 0.8 pairs tops out at 11
-    * (margin 4 under the guarantee), while unrelated pairs sit near
-    * 32 — the Hamming ≤ 15 radius keeps ~400 of 12.5M pairs at sf0.1.
+    * with exact J ≥ minJaccard} with no SimHash at all. Measured on
+    * this corpus: shingle-feature Hamming over J ≥ 0.8 pairs tops out
+    * at 11 at 1×–10× scale, while unrelated pairs sit near 32 — the
+    * Hamming ≤ 15 radius keeps ~400 of 12.5M pairs at sf0.1.
     * (Unigram-token signatures are unusable here: the tiny synthetic
     * vocabulary correlates them all, and the same radius keeps 3.2M
-    * pairs — feature choice IS the pruning.) */
+    * pairs — feature choice IS the pruning.)
+    *
+    * SimHash ALONE is not recall-1 for J ≥ 0.8 at every scale: the
+    * round-11 100× rehearsal measured 3 of 25,600 true pairs whose
+    * shingle-signature Hamming crossed 15 (Hamming of a J=0.8 pair is
+    * a random variable; its tail widens with corpus size). Rather than
+    * shrinking chunks toward the degenerate all-pairs regime, the
+    * candidate set is UNIONED with the 16×4 MinHash band candidates
+    * ([[minhashPairs]] — the `d_minhash_lsh` recall-1-proven path
+    * whose miss probability is scale-invariant per pair,
+    * P(miss | J=0.8) ≈ 2·10⁻⁴). Both paths feed the same exact-Jaccard
+    * rerank, so the output is still exactly {discovered pairs with
+    * J ≥ minJaccard} and the oracle equality proves joint recall 1.
+    * At 100 TB this is the production hybrid: two banded discovery
+    * passes (each one narrow shuffle), never an all-pairs join. */
   def simhashVerifiedPairs(df: DataFrame,
                            minJaccard: Double = 0.8): DataFrame = {
+    val simCand = simhashPairs(df, maxHamming = 15, nChunks = 16,
+      sigOf = simhashShingled)
+      .select(col("doc_a"), col("doc_b"))
+    val mhCand = minhashPairs(df).select(col("doc_a"), col("doc_b"))
     val pairs = materialize(
-      simhashPairs(df, maxHamming = 15, nChunks = 16,
-        sigOf = simhashShingled)
-        .select(col("doc_a"), col("doc_b")),
+      simCand.union(mhCand).distinct(),
       "simhash_pairs")
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -1339,19 +1353,25 @@ object Dedup {
     // windows restated with DuckDB list slicing: t[i:i+7] is the same
     // 8-token window Spark's slice(t, i, 8) builds; range(1, n-6) ≡
     // sequence(1, n-7) — both emit n-7 positions
+    // windows aggregate on their 128-bit md5_number rather than the
+    // window STRING: same multiset (md5 collisions over ~50M distinct
+    // 8-token windows are ~2^-100 events), ~4x less hash-table memory
+    // — the raw-string form OOM'd DuckDB at the 100x rehearsal
     "d_span_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), win AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS w FROM toks WHERE len(t) >= 8), cnt AS (SELECT w, count(*) AS c FROM win GROUP BY w), per AS (SELECT doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans FROM win JOIN cnt USING (w) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, coalesce(n_dup_spans, 0) AS n_dup_spans, round(CAST(coalesce(n_dup_spans, 0) AS DOUBLE) / CAST(greatest(coalesce(n_windows, 0), 1) AS DOUBLE) * 1e4) / 1e4 AS dup_ratio FROM documents d LEFT JOIN per USING (doc_id)""",
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents), win AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> md5_number(array_to_string(t[i:i+7], ' ')))) AS wh FROM toks WHERE len(t) >= 8), cnt AS MATERIALIZED (SELECT wh, count(*) AS c FROM win GROUP BY wh), per AS (SELECT doc_id, count(*) AS n_windows, CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans FROM win JOIN cnt USING (wh) GROUP BY doc_id) SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, coalesce(n_dup_spans, 0) AS n_dup_spans, round(CAST(coalesce(n_dup_spans, 0) AS DOUBLE) / CAST(greatest(coalesce(n_windows, 0), 1) AS DOUBLE) * 1e4) / 1e4 AS dup_ratio FROM documents d LEFT JOIN per USING (doc_id)""",
     // the cut positions re-derived relationally (1-based coordinates
     // throughout — only counts and the reassembled text surface, so
     // the coordinate base is internal); interval union = DISTINCT on
     // (doc_id, p), reassembly = ordered string_agg, then md5 — the
     // hash certifies the exact surgical output byte for byte
+    // ws no longer carries the full token list per window position
+    // (the r11 form duplicated `t` O(positions) times — the 100x OOM)
+    // and windows reduce to md5_number immediately, as in d_span_dedup
     "d_span_cut" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |win AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
-        |ws AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w FROM win),
-        |dup AS (SELECT w FROM ws GROUP BY w HAVING count(*) > 1),
-        |cov0 AS (SELECT doc_id, i, unnest(range(0, 8)) AS o FROM ws WHERE w IN (SELECT w FROM dup)),
+        |ws AS MATERIALIZED (SELECT doc_id, u.i AS i, u.wh AS wh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> {'i': i, 'wh': md5_number(array_to_string(t[i:i+7], ' '))})) AS u FROM toks WHERE len(t) >= 8)),
+        |dup AS (SELECT wh FROM ws GROUP BY wh HAVING count(*) > 1),
+        |cov0 AS (SELECT doc_id, i, unnest(range(0, 8)) AS o FROM ws WHERE wh IN (SELECT wh FROM dup)),
         |cov AS (SELECT DISTINCT doc_id, i + o AS p FROM cov0),
         |tok AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p FROM toks),
         |kept AS (SELECT k.doc_id, k.p, k.tok FROM tok k

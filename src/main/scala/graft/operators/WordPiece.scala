@@ -223,9 +223,14 @@ object WordPiece {
       s"JOIN tc$r ca ON ca.tok = split_part(p.pair, ' ', 1) " +
       s"JOIN tc$r cb ON cb.tok = split_part(p.pair, ' ', 2) " +
       "ORDER BY score_q DESC, pair LIMIT 1), " +
+      // coalesce guards the exhausted-trainer case: if a merge round
+      // finds no pair, m_r is empty and the scalar subqueries return
+      // NULL — without the guard replace(s, NULL, ...) would NULL the
+      // whole dictionary state for every later stage (ADVICE r11).
+      // With it, search and replacement both collapse to s, a no-op.
       s"t$r AS MATERIALIZED (SELECT w, replace(s, " +
-      s"'|' || split_part((SELECT pair FROM m$r), ' ', 1) || '||' || split_part((SELECT pair FROM m$r), ' ', 2) || '|', " +
-      s"'|' || (SELECT merged FROM m$r) || '|') AS s, cnt FROM $prev)"
+      s"coalesce('|' || split_part((SELECT pair FROM m$r), ' ', 1) || '||' || split_part((SELECT pair FROM m$r), ' ', 2) || '|', s), " +
+      s"coalesce('|' || (SELECT merged FROM m$r) || '|', s)) AS s, cnt FROM $prev)"
     }
     s"WITH $base, ${stages.mkString(", ")}"
   }

@@ -172,14 +172,29 @@ object Relational {
   // ---------------------------------------------------------------- //
 
   /** TPC-H Q1 pricing summary — the flagship aggregate. Partial aggs
-    * map-side; the exchange carries only (flag,status) groups. */
-  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    * map-side; the exchange carries only (flag,status) groups.
+    *
+    * Money columns use per-row integer-cent quantization before the
+    * sum (same device as [[qJoinAgg]]): each row's product is a single
+    * IEEE multiply (engine-identical), and the long sum is associative
+    * under ANY partial-agg order, so the result is hash-stable at any
+    * scale — the raw-double form lost one cent in one group at the
+    * 100x rehearsal (CORRECTNESS_sf10, round 11). avg_qty derives from
+    * the quantized sum and the exact count, so both engines divide the
+    * same two exact values. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{round => fnRound}
+    val qtyCents  = fnRound(col("l_quantity") * 100).cast("long")
+    val baseCents = fnRound(col("l_extendedprice") * 100).cast("long")
+    val discCents = fnRound(
+      col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
     t(s, dir)("lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-      round(sum(col("l_quantity")), 2).as("sum_qty"),
-      round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-      round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-      round(avg(col("l_quantity")), 4).as("avg_qty"),
+      (sum(qtyCents) / 100.0).as("sum_qty"),
+      (sum(baseCents) / 100.0).as("sum_base_price"),
+      (sum(discCents) / 100.0).as("sum_disc_price"),
+      round(sum(qtyCents) / 100.0 / count(lit(1)), 4).as("avg_qty"),
       count(lit(1)).as("count_order"))
+  }
 
   /** Join + aggregate (TPC-H Q3 shape): revenue per open order. */
   def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
@@ -344,7 +359,7 @@ object Relational {
     "b16_view_media" ->
       "SELECT o_orderkey, o_custkey AS parent, count(*) AS n_items, coalesce(array_to_string(list_sort(list(l_partkey)), ','), '') AS children FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_custkey",
     "q1_agg" ->
-      "SELECT l_returnflag, l_linestatus, round((sum(l_quantity))*1e2)/1e2 AS sum_qty, round((sum(l_extendedprice))*1e2)/1e2 AS sum_base_price, round((sum(l_extendedprice*(1-l_discount)))*1e2)/1e2 AS sum_disc_price, round((avg(l_quantity))*1e4)/1e4 AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price, round(((CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)))*1e4)/1e4 AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "q_join_agg" ->
       "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O' GROUP BY l_orderkey",
     "q_window" ->

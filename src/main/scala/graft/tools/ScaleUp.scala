@@ -78,20 +78,22 @@ object ScaleUp {
 
     // documents: replica-tag every token (k > 0) so shingles are
     // disjoint across replicas; recompute n_chars. The suffix is a
-    // base-26 LETTER string (byte-identical to the old single char
-    // for k <= 26, so 10x replicas and their recorded artifacts are
-    // unchanged): the old ('a' + k - 1) char walked into punctuation
-    // and non-ASCII at higher replicas — k=28 ('|') voided every word
-    // of that replica for the tokenizer gates' delimiter filter, and
-    // k=64 (NBSP) ended every doc with a char DuckDB's trim strips
-    // but Spark's keeps, faulting d_exact_norm at the 100x rehearsal
-    // with a data artifact, not an engine bug.
+    // FIXED-WIDTH two-letter base-26 string: pure letters keep it
+    // out of the tokenizer gates' delimiter filters and engine-
+    // divergent trim semantics (the r10 '|'/NBSP data artifacts),
+    // and the fixed width makes the code prefix-free — the r11
+    // variable-length form let base token 'x' + suffix 'aa'
+    // (replica 27) collide with base token 'xa' + suffix 'a'
+    // (replica 1), re-linking documents across replicas at the 100x
+    // rehearsal (ADVICE r11). With exactly two suffix chars for
+    // EVERY k, base+suffix equality forces same base AND same
+    // replica. Byte change vs r11 for k <= 26 is accepted; the 10x
+    // and 100x replica dirs and their CORRECTNESS artifacts are
+    // regenerated this round.
     def letterSuffix(k: Int): String = {
-      var n = k - 1
-      val sb = new StringBuilder
-      sb.append(('a' + n % 26).toChar); n /= 26
-      while (n > 0) { sb.append(('a' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
-      sb.result().reverse
+      val n = k - 1
+      require(n >= 0 && n < 26 * 26, s"replica $k out of suffix range")
+      s"${('a' + n / 26).toChar}${('a' + n % 26).toChar}"
     }
     replicate("documents", Seq("doc_id"), (d, k) =>
       if (k == 0) d

@@ -61,6 +61,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(banded === brute) // pigeonhole: banding is complete for <=3
   }
 
+  test("hybrid simhash+minhash discovery (d_simhash): equals exact-Jaccard truth at J >= 0.8") {
+    // r11 100x rehearsal: simhash-only banding missed 3/25,600 pairs
+    // whose shingle Hamming crossed 15, so simhashVerifiedPairs now
+    // unions in the minhash band candidates before the exact rerank.
+    // Pin both halves of the contract: output == truth set, and the
+    // minhash recall-1 path is a lower bound on discovery.
+    val found = Dedup.simhashVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(found === truth, s"missed: ${truth -- found}; spurious: ${found -- truth}")
+    val mh = Dedup.minhashVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(found), s"union lost minhash pairs: ${mh -- found}")
+  }
+
   test("production simhash banding (d_simhash_prod): complete AND sound vs brute force") {
     // pins the rows-only registry entry: 4×16-bit banding at
     // Hamming <= 3 over SHINGLE-feature signatures returns EXACTLY

@@ -67,6 +67,113 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.loc[order].reset_index(drop=True)
 
 
+def _use_dbhash(result_dir: Path) -> bool:
+    """Large results skip the pandas canon (its in-memory sort was the
+    100x-rehearsal bottleneck, not either engine) and compare inside
+    DuckDB instead. BIGHASH_MIN_MB sets the spark-parquet size cutoff;
+    unset disables the fast path (the driver-identical default)."""
+    lim = os.environ.get("BIGHASH_MIN_MB")
+    if not lim:
+        return False
+    size = sum(f.stat().st_size for f in result_dir.rglob("*") if f.is_file())
+    return size >= float(lim) * 1024 * 1024
+
+
+def _canon_expr(col: str, typ: str) -> str:
+    """Canonical per-column expression, applied IDENTICALLY to the
+    spark result and the oracle subquery, mirroring the pandas canon:
+    doubles rounded to 9 decimals (+0.0 collapses -0.0), float lists
+    element-rounded, timestamps as strings. Both sides run the same
+    DuckDB functions, so engine-side ulp noise below 1e-9 cancels
+    exactly as in the pandas path."""
+    q = f'"{col}"'
+    t = typ.upper()
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return f"(round(CAST({q} AS DOUBLE), 9) + 0.0)"
+    # widen every integer kind to BIGINT: hash() is width-sensitive,
+    # and the pandas path compares 42::INT == 42::BIGINT as equal
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return f"CAST({q} AS BIGINT)"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return f"CAST({q} AS VARCHAR)"
+    if t in ("DOUBLE[]", "FLOAT[]", "REAL[]"):
+        return (f"CAST(list_transform({q}, "
+                f"v -> round(CAST(v AS DOUBLE), 9) + 0.0) AS VARCHAR)")
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return f"CAST({q} AS VARCHAR)"
+    return q
+
+
+def compare_dbhash(con, name, result_dir: Path, sql: str, overrides,
+                   results, detail, flush_detail):
+    """Order-independent multiset compare in DuckDB: per-row 64-bit
+    hash over the canonicalized columns (sorted by name), reduced by
+    count + sum + xor. Identical reduction on both sides; a mismatch
+    in any of the three is a fail, agreement in all three is the
+    multiset-equality verdict (collision odds ~2^-64 per pair)."""
+    import threading as _t
+    timeout = overrides.get(
+        name, float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0))
+    pattern = f"{result_dir}/*.parquet" if result_dir.is_dir() else str(result_dir)
+    sv = f"SELECT * FROM read_parquet('{pattern}')"
+
+    def schema_of(q):
+        return [(r[0], r[1]) for r in con.execute(f"DESCRIBE {q}").fetchall()]
+
+    def digest(q, cols_types):
+        exprs = [_canon_expr(c, t) for c, t in
+                 sorted(cols_types, key=lambda x: x[0])]
+        h = f"hash({', '.join(exprs)})"
+        row = con.execute(
+            f"SELECT count(*), sum(CAST({h} AS HUGEINT)), bit_xor({h}) "
+            f"FROM ({q})").fetchone()
+        return row
+
+    timer = None
+    timed_out = _t.Event()
+    if timeout > 0:
+        def _interrupt():
+            timed_out.set()
+            con.interrupt()
+        timer = _t.Timer(timeout, _interrupt)
+        timer.start()
+    try:
+        s_schema = schema_of(sv)
+        o_schema = schema_of(f"({sql})")
+        d = {"rows_match": False, "schema_match": False, "hash_match": False,
+             "spark_rows": None, "oracle_rows": None, "err": None,
+             "mode": "dbhash"}
+        if sorted(c for c, _ in s_schema) != sorted(c for c, _ in o_schema):
+            d["err"] = (f"SCHEMA-MISMATCH spark={sorted(c for c, _ in s_schema)} "
+                        f"duck={sorted(c for c, _ in o_schema)}")
+            results[name] = d["err"]
+        else:
+            d["schema_match"] = True
+            sc, sh, sx = digest(sv, s_schema)
+            oc, oh, ox = digest(f"({sql})", o_schema)
+            d["spark_rows"], d["oracle_rows"] = int(sc), int(oc)
+            d["rows_match"] = sc == oc
+            d["hash_match"] = d["rows_match"] and sh == oh and sx == ox
+            if not d["rows_match"]:
+                results[name] = f"ROWCOUNT-MISMATCH spark={sc} duck={oc}"
+            elif not d["hash_match"]:
+                results[name] = f"VALUE-MISMATCH dbhash sum/xor differ ({sc} rows)"
+            else:
+                results[name] = f"OK rows={sc} (dbhash)"
+    except Exception as e:
+        kind = "ORACLE-TIMEOUT" if timed_out.is_set() else "ORACLE-ERROR"
+        results[name] = f"{kind} {e}"
+        d = {"rows_match": False, "schema_match": False, "hash_match": False,
+             "spark_rows": None, "oracle_rows": None,
+             "err": f"{kind}: {str(e)[:300]}", "mode": "dbhash"}
+    finally:
+        if timer is not None:
+            timer.cancel()
+    detail[name] = d
+    flush_detail()
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -107,10 +214,27 @@ def main():
         if json_out is not None:
             json_out.write_text(json.dumps(detail, indent=1, sort_keys=True))
 
+    # VERIFY_ONLY=name1,name2 restricts the compare — the parallel-
+    # rehearsal aid (several local_verify processes, disjoint query
+    # sets, merged jsonOuts). Unset = all (the driver-identical default).
+    only = os.environ.get("VERIFY_ONLY")
+    only = set(x.strip() for x in only.split(",")) if only else None
+    # ORACLE_TIMEOUT_OVERRIDES="g_triangles=1800,q_geo_knn=900" gives
+    # named heavyweight oracles their own budget at scale rehearsals.
+    overrides = {}
+    for kv in (os.environ.get("ORACLE_TIMEOUT_OVERRIDES") or "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            overrides[k.strip()] = float(v)
+
     for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
-        if name in detail:
+        if name in detail or (only is not None and name not in only):
             continue
         print(f".. {name}", flush=True)
+        if name in oracle and _use_dbhash(Path(out_dir, name)):
+            compare_dbhash(con, name, Path(out_dir, name), oracle[name],
+                           overrides, results, detail, flush_detail)
+            continue
         spark_df = pd.read_parquet(Path(out_dir, name))
         if name not in oracle:
             results[name] = f"NO-ORACLE rows={len(spark_df)}"
@@ -119,7 +243,8 @@ def main():
         # rehearsals: brute-force pair oracles explode at 10x+; a
         # timed-out oracle is an EXCLUSION to document, not a hang).
         # Unset = no timeout (the driver-identical default).
-        timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
+        timeout = overrides.get(
+            name, float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0))
         timer = None
         timed_out = threading.Event()
         if timeout > 0:
@@ -164,6 +289,8 @@ def main():
         flush_detail()
 
     missing = set(oracle) - set(results)
+    if only is not None:
+        missing &= only
     for name in sorted(missing):
         results[name] = "MISSING-SPARK-OUTPUT"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
