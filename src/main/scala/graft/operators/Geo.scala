@@ -320,34 +320,62 @@ object Geo {
     s"round(2 * 6371.0 * asin(sqrt(sin(radians($l2 - $l1) / 2) * sin(radians($l2 - $l1) / 2) + " +
     s"cos(radians($l1)) * cos(radians($l2)) * sin(radians($o2 - $o1) / 2) * sin(radians($o2 - $o1) / 2))) * 1e6) / 1e6"
 
+  /** Complete within-radius candidate generation for the oracles,
+    * replacing the r11 cross products that outgrew DuckDB at the 100×
+    * rehearsal (1.5M × 150k = 2.25·10¹¹ haversines). Degree-grid
+    * banding, DELIBERATELY different geometry from the engine's
+    * radius-derived haversine cells (static floor(lat/latBand),
+    * floor(lon/lonBand) grid, ±1 stencil on the left side), so the
+    * two implementations stay independent. Completeness is elementary:
+    * a pair within R km has central angle ≥ |Δlat|·π/180, so
+    * |Δlat| ≤ R/111.195 km/deg; and hav ≥ 2R⊕·√(cosφ₁cosφ₂)·sin(Δλ/2)
+    * with cosφ ≥ cos 60° = 0.5 on this corpus's lat ∈ [-60, 60) band,
+    * so |Δlon| ≤ 2·asin(R/6371)·180/π. Each oracle's band widths
+    * strictly exceed those bounds (checked in the per-entry comments),
+    * and |Δ| < band ⇒ band indices differ by ≤ 1, so the ±1 stencil
+    * cannot miss a pair. The exact 1e-6-rounded haversine filter then
+    * decides membership, identically to before. A right point has ONE
+    * cell and the left's 9 stencil keys are distinct, so no pair
+    * duplicates. */
+  private def bandedPairsSql(leftPts: String, rightPts: String,
+                             radiusKm: Double, latBand: Int,
+                             lonBand: Int): String =
+    s"lb AS MATERIALIZED (SELECT id, lat, lon FROM $leftPts), " +
+      s"rb AS MATERIALIZED (SELECT id, lat, lon, CAST(floor(lat / $latBand.0) AS BIGINT) AS by, CAST(floor(lon / $lonBand.0) AS BIGINT) AS bx FROM $rightPts), " +
+      s"ls AS (SELECT l.id, l.lat, l.lon, CAST(floor(l.lat / $latBand.0) AS BIGINT) + dy.d AS by, CAST(floor(l.lon / $lonBand.0) AS BIGINT) + dx.d AS bx FROM lb l, (VALUES (-1), (0), (1)) AS dy(d), (VALUES (-1), (0), (1)) AS dx(d)), " +
+      s"pr AS MATERIALIZED (SELECT left_id, right_id, dist_km FROM (SELECT ls.id AS left_id, rb.id AS right_id, ${hav("ls.lat", "ls.lon", "rb.lat", "rb.lon")} AS dist_km FROM ls JOIN rb USING (by, bx)) WHERE dist_km <= $radiusKm)"
+
   val oracle: Map[String, String] = Map(
+    // 50 km: |Δlat| ≤ 0.450, |Δlon| ≤ 0.900 — 1°×1° bands suffice
     "q_geo_radius" ->
-      (s"SELECT c.id AS left_id, s.id AS right_id, ${hav("c.lat", "c.lon", "s.lat", "s.lon")} AS dist_km " +
-        s"FROM $custPts c, $suppPts s " +
-        s"WHERE ${hav("c.lat", "c.lon", "s.lat", "s.lon")} <= 50.0"),
+      (s"WITH ${bandedPairsSql(custPts, suppPts, 50.0, 1, 1)} " +
+        "SELECT left_id, right_id, dist_km FROM pr"),
+    // 200 km: |Δlat| ≤ 1.799 < 2, |Δlon| ≤ 3.598 < 4
     "q_geo_nearest" ->
-      (s"WITH p AS MATERIALIZED (SELECT c.id AS left_id, s.id AS right_id, ${hav("c.lat", "c.lon", "s.lat", "s.lon")} AS dist_km " +
-        s"FROM $custPts c, $suppPts s " +
-        s"WHERE ${hav("c.lat", "c.lon", "s.lat", "s.lon")} <= 200.0), " +
-        "m AS (SELECT left_id, min(dist_km) AS dist_km FROM p GROUP BY left_id) " +
+      (s"WITH ${bandedPairsSql(custPts, suppPts, 200.0, 2, 4)}, " +
+        "m AS (SELECT left_id, min(dist_km) AS dist_km FROM pr GROUP BY left_id) " +
         // ties break to the smallest id among minimum-distance pairs —
         // the same total order as Spark's min(struct(dist, id))
-        "SELECT p.left_id, min(p.right_id) AS nearest_id, m.dist_km " +
-        "FROM p JOIN m ON p.left_id = m.left_id AND p.dist_km = m.dist_km " +
-        "GROUP BY p.left_id, m.dist_km"),
+        "SELECT pr.left_id, min(pr.right_id) AS nearest_id, m.dist_km " +
+        "FROM pr JOIN m ON pr.left_id = m.left_id AND pr.dist_km = m.dist_km " +
+        "GROUP BY pr.left_id, m.dist_km"),
     "q_geo_density" ->
       ("SELECT CAST(floor(lat / 10.0) AS BIGINT) AS cy, " +
         "CAST(floor(lon / 10.0) AS BIGINT) AS cxx, count(*) AS n " +
         s"FROM $custPts GROUP BY 1, 2"),
-    // brute-force DBSCAN: neighborhoods from the all-pairs product
-    // (stencil-completeness proof), clusters by recursive transitive
-    // closure over core-core edges (the d_components oracle device),
-    // borders to the min adjacent core cluster, noise -1
+    // DBSCAN: neighborhoods from the degree-grid banded pairs (see
+    // bandedPairsSql; eps 800 km → |Δlat| ≤ 7.195 < 8, |Δlon| ≤
+    // 14.453 < 16, tenant equality on the band join), clusters by
+    // recursive transitive closure over core-core edges (the
+    // d_components oracle device), borders to the min adjacent core
+    // cluster, noise -1. The closure, border, and role logic are
+    // untouched — only the r11 per-tenant cross product (which hit
+    // the 100× oracle budget) became a banded equi-join.
     "q_geo_dbscan" ->
       (s"WITH RECURSIVE p AS MATERIALIZED (SELECT * FROM $custPts WHERE id % 10 = 0), " +
-        "nbr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a, p b " +
-        "WHERE (a.id // 1000000000) = (b.id // 1000000000) " +
-        s"AND ${hav("a.lat", "a.lon", "b.lat", "b.lon")} <= 800.0), " +
+        "gb AS MATERIALIZED (SELECT id, lat, lon, id // 1000000000 AS tnt, CAST(floor(lat / 8.0) AS BIGINT) AS by, CAST(floor(lon / 16.0) AS BIGINT) AS bx FROM p), " +
+        "gs AS (SELECT g.id, g.lat, g.lon, g.tnt, g.by + dy.d AS by, g.bx + dx.d AS bx FROM gb g, (VALUES (-1), (0), (1)) AS dy(d), (VALUES (-1), (0), (1)) AS dx(d)), " +
+        s"nbr AS MATERIALIZED (SELECT ia, ib FROM (SELECT gs.id AS ia, gb.id AS ib, ${hav("gs.lat", "gs.lon", "gb.lat", "gb.lon")} AS dk FROM gs JOIN gb ON gb.tnt = gs.tnt AND gb.by = gs.by AND gb.bx = gs.bx) WHERE dk <= 800.0), " +
         "core AS MATERIALIZED (SELECT ia AS id FROM (SELECT ia, count(*) AS n FROM nbr GROUP BY ia) WHERE n >= 4), " +
         "edges AS MATERIALIZED (SELECT n.ia AS a, n.ib AS b FROM nbr n JOIN core x ON n.ia = x.id JOIN core y ON n.ib = y.id WHERE n.ia <> n.ib), " +
         "reach(node, label) AS (SELECT id, id FROM core UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), " +
@@ -359,12 +387,23 @@ object Geo {
         "UNION ALL SELECT id, 'border' AS role, cluster FROM border " +
         "UNION ALL SELECT id, 'noise' AS role, CAST(-1 AS BIGINT) AS cluster FROM p " +
         "WHERE id NOT IN (SELECT id FROM comp) AND id NOT IN (SELECT id FROM border))"),
-    // brute-force kNN: hash equality proves the expanding-ring search
-    // finds the exact global top-k with identical tie-breaks
+    // EXACT kNN without the 1.5·10¹⁰-pair window the r11 brute form
+    // built: two-phase. Phase 1 bands candidates within R0 = 400 km
+    // (|Δlat| ≤ 3.598 < 4, |Δlon| ≤ 7.204 < 8); any query with ≥ k
+    // TRUE-distance-≤ R0 candidates has its global top-k inside that
+    // set (the k-th nearest is ≤ R0 away, and banding is complete to
+    // R0). Phase 2 full-scans only the queries phase 1 left
+    // unsatisfied (none at gate density — the term exists for
+    // unconditional exactness). Identical rounded-distance ranking
+    // and (dist, id) tie-break as before.
     "q_geo_knn" ->
-      (s"SELECT left_id, right_id, CAST(rnk AS INTEGER) AS rnk, dist_km FROM (" +
-        s"SELECT s.id AS left_id, c.id AS right_id, " +
-        s"${hav("s.lat", "s.lon", "c.lat", "c.lon")} AS dist_km, " +
-        s"row_number() OVER (PARTITION BY s.id ORDER BY ${hav("s.lat", "s.lon", "c.lat", "c.lon")}, c.id) AS rnk " +
-        s"FROM (SELECT * FROM $suppPts WHERE id % 10 = 0) s, $custPts c) WHERE rnk <= 3"))
+      (s"WITH ${bandedPairsSql(s"(SELECT * FROM $suppPts WHERE id % 10 = 0)", custPts, 400.0, 4, 8)}, " +
+        "sat AS (SELECT left_id FROM pr GROUP BY left_id HAVING count(*) >= 3), " +
+        s"fb AS (SELECT s.id AS left_id, c.id AS right_id, ${hav("s.lat", "s.lon", "c.lat", "c.lon")} AS dist_km " +
+        s"FROM (SELECT * FROM $suppPts WHERE id % 10 = 0) s, $custPts c " +
+        "WHERE s.id NOT IN (SELECT left_id FROM sat)), " +
+        "un AS (SELECT left_id, right_id, dist_km FROM pr WHERE left_id IN (SELECT left_id FROM sat) " +
+        "UNION ALL SELECT left_id, right_id, dist_km FROM fb), " +
+        "ranked AS (SELECT left_id, right_id, dist_km, row_number() OVER (PARTITION BY left_id ORDER BY dist_km, right_id) AS rnk FROM un) " +
+        "SELECT left_id, right_id, CAST(rnk AS INTEGER) AS rnk, dist_km FROM ranked WHERE rnk <= 3"))
 }

@@ -404,8 +404,15 @@ object Layout {
       .select(col("l_orderkey"), col("l_partkey"), ch.as("ch"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_bloomskip").toString
+    // file-size scaling: hold the file COUNT ~constant (≤ 150, the
+    // sf0.1 shape) instead of the rows-per-file constant — the r11
+    // fixed 4000-rows/file gate wrote 15,000 files at the 100×
+    // rehearsal and the probe measured file creation, not the
+    // operator (PERF_r11 "build-dominated"). Unchanged below 600k
+    // rows, so driver-gate bytes are identical.
+    val rows = li.count()
     writeBloomSkipping(li, path, col("l_orderkey"), col("ch"),
-      targetRowsPerFile = 4000L)
+      targetRowsPerFile = math.max(4000L, rows / 150L))
     val keys = li.filter(col("l_orderkey") % 3000 === 0)
       .select(col("ch")).distinct().collect().map(_.getLong(0)).toSeq
     val (df, _, _) = bloomSkipRead(s, path, "ch", keys)

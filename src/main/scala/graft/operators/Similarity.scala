@@ -1560,17 +1560,22 @@ object Similarity {
       annRecall(searchIvfIndex(s, path, q, 5, nProbe = 14),
         cosineTopK(live, 10, 5), 5)
     }),
-    // SemDeDup with a closed-form clustering (table-0 4-bit SRP
-    // bucket → 16 clusters) and the corpus-calibrated 0.4 threshold
+    // SemDeDup with a closed-form clustering (table-0 8-bit SRP
+    // bucket → 256 clusters) and the corpus-calibrated 0.4 threshold
     // (see s_embed_neardup). ORACLED as a mechanism restatement: the
     // DuckDB SQL re-derives the clusters from LITERAL hyperplane
     // signs, re-runs the within-cluster pairwise cosine, and applies
     // the same smaller-id-wins keep policy — hash equality certifies
     // clustering, candidate generation, and pruning end to end.
+    // 8 bits (r11 ran 4): cluster count must scale with the corpus or
+    // the within-cluster pairwise step turns quadratic — at the 100×
+    // rehearsal 16 clusters meant 1.25·10⁹ candidate pairs (the r11
+    // oracle timeout, and the same hazard for the ENGINE at 100 TB);
+    // 256 caps mean cluster size at corpus/256 on both sides.
     "s_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      graft.functions.HashExpressions.registerSrp(e.sparkSession, 4, 1)
-      semanticDedup(e, srpBucket(col("embedding"), 4, 0), 0.4)
+      graft.functions.HashExpressions.registerSrp(e.sparkSession, 8, 1)
+      semanticDedup(e, srpBucket(col("embedding"), 8, 0), 0.4)
     }),
     "s_quantize" -> ((s, dir) => {
       val q = quantizeInt8(emb(s, dir))
@@ -1781,5 +1786,5 @@ object Similarity {
     "s_embed_neardup" -> nearDupOracleSql(
       threshold = 0.4, bits = 8, tables = 16, maxBucket = 64, dim = 64),
     "s_semantic_dedup" -> semanticDedupOracleSql(
-      tau = 0.4, bits = 4, dim = 64))
+      tau = 0.4, bits = 8, dim = 64))
 }

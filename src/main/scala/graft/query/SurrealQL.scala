@@ -38,9 +38,38 @@ import graft.ingest.Load.WikiTables
   */
 object SurrealQL {
 
+  /** A registered `DEFINE ANALYZER` pipeline: tokenize + filter chain
+    * compiled to a Column transform (`Useful queries.md:28` declares
+    * `blank_english` this way; no documented query consumes it, so
+    * registration + the compiled function IS the DDL's whole
+    * observable surface). Unknown tokenizers/filters fail loudly at
+    * parse — a silently-dropped filter would change every downstream
+    * token. */
+  final case class AnalyzerDef(name: String, tokenizers: Seq[String],
+                               filters: Seq[String]) {
+    import graft.functions.TextFunctions
+    private def filterFn(f: String): Column => Column = f match {
+      case "lowercase" => lower(_)
+      case "ascii" => TextFunctions.ascii_fold(_)
+      case "snowball(english)" => TextFunctions.snowball_stem(_)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported analyzer filter: $other")
+    }
+    tokenizers.foreach { t =>
+      if (t != "blank")
+        throw new IllegalArgumentException(s"unsupported tokenizer: $t")
+    }
+    private val chain: Column => Column =
+      filters.map(filterFn).foldLeft(identity[Column] _)((acc, f) => acc.andThen(f))
+    /** text column → array of analyzed tokens. */
+    def apply(text: Column): Column =
+      transform(split(trim(text), "\\s+"), t => chain(t))
+  }
+
   final case class Result(tables: WikiTables,
                           views: Map[String, DataFrame],
-                          returned: Option[DataFrame])
+                          returned: Option[DataFrame],
+                          analyzers: Map[String, AnalyzerDef] = Map.empty)
 
   def run(tables: WikiTables, script: String): Result = {
     var t = tables
@@ -56,7 +85,11 @@ object SurrealQL {
     // value: $var, quoted string (may contain spaces), or bare literal
     val updRe = "(?is)^UPDATE\\s+Entity\\s+SET\\s+([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(\"[^\"]*\"|\\S+)\\s+WHERE\\s+(.+)$".r
     val defTableRe = "(?is)^DEFINE\\s+TABLE\\s+(?:OVERWRITE\\s+)?([a-zA-Z_][a-zA-Z0-9_]*)\\s+TYPE\\s+NORMAL\\s+AS\\s+(.+)$".r
-    val defAnalyzerRe = "(?is)^DEFINE\\s+ANALYZER\\s+.*$".r
+    val defAnalyzerRe =
+      ("(?is)^DEFINE\\s+ANALYZER\\s+(?:OVERWRITE\\s+)?([a-zA-Z_][a-zA-Z0-9_]*)" +
+        "\\s+TOKENIZERS\\s+([a-zA-Z_]+(?:\\s*,\\s*[a-zA-Z_]+)*)" +
+        "\\s+FILTERS\\s+(.+)$").r
+    var analyzers = Map.empty[String, AnalyzerDef]
 
     statements.foreach {
       case letRe(name, expr) =>
@@ -88,13 +121,18 @@ object SurrealQL {
           .withColumn(field, when(col("_m_id").isNotNull, v).otherwise(prev))
           .drop("_m_id")
         t = WikiTables(updated, t.claims)
-      case defAnalyzerRe() => // analyzer DDL accepted (B17)
+      case defAnalyzerRe(name, toks, filters) => // B17 DDL registration
+        analyzers += name -> AnalyzerDef(name,
+          toks.split(",").map(_.trim).toSeq,
+          // filters split at top-level commas only: snowball(english)
+          // keeps its parenthesized argument intact
+          filters.trim.split(",(?![^()]*\\))").map(_.trim.toLowerCase).toSeq)
       case defTableRe(name, select) =>
         views += name -> evalExpr(select.trim, t, vars).drop("_claims_src_tb")
       case other =>
         returned = Some(evalExpr(other.trim, t, vars).drop("_claims_src_tb"))
     }
-    Result(t, views, returned)
+    Result(t, views, returned, analyzers)
   }
 
   // -------------------------------------------------- expressions //

@@ -27,9 +27,14 @@ object StreamProbe {
 
   /** Write `df` as exactly one JSON file per chunk into `inDir` —
     * the file-stream source's batch unit. */
-  private[tools] def stageChunks(inDir: String, chunks: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+  /** `offset` numbers the staged files from chunk<offset> — callers
+    * staging in waves into a LIVE stream dir (AnnStateGrowthProbe)
+    * must not reuse names the source already processed. */
+  private[tools] def stageChunks(inDir: String,
+                                 chunks: Seq[org.apache.spark.sql.DataFrame],
+                                 offset: Int = 0): Unit = {
     Files.createDirectories(Paths.get(inDir))
-    chunks.zipWithIndex.foreach { case (df, i) =>
+    chunks.zipWithIndex.map { case (df, i0) => (df, i0 + offset) }.foreach { case (df, i) =>
       val stage = s"$inDir/_stage$i"
       df.coalesce(1).write.mode("overwrite").json(stage)
       val part = new java.io.File(stage).listFiles()

@@ -214,6 +214,33 @@ class SurrealQLSpec extends AnyFunSuite {
     val parent = media.filter(col("id.id") === 60746544L)
       .select("parent").collect()(0).getStruct(0)
     assert(parent.getString(0) === "Entity" && parent.getLong(1) === 70331950L)
+
+    // B17: the DDL statement REGISTERS the analyzer (not merely
+    // swallowed) — name, tokenizer, and filter chain parsed verbatim
+    val an = out.analyzers("blank_english")
+    assert(an.tokenizers === Seq("blank"))
+    assert(an.filters === Seq("lowercase", "ascii", "snowball(english)"))
+  }
+
+  test("registered DEFINE ANALYZER pipeline == t_normalize's analyzeBlankEnglish") {
+    graft.functions.TextFunctions.register(spark)
+    val out = SurrealQL.run(tables,
+      "DEFINE ANALYZER OVERWRITE blank_english TOKENIZERS blank FILTERS lowercase, ascii, snowball(english);")
+    val an = out.analyzers("blank_english")
+    import spark.implicits._
+    val docs = Seq("Édouard RUNNING tHe Cafés", "forêts Connected  studies")
+      .toDF("text")
+    val got = docs.select(an(col("text")).as("toks")).collect()
+      .map(_.getSeq[String](0))
+    val want = docs.select(
+        graft.functions.TextFunctions.analyzeBlankEnglish(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq === want.toSeq)
+    // unknown filters must fail loudly, not silently drop
+    intercept[IllegalArgumentException] {
+      SurrealQL.run(tables,
+        "DEFINE ANALYZER bad TOKENIZERS blank FILTERS uppercase;")
+    }
   }
 
   test("A13 end-to-end: Load.run with the user's literal filter.surql file") {
