@@ -612,6 +612,45 @@ object Similarity {
       ivfMetaString(old("nCells").toInt, old("refineIters").toInt, fp))
   }
 
+  /** Merge a cell's accumulated small append files into one — the IVF
+    * twin of [[graft.operators.Dedup.compactLshIndex]] (the r11
+    * 100-batch LSH probe found small-file accumulation throttling
+    * probe latency; the r12 [[graft.tools.AnnStateGrowthProbe]]
+    * measured the SAME linear growth here — nCells files per
+    * streamed micro-batch — before it bites at larger state).
+    * Offline pass, scheduled between appends like the tombstone
+    * compaction: rewrites only cells whose file count exceeds
+    * `maxFilesPerCell`, write-new → swap per cell. Content is
+    * unchanged, so `_index_meta`'s composition fingerprint still
+    * matches by construction. A crash between a cell's delete and
+    * rename leaves that cell's data under `_compact_tmp` and the
+    * meta fingerprint mismatching disk — the standard torn-state
+    * contract: the next [[ensureIvfIndex]] detects and rebuilds.
+    * Returns the compacted cell ids. */
+  def compactIvfSmallFiles(spark: SparkSession, path: String,
+                           maxFilesPerCell: Int = 8,
+                           fs: graft.sources.Dfs = graft.sources.Dfs.default)
+      : Seq[Int] = {
+    val cellsDir = s"$path/cells"
+    val crowded = fs.listNames(cellsDir).filter(_.startsWith("cell="))
+      .filter(d => fs.listNames(s"$cellsDir/$d")
+        .count(_.endsWith(".parquet")) > maxFilesPerCell)
+      .map(_.stripPrefix("cell=").toInt).sorted
+    crowded.foreach { c =>
+      val dir = s"$cellsDir/cell=$c"
+      val tmp = s"$path/_compact_tmp/cell=$c"
+      fs.delete(tmp)
+      // leaf-dir read: rows are (vec_id, embedding), the cell value
+      // lives in the dirname on both sides of the swap
+      spark.read.parquet(dir).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      fs.delete(dir)
+      fs.rename(tmp, dir)
+    }
+    fs.delete(s"$path/_compact_tmp")
+    crowded
+  }
+
   /** Delete vectors from a persisted [[writeIvfIndex]] layout by
     * TOMBSTONE — the O(|delete batch|) maintenance path every
     * production ANN index runs (Lucene/Milvus-style soft delete):

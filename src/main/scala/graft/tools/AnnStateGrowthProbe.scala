@@ -103,6 +103,16 @@ object AnnStateGrowthProbe {
     }
     q.stop()
 
+    // the maintenance answer to the linear file growth measured above:
+    // one offline small-file compaction, then file count + search
+    // latency again — the post-compaction point closes the curve
+    val compacted = graft.operators.Similarity
+      .compactIvfSmallFiles(spark, idx).size
+    val filesAfter = fileCount()
+    val searchAfter = searchMs()
+    System.err.println(
+      s"[ann_probe] compacted=$compacted cells files=$filesAfter search_ms=$searchAfter")
+
     val ps = q.recentProgress.filter(_.numInputRows > 0).sortBy(_.batchId)
     val times = ps.map(_.durationMs.get("triggerExecution").longValue())
     val dec = math.max(1, times.length / 10)
@@ -111,7 +121,7 @@ object AnnStateGrowthProbe {
     val waves = waveStats.map { case (v, f, s) =>
       s"""{"state_vecs":$v,"files":$f,"search_ms":$s}"""
     }
-    println(s"""{"metric":"ann_ingest_state_growth","batches":${ps.length},"vecs_per_batch":$perBatch,"first_decile_trigger_ms":${head.round},"last_decile_trigger_ms":${tail.round},"tail_over_head":${(tail / head * 100).round / 100.0},"waves":[${waves.mkString(",")}]}""")
+    println(s"""{"metric":"ann_ingest_state_growth","batches":${ps.length},"vecs_per_batch":$perBatch,"first_decile_trigger_ms":${head.round},"last_decile_trigger_ms":${tail.round},"tail_over_head":${(tail / head * 100).round / 100.0},"compacted_cells":$compacted,"files_after_compact":$filesAfter,"search_ms_after_compact":$searchAfter,"waves":[${waves.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -159,6 +159,26 @@ class AnnStreamSpec extends AnyFunSuite {
       val exact = Similarity.cosineTopK(e, 3, 5)
       val rec = Similarity.annRecall(got, exact, 5).collect()
       assert(rec.forall(_.getDouble(1) === 1.0), rec.mkString(","))
+
+      // small-file compaction: the streamed appends above left > 1
+      // file in the touched cells; compacting must shrink the file
+      // count and leave every search answer byte-identical
+      def nFiles: Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(s"$path/cells"))
+      }
+      val before = nFiles
+      val pre = got.collect().map(_.toString).sorted
+      val compacted = Similarity.compactIvfSmallFiles(spark, path,
+        maxFilesPerCell = 1)
+      assert(compacted.nonEmpty, "appends must leave compactable cells")
+      assert(nFiles < before, s"file count $before did not shrink")
+      assert(spark.read.parquet(s"$path/cells").count() === 512)
+      val post = Similarity.searchIvfIndex(spark, path, queries, 5, nProbe = 8)
+        .collect().map(_.toString).sorted
+      assert(post.toSeq === pre.toSeq)
     } finally q.stop()
   }
 }
