@@ -94,20 +94,27 @@ object TextFunctions {
     * sf0.001/sf0.01/sf0.1 `documents` tables of
     * `strip_accents(lower(tok))` for every blank-split token —
     * measured at 31 stable words (the synthetic generator draws from
-    * a fixed word list). The sf1 scale replica (tools/ScaleUp)
-    * suffixes every token of replica k>0 with the char 'a'+(k-1), so
-    * those variants are enumerated too (replicas 1-9) — the map stays
-    * a few hundred literal pairs. A token outside the map degrades to
-    * a loud `<unmapped:...>` sentinel in the oracle — a visible hash
-    * mismatch, never a silent pass. */
+    * a fixed word list). The scale replicas (tools/ScaleUp) suffix
+    * every token of replica k>0 with the fixed-width two-letter code
+    * letterSuffix(k), so those variants are enumerated too (replicas
+    * 1-99, covering the 100x rehearsal) — a few thousand literal
+    * pairs. A token outside the map degrades to a loud
+    * `<unmapped:...>` sentinel in the oracle — a visible hash
+    * mismatch, never a silent pass (exactly how the r12 suffix-width
+    * change surfaced at the 10x gate). */
   private val baseVocab: Seq[String] = Seq(
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",
     "order", "part", "query", "row", "scan", "slow", "small", "sort",
     "spark", "stream", "table", "the", "value", "vector", "window")
   private val corpusVocab: Seq[String] =
-    baseVocab ++ (for { k <- 1 to 9; w <- baseVocab }
-      yield w + ('a' + k - 1).toChar)
+    // replica suffixes follow tools/ScaleUp.letterSuffix: fixed-width
+    // two-letter base-26 (r12 convention — prefix-free across ALL
+    // replicas); k to 99 covers the 100x rehearsal, ~3.2k pairs
+    baseVocab ++ (for { k <- 1 to 99; w <- baseVocab } yield {
+      val n = k - 1
+      w + ('a' + n / 26).toChar + ('a' + n % 26).toChar
+    })
 
   /** DuckDB restatement of the full blank_english analyzer
     * (`Useful queries.md:27-28`): blank tokenize + lowercase + accent
