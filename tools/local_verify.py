@@ -185,7 +185,11 @@ def main():
     mem = os.environ.get("ORACLE_MEM_LIMIT")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        # per-process spill dir: concurrent local_verify processes on
+        # one shared dir delete each other's temp files mid-query and
+        # DuckDB aborts the whole process
+        con.execute(
+            f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         # driver testdata tables are single parquet FILES; tool-built
         # replicas (tools/ScaleUp) are Spark parquet DIRECTORIES
