@@ -1329,8 +1329,13 @@ object Dedup {
     // dedup keep-min, exact J>=0.8 pairs among survivors, recursive
     // transitive closure, canonical-only survivors, md5 split tag —
     // no LSH, no propagation machinery, no sampling randomness
+    // every multiply-referenced CTE is MATERIALIZED: inside a WITH
+    // RECURSIVE block DuckDB inlines plain CTEs at each reference, and
+    // the duplicated shingle self-join out-spilled the 100x rehearsal
+    // host's disk (the same query shape with single references —
+    // d_minhash_exact — fits in the oracle budget)
     "p_dedup_pipeline" ->
-      """WITH RECURSIVE quality AS (SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0), kept AS (SELECT q.doc_id, q.text FROM quality q JOIN (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) k ON q.doc_id = k.doc_id), toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node), survivors AS (SELECT k.doc_id FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id WHERE c.doc_id IS NULL OR c.doc_id = c.component) SELECT doc_id, CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train' ELSE 'test' END AS split FROM survivors""",
+      """WITH RECURSIVE quality AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0), kept AS MATERIALIZED (SELECT q.doc_id, q.text FROM quality q JOIN (SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) k ON q.doc_id = k.doc_id), toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept), sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS MATERIALIZED (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node), survivors AS (SELECT k.doc_id FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id WHERE c.doc_id IS NULL OR c.doc_id = c.component) SELECT doc_id, CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train' ELSE 'test' END AS split FROM survivors""",
     "p_clean_corpus" ->
       """SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 10 AND (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) BETWEEN 2.0 AND 12.0) GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""",
     "d_exact" ->
@@ -1410,7 +1415,7 @@ object Dedup {
     // SAME md5 coin per cluster — leakage-safe by construction on
     // both sides, and the hash proves the distributed path agrees
     "p_leakage_split" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS (SELECT node AS doc_id, min(label) AS grp FROM reach GROUP BY node) SELECT d.doc_id, coalesce(comp.grp, d.doc_id) AS grp, CASE WHEN CAST(('0x' || substring(md5(CAST(coalesce(comp.grp, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'test' ELSE 'train' END AS split FROM documents d LEFT JOIN comp USING (doc_id)""",
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 3)), sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8), edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs), reach(node, label) AS (SELECT a, a FROM edges UNION SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node), comp AS MATERIALIZED (SELECT node AS doc_id, min(label) AS grp FROM reach GROUP BY node) SELECT d.doc_id, coalesce(comp.grp, d.doc_id) AS grp, CASE WHEN CAST(('0x' || substring(md5(CAST(coalesce(comp.grp, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 100 THEN 'test' ELSE 'train' END AS split FROM documents d LEFT JOIN comp USING (doc_id)""",
     // NO LSH in the oracle: exact pairs at J >= 0.5 — hash equality
     // proves the 32×2 banding surfaced every such pair (recall 1)
     "d_minhash_lsh" ->

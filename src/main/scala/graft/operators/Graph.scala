@@ -511,18 +511,38 @@ object Graph {
     // the identical degree-ordered orientation restated relationally:
     // row-value comparisons (deg, id) < (deg, id) are DuckDB's struct
     // ordering, the same total order Spark's struct(<) compiles
-    "g_triangles" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 4 = 0),
-        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
-        |deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
-        |o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+    "g_triangles" -> triOracleSql())
+
+  /** The triangle oracle, sharded by wedge source. The r11 monolithic
+    * form fed every triangle's THREE corner rows into one final
+    * GROUP BY — at the 100x rehearsal that is ~7.5 billion rows into
+    * a single aggregation, which out-spilled the rehearsal host's
+    * disk (measured: > 68 GB temp). Every oriented wedge has exactly
+    * ONE source vertex, so `src % nShards` partitions the wedge set
+    * exactly; each shard closes its wedges against the full oriented
+    * edge list and aggregates per-node counts LOCALLY (the map-side
+    * partial-aggregate device, restated in SQL), and the final
+    * GROUP BY sums nShards small partials. Same triangles, same
+    * counts, bounded working set at any scale. */
+  private def triOracleSql(nShards: Int = 16): String = {
+    val base =
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_orderkey % 4 = 0),
+        |e AS MATERIALIZED (SELECT DISTINCT x.pk AS a, y.pk AS b FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |o AS MATERIALIZED (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
         |             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
         |             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS ddst
-        |      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
-        |w AS (SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc
-        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)),
-        |tri AS (SELECT w.ta, w.tb, w.tc FROM w JOIN o e3 ON e3.src = w.tb AND e3.dst = w.tc)
-        |SELECT node, count(*) AS triangles
-        |FROM (SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
-        |GROUP BY node""".stripMargin)
+        |      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b)""".stripMargin
+    val shardCtes = (0 until nShards).map { s =>
+      s"t$s AS (SELECT node, count(*) AS c FROM (" +
+        s"SELECT unnest([w.ta, w.tb, w.tc]) AS node FROM (" +
+        "SELECT e1.src AS ta, e1.dst AS tb, e2.dst AS tc FROM o e1 " +
+        "JOIN o e2 ON e1.src = e2.src AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst) " +
+        s"WHERE e1.src % $nShards = $s) w " +
+        "JOIN o e3 ON e3.src = w.tb AND e3.dst = w.tc) GROUP BY node)"
+    }.mkString(", ")
+    val union = (0 until nShards).map(s => s"SELECT node, c FROM t$s")
+      .mkString(" UNION ALL ")
+    s"$base, $shardCtes SELECT node, CAST(sum(c) AS BIGINT) AS triangles FROM ($union) GROUP BY node"
+  }
 }
