@@ -621,12 +621,16 @@ object Similarity {
     * Offline pass, scheduled between appends like the tombstone
     * compaction: rewrites only cells whose file count exceeds
     * `maxFilesPerCell`, write-new → swap per cell. Content is
-    * unchanged, so `_index_meta`'s composition fingerprint still
-    * matches by construction. A crash between a cell's delete and
-    * rename leaves that cell's data under `_compact_tmp` and the
-    * meta fingerprint mismatching disk — the standard torn-state
-    * contract: the next [[ensureIvfIndex]] detects and rebuilds.
-    * Returns the compacted cell ids. */
+    * unchanged, so the recomputed fingerprint equals the saved one —
+    * but the saved meta STILL can't stay published through the swaps:
+    * [[ensureIvfIndex]] compares the meta FILE to its expected string,
+    * never to disk content, so a crash between a cell's delete and
+    * rename would otherwise leave a torn layout that ensure happily
+    * reuses, silently missing that cell. [[compactIvfCells]]'
+    * completion-marker contract applies: unpublish meta before the
+    * first swap, republish the identical string atomically after the
+    * last — a torn pass then reads as an absent index and forces a
+    * rebuild. Returns the compacted cell ids. */
   def compactIvfSmallFiles(spark: SparkSession, path: String,
                            maxFilesPerCell: Int = 8,
                            fs: graft.sources.Dfs = graft.sources.Dfs.default)
@@ -636,6 +640,11 @@ object Similarity {
       .filter(d => fs.listNames(s"$cellsDir/$d")
         .count(_.endsWith(".parquet")) > maxFilesPerCell)
       .map(_.stripPrefix("cell=").toInt).sorted
+    if (crowded.isEmpty) return crowded
+    val metaPath = s"$path/_index_meta.tsv"
+    val saved =
+      if (fs.exists(metaPath)) Some(fs.readString(metaPath)) else None
+    fs.delete(metaPath)
     crowded.foreach { c =>
       val dir = s"$cellsDir/cell=$c"
       val tmp = s"$path/_compact_tmp/cell=$c"
@@ -648,6 +657,7 @@ object Similarity {
       fs.rename(tmp, dir)
     }
     fs.delete(s"$path/_compact_tmp")
+    saved.foreach(fs.writeStringAtomic(metaPath, _))
     crowded
   }
 

@@ -174,24 +174,35 @@ object Relational {
   /** TPC-H Q1 pricing summary — the flagship aggregate. Partial aggs
     * map-side; the exchange carries only (flag,status) groups.
     *
-    * Money columns use per-row integer-cent quantization before the
-    * sum (same device as [[qJoinAgg]]): each row's product is a single
+    * Money columns use per-row integer quantization before the sum
+    * (same device as [[qJoinAgg]]): each row's product is a single
     * IEEE multiply (engine-identical), and the long sum is associative
     * under ANY partial-agg order, so the result is hash-stable at any
     * scale — the raw-double form lost one cent in one group at the
-    * 100x rehearsal (CORRECTNESS_sf10, round 11). avg_qty derives from
-    * the quantized sum and the exact count, so both engines divide the
-    * same two exact values. */
+    * 100x rehearsal (CORRECTNESS_sf10, round 11). The discounted price
+    * carries exactly FOUR decimal digits (2-decimal price × 2-decimal
+    * discount), so it quantizes at 1e4, not 1e2 — cent rounding
+    * discarded two exact digits per row with half-up tie bias, an
+    * accumulated drift from the round-at-end TPC-H answer that the
+    * lockstep oracle couldn't observe (ADVICE r12). 1e4 is lossless:
+    * the quantized sum IS the exact decimal sum. No end-rounding —
+    * both engines divide the same integer by 10000.0, so the doubles
+    * match bit-for-bit with no rounding-boundary tie risk. Long
+    * headroom: 1e9/row × ~1.5e10 rows/group before overflow — fine at
+    * every rehearsal scale; a 100-TB deployment with >1e10 rows per
+    * (flag,status) group would move the accumulator to DECIMAL(38,4).
+    * avg_qty derives from the quantized sum and the exact count, so
+    * both engines divide the same two exact values. */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{round => fnRound}
     val qtyCents  = fnRound(col("l_quantity") * 100).cast("long")
     val baseCents = fnRound(col("l_extendedprice") * 100).cast("long")
-    val discCents = fnRound(
-      col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long")
+    val discTenth = fnRound(
+      col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")
     t(s, dir)("lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
       (sum(qtyCents) / 100.0).as("sum_qty"),
       (sum(baseCents) / 100.0).as("sum_base_price"),
-      (sum(discCents) / 100.0).as("sum_disc_price"),
+      (sum(discTenth) / 10000.0).as("sum_disc_price"),
       round(sum(qtyCents) / 100.0 / count(lit(1)), 4).as("avg_qty"),
       count(lit(1)).as("count_order"))
   }
@@ -202,16 +213,19 @@ object Relational {
     val li = t(s, dir)("lineitem")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"))
-      // per-row integer cents, THEN sum: double summation is
+      // per-row integer quantization, THEN sum: double summation is
       // order-dependent, and at the 10x rehearsal one of 492k groups
       // landed within an ulp of a .005 boundary — Spark's partial-agg
       // order and DuckDB's scan order rounded it apart. Each row's
       // product is one IEEE multiply (identical on both engines), so
       // quantizing per row makes the aggregate integer-exact and
-      // associative at ANY scale (PERF_r11).
+      // associative at ANY scale (PERF_r11). Scale is 1e4, not 1e2:
+      // the product has exactly 4 decimal digits, so 1e4 is lossless
+      // where cent rounding carried per-row half-up bias (ADVICE r12,
+      // same fix as q1Agg's sum_disc_price).
       .agg((sum(org.apache.spark.sql.functions.round(
-          col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-        .cast("long")) / 100.0).as("revenue"))
+          col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")) / 10000.0).as("revenue"))
   }
 
   /** Window functions: per-customer order sequence + running total.
@@ -359,9 +373,9 @@ object Relational {
     "b16_view_media" ->
       "SELECT o_orderkey, o_custkey AS parent, count(*) AS n_items, coalesce(array_to_string(list_sort(list(l_partkey)), ','), '') AS children FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey, o_custkey",
     "q1_agg" ->
-      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price, round(((CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)))*1e4)/1e4 AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price, round(((CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 / count(*)))*1e4)/1e4 AS avg_qty, count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus",
     "q_join_agg" ->
-      "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O' GROUP BY l_orderkey",
+      "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'O' GROUP BY l_orderkey",
     "q_window" ->
       "SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, round((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))*1e2)/1e2 AS running FROM orders",
     "q_topk" ->

@@ -49,9 +49,29 @@ object AnnStream {
     * state this cannot repair is a crash MIDWAY through the
     * append's file writes (meta unwritten, stray partial files):
     * the re-append then leaves orphans that the next
-    * `ensureIvfIndex` fingerprint check detects and rebuilds away. */
+    * `ensureIvfIndex` fingerprint check detects and rebuilds away.
+    *
+    * `compactEvery > 0` runs [[Similarity.compactIvfSmallFiles]]
+    * every that-many batches, AFTER the high-water mark records —
+    * the r12 100-batch probe measured nCells new files per
+    * micro-batch and search latency doubling with the file count;
+    * production streams don't get a human scheduler, so the cadence
+    * lives in the ingest loop (VERDICT r12 #1). Placement after
+    * `recordApplied` keeps the replay protocol untouched: a crash
+    * mid-compaction loses only the unpublished meta, which the next
+    * batch (or ensure) reads as torn-index-absent and fails loud
+    * into a rebuild — never a silent partial read. Compaction
+    * preserves content and therefore the fingerprint, so the intent
+    * equality and every subsequent append compose unchanged. Write
+    * amplification is the standard leveling trade: each pass
+    * rewrites crowded cells wholesale, so a cadence of K bounds
+    * files-per-cell at ~K+1 between passes at O(indexSize/K)
+    * amortized rewrite bytes per batch — pick K by read-path file
+    * budget, not write cost, until index size makes a size-tiered
+    * scheme worth the complexity. */
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
-                  id: String): Unit =
+                  id: String, compactEvery: Int = 0,
+                  maxFilesPerCell: Int = 8): Unit =
     if (batchId > MergeStream.lastApplied(indexPath, id)) {
       val fs = graft.sources.Dfs.default
       val intentFile = s"$indexPath/_append_intent_$id.tsv"
@@ -70,18 +90,32 @@ object AnnStream {
         Similarity.appendIvfIndex(batch, indexPath)
       }
       MergeStream.recordApplied(indexPath, id, batchId)
+      // cadence keys off batchId, not a counter: deterministic under
+      // restart (a replayed-and-skipped trigger misses at most one
+      // pass, caught by the next), and idempotent (a re-run finds the
+      // cells already merged and touches nothing)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        Similarity.compactIvfSmallFiles(
+          batch.sparkSession, indexPath, maxFilesPerCell, fs)
     }
 
-  /** Start the ingest stream over `vecStream` (vec_id, embedding). */
+  /** Start the ingest stream over `vecStream` (vec_id, embedding).
+    * Small-file compaction is ON by default — every `compactEvery`
+    * micro-batches the crowded cells merge in-line, keeping the read
+    * path's file count (and thus search latency) flat for the life
+    * of the stream. Pass `compactEvery = 0` to schedule compaction
+    * externally instead. */
   def ingestStream(vecStream: DataFrame, indexPath: String,
-                   checkpoint: String): StreamingQuery = {
+                   checkpoint: String, compactEvery: Int = 10,
+                   maxFilesPerCell: Int = 8): StreamingQuery = {
     val id = MergeStream.streamId(checkpoint)
     vecStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, indexPath, id)
+        ingestBatch(batch, batchId, indexPath, id, compactEvery,
+          maxFilesPerCell)
       }
       .start()
   }

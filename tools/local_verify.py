@@ -85,11 +85,15 @@ def _canon_expr(col: str, typ: str) -> str:
     doubles rounded to 9 decimals (+0.0 collapses -0.0), float lists
     element-rounded, timestamps as strings. Both sides run the same
     DuckDB functions, so engine-side ulp noise below 1e-9 cancels
-    exactly as in the pandas path."""
+    exactly as in the pandas path. NaN folds to NULL: the pandas canon
+    stringifies both NULL and NaN floats as 'NaN', while hash()
+    distinguishes them — without the fold a NULL-vs-NaN disagreement
+    would flip verdict with the compare mode (ADVICE r12)."""
     q = f'"{col}"'
     t = typ.upper()
     if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
-        return f"(round(CAST({q} AS DOUBLE), 9) + 0.0)"
+        return (f"(CASE WHEN {q} IS NULL OR isnan(CAST({q} AS DOUBLE)) "
+                f"THEN NULL ELSE round(CAST({q} AS DOUBLE), 9) + 0.0 END)")
     # widen every integer kind to BIGINT: hash() is width-sensitive,
     # and the pandas path compares 42::INT == 42::BIGINT as equal
     if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
