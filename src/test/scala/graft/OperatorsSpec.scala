@@ -999,6 +999,12 @@ class OperatorsSpec extends AnyFunSuite {
     // the hub dominates its leaves; a 2-cycle node holds 1/6 mass
     assert(r("a") > r("b"))
     assert(math.abs(r("e") - 1.0 / 6) < 1e-4)
+    // the tiny-graph gate picks PHYSICAL strategy only: the
+    // distributed loop (forced via tinyGate = 0) must agree with the
+    // driver-side loop exactly at the 1e-6 rounding contract
+    val dist = Graph.pageRank(edges, 10, tinyGate = 0).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(dist === r)
   }
 
   test("bfs: layered min-hops, isolated seed at 0, frontier exhaustion stops early") {

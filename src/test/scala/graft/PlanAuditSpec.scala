@@ -492,8 +492,11 @@ class PlanAuditSpec extends AnyFunSuite {
   test("pagerank iterations scan the edge snapshot — the base join never re-executes") {
     val orders = graft.sources.Tables.load(spark, sf, "orders")
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    // tinyGate = 0 pins the DISTRIBUTED plan shape — at this sf the
+    // graph would otherwise take the driver-side tiny-graph path
     val p = plan(graft.operators.Graph.pageRank(
-      graft.operators.Graph.customerSupplierEdgesNum(orders, li), 5))
+      graft.operators.Graph.customerSupplierEdgesNum(orders, li), 5,
+      tinyGate = 0))
     assert(p.contains("pr_edges"), p)
     // orders ⋈ lineitem must have run ONCE into the snapshots at
     // call time — the returned iteration plan never touches the base
