@@ -119,6 +119,16 @@ object GraftRegistry {
         s"pq_codes books length ${books.length} not divisible by nSub*k")
       PqCodes(es(0), books, nSub, k)
     }),
+    // pq_residual(vec, books, nSub, k) — reconstruction distance
+    // under the same static codebook (margin-derived ADC shortlist)
+    "pq_residual" -> (es => {
+      val nSub = staticInt(es(2), "pq_residual nSub")
+      val k = staticInt(es(3), "pq_residual k")
+      val books = staticFloats(es(1), "pq_residual books")
+      require(nSub > 0 && k > 0 && books.length % (nSub * k) == 0,
+        s"pq_residual books length ${books.length} not divisible by nSub*k")
+      PqResidual(es(0), books, nSub, k)
+    }),
     "ascii_fold" -> (es => AsciiFold(es.head)),
     "snowball_stem" -> (es => SnowballStem(es.head)))
 

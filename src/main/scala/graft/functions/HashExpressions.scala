@@ -210,6 +210,55 @@ object HashExpressions {
     override def prettyName: String = "pq_codes"
   }
 
+  /** PQ reconstruction residual: embedding array<float> → the L2
+    * distance ‖x − x̂‖ between a vector and its product-quantized
+    * reconstruction (the same argmin loop as [[PqCodes]], but the
+    * output is the accumulated min distance instead of the codes).
+    * This is the quantity the margin-derived ADC shortlist needs:
+    * |dot(q, x̂) − dot(q, x)| ≤ ‖q‖·‖x − x̂‖ by Cauchy–Schwarz, so the
+    * residual bounds how far a code-domain score can sit from the
+    * true score — the shortlist becomes an interval-overlap cover
+    * with recall 1 by construction instead of a guessed fraction of
+    * the corpus. Same arithmetic discipline as PqCodes: float
+    * subtract/multiply, double accumulate. Dimension mismatch → null. */
+  case class PqResidual(child: Expression, books: Array[Float],
+                        nSub: Int, k: Int)
+      extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    private val subDim = books.length / (nSub * k)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != nSub * subDim) return null
+      var total = 0.0
+      var m = 0
+      while (m < nSub) {
+        val voff = m * subDim
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val boff = (m * k + c) * subDim
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val diff = a.getFloat(voff + i) - books(boff + i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) bestD = d
+          c += 1
+        }
+        total += bestD
+        m += 1
+      }
+      java.lang.Double.valueOf(math.sqrt(total))
+    }
+    override protected def withNewChildInternal(c: Expression): PqResidual =
+      copy(child = c)
+    override def prettyName: String = "pq_residual"
+  }
+
   /** Morton/Z-order interleave of the low `bits` of two non-negative
     * longs: x occupies even bit positions, y odd. Sorting by the
     * z-value clusters rows that are close in BOTH dimensions — the
@@ -522,6 +571,11 @@ object HashExpressions {
       org.apache.spark.sql.functions.lit(k))
   def pq_codes(vec: Column, books: Array[Float], nSub: Int, k: Int): Column =
     call_function("pq_codes", vec,
+      org.apache.spark.sql.functions.typedLit(books.toSeq),
+      org.apache.spark.sql.functions.lit(nSub),
+      org.apache.spark.sql.functions.lit(k))
+  def pq_residual(vec: Column, books: Array[Float], nSub: Int, k: Int): Column =
+    call_function("pq_residual", vec,
       org.apache.spark.sql.functions.typedLit(books.toSeq),
       org.apache.spark.sql.functions.lit(nSub),
       org.apache.spark.sql.functions.lit(k))
