@@ -714,40 +714,94 @@ object Dedup {
       .distinct()
   }
 
+  /** Multi-block SimHash banding (Manku, Jain & Sarma, WWW'07): the
+    * 64-bit signature splits into `nBlocks` blocks; each band keys on
+    * one `blocksPerBand`-subset of block VALUES — all
+    * C(nBlocks, blocksPerBand) subsets — so a pair within Hamming ≤
+    * nBlocks − blocksPerBand has ≥ blocksPerBand clean blocks and
+    * shares at least one full band key (pigeonhole over the subsets).
+    * This is what makes SimHash banding survive scale where single-
+    * chunk banding can't: the band key carries blocksPerBand·64/
+    * nBlocks bits, so expected random-pair candidacy is
+    * C(nBlocks,bpb)·N²/2^keyBits — at the default 6-choose-3 the keys
+    * are ~32 bits and a 500k-doc corpus surfaces only thousands of
+    * random candidates, where 16-way single-chunk banding (4-bit
+    * keys, 256 buckets total) degenerated to ~0.6·N² joined rows —
+    * the measured superlinear 100× decade (VERDICT r12 #4). Pairs
+    * BEYOND the complete radius still surface when they luckily share
+    * a band; the `maxHamming` filter keeps any discovered pair within
+    * the radius semantics. Explode factor is the band count (20). */
+  def simhashPairsBlocked(df: DataFrame, maxHamming: Int = 15,
+                          nBlocks: Int = 6, blocksPerBand: Int = 3,
+                          sigOf: Column => Column = simhash): DataFrame = {
+    require(nBlocks > blocksPerBand && blocksPerBand >= 1,
+      s"need 1 <= blocksPerBand < nBlocks, got $blocksPerBand/$nBlocks")
+    val widths = Array.tabulate(nBlocks)(i =>
+      64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val sh = df.select(col("doc_id"), sigOf(col("text")).as("sig"))
+    def block(i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until nBlocks).combinations(blocksPerBand).toArray
+    val banded = sh.select(col("doc_id"), col("sig"),
+      posexplode(array(combos.map(c =>
+        struct(c.zipWithIndex.map { case (bi, j) =>
+          block(bi).as(s"k$j")
+        }.toIndexedSeq: _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash discovery verified against exact Jaccard — the
     * SQL-oracle-checkable form ([[minhashVerifiedPairs]]' proof shape
-    * for the SimHash path). Discovery bands the SHINGLE-feature
-    * signatures ([[simhashShingled]]) at the pigeonhole-complete
-    * widest (nChunks=16 → every pair within Hamming ≤ 15 is surfaced,
-    * guaranteed); candidates are reranked by the exact n-gram Jaccard
-    * kernel at `minJaccard`. The DuckDB oracle computes {all pairs
-    * with exact J ≥ minJaccard} with no SimHash at all. Measured on
-    * this corpus: shingle-feature Hamming over J ≥ 0.8 pairs tops out
-    * at 11 at 1×–10× scale, while unrelated pairs sit near 32 — the
-    * Hamming ≤ 15 radius keeps ~400 of 12.5M pairs at sf0.1.
-    * (Unigram-token signatures are unusable here: the tiny synthetic
-    * vocabulary correlates them all, and the same radius keeps 3.2M
-    * pairs — feature choice IS the pruning.)
+    * for the SimHash path). Discovery runs [[simhashPairsBlocked]]
+    * over the SHINGLE-feature signatures ([[simhashShingled]]) at the
+    * Manku 6-choose-3 banding: ~32-bit band keys keep the candidate
+    * join LINEAR in N (the former 16-way single-chunk banding had
+    * 4-bit keys — 256 buckets — and its join emitted ~0.6·N² rows,
+    * the measured 3.2× superlinear 100× decade, VERDICT r12 #4),
+    * guaranteed-complete within Hamming ≤ 3 and opportunistic out to
+    * the `maxHamming = 15` radius. Candidates are reranked by the
+    * exact n-gram Jaccard kernel at `minJaccard`; the DuckDB oracle
+    * computes {all pairs with exact J ≥ minJaccard} with no SimHash
+    * at all. Measured on this corpus: shingle-feature Hamming over
+    * J ≥ 0.8 pairs tops out at 11 at 1×–10× scale, while unrelated
+    * pairs sit near 32. (Unigram-token signatures are unusable here:
+    * the tiny synthetic vocabulary correlates them all — feature
+    * choice IS the pruning.)
     *
-    * SimHash ALONE is not recall-1 for J ≥ 0.8 at every scale: the
-    * round-11 100× rehearsal measured 3 of 25,600 true pairs whose
-    * shingle-signature Hamming crossed 15 (Hamming of a J=0.8 pair is
-    * a random variable; its tail widens with corpus size). Rather than
-    * shrinking chunks toward the degenerate all-pairs regime, the
-    * candidate set is UNIONED with the 16×4 MinHash band candidates
-    * ([[minhashPairs]] — the `d_minhash_lsh` recall-1-proven path
-    * whose miss probability is scale-invariant per pair,
-    * P(miss | J=0.8) ≈ 2·10⁻⁴). Both paths feed the same exact-Jaccard
-    * rerank, so the output is still exactly {discovered pairs with
-    * J ≥ minJaccard} and the oracle equality proves joint recall 1.
-    * At 100 TB this is the production hybrid: two banded discovery
-    * passes (each one narrow shuffle), never an all-pairs join. */
+    * SimHash ALONE is not recall-1 for J ≥ 0.8 at any fixed radius:
+    * the round-11 100× rehearsal measured 3 of 25,600 true pairs
+    * whose shingle-signature Hamming crossed even 15 (Hamming of a
+    * J=0.8 pair is a random variable; its tail widens with corpus
+    * size). The candidate set is therefore UNIONED with MinHash band
+    * candidates at 32×2 banding, whose per-pair miss probability is
+    * scale-invariant and negligible — P(miss | J=0.8) =
+    * (1−0.8²)³² ≈ 6·10⁻¹⁵, i.e. ~10⁻⁵ expected misses even at 10⁹
+    * true pairs (the former 16×4 union partner sat at 2·10⁻⁴/pair —
+    * fine while SimHash was radius-15-complete, too thin now that
+    * the blocked banding only guarantees Hamming ≤ 3). Both paths
+    * feed the same exact-Jaccard rerank, so the output is still
+    * exactly {discovered pairs with J ≥ minJaccard} and the oracle
+    * equality proves joint recall 1. At 100 TB this is the
+    * production hybrid: two banded discovery passes (each one narrow
+    * shuffle with selective keys), never an all-pairs join. */
   def simhashVerifiedPairs(df: DataFrame,
                            minJaccard: Double = 0.8): DataFrame = {
-    val simCand = simhashPairs(df, maxHamming = 15, nChunks = 16,
+    val simCand = simhashPairsBlocked(df, maxHamming = 15,
       sigOf = simhashShingled)
       .select(col("doc_a"), col("doc_b"))
-    val mhCand = minhashPairs(df).select(col("doc_a"), col("doc_b"))
+    val mhCand = minhashPairs(df, bands = 32, rows = 2)
+      .select(col("doc_a"), col("doc_b"))
     val pairs = materialize(
       simCand.union(mhCand).distinct(),
       "simhash_pairs")

@@ -61,6 +61,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(banded === brute) // pigeonhole: banding is complete for <=3
   }
 
+  test("multi-block simhash banding: complete within nBlocks - blocksPerBand") {
+    // Manku 6-choose-3 subsets: any pair within Hamming <= 3 has >= 3
+    // clean blocks, so one full band key matches — same brute-force
+    // equality contract as the single-chunk spec above, but with
+    // ~32-bit band keys (the configuration that stays selective at
+    // scale; VERDICT r12 #4)
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    val blocked = Dedup.simhashPairsBlocked(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(blocked === brute)
+    // at a wider filter radius the blocked candidates are a SUPERSET
+    // of the guaranteed set: lucky far pairs may surface, never a
+    // guaranteed pair lost
+    val wide = Dedup.simhashPairsBlocked(docs, maxHamming = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.keySet.subsetOf(wide))
+  }
+
   test("hybrid simhash+minhash discovery (d_simhash): equals exact-Jaccard truth at J >= 0.8") {
     // r11 100x rehearsal: simhash-only banding missed 3/25,600 pairs
     // whose shingle Hamming crossed 15, so simhashVerifiedPairs now
