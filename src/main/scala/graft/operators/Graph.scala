@@ -498,9 +498,11 @@ object Graph {
     // per-query bench budget. The sample keeps the gate shape
     // identical (same orientation, same joins) at in-budget volume;
     // the full-graph cost is recorded as perf evidence instead.
-    "g_triangles" -> ((s, dir) =>
+    "g_triangles" -> ((s, dir) => {
+      triScaleCtx = Some((s, dir))
       trianglesPerNode(coPurchaseEdges(Tables.load(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 4 === 0)))),
+        .filter(col("l_orderkey") % 4 === 0)))
+    }),
     // same seed set + interaction graph as g_ppr; hop radius 4 (the
     // bipartite graph alternates customer/supplier sides per hop)
     "g_bfs" -> ((s, dir) => bfsHops(
@@ -584,7 +586,9 @@ object Graph {
     s"$base$iterCtes SELECT node, lbl AS label FROM l$iters"
   }
 
-  val oracle: Map[String, String] = Map(
+  // def, not val: the triangle oracle renders at DUMP time with a
+  // scale-derived shard count (the simhashProdOracle device)
+  def oracle: Map[String, String] = Map(
     "g_bfs" -> bfsOracleSql(bfsMaxHops),
     "g_labelprop" -> lpaOracleSql(lpaIters),
     "g_pagerank" -> prOracleSql(prIters),
@@ -592,7 +596,27 @@ object Graph {
     // the identical degree-ordered orientation restated relationally:
     // row-value comparisons (deg, id) < (deg, id) are DuckDB's struct
     // ordering, the same total order Spark's struct(<) compiles
-    "g_triangles" -> triOracleSql())
+    "g_triangles" -> triOracleSql(triShards()))
+
+  /** Set by the `g_triangles` builder (the `simhashProdCtx` device in
+    * [[Dedup]]): Verify dumps oracle SQL only after every query has
+    * run, so the stash is populated when the dynamic oracle renders. */
+  @volatile private var triScaleCtx: Option[(SparkSession, String)] = None
+
+  /** Shard count for the triangle oracle, derived from corpus scale
+    * instead of the static 16 the r12 rehearsal validated at 100×
+    * (60M lineitem rows) — static was right for 100× but not 1000×
+    * (VERDICT r12 #6). Per-shard working set is ~wedges/nShards and
+    * wedges grow ~linearly over content-disjoint replicas, so holding
+    * per-shard work at the 100×-validated level means shards scale
+    * linearly past it: 16 up to 60M rows, 160 at 1000×. The count()
+    * is parquet-metadata-only and runs once at dump time. */
+  private def triShards(): Int = triScaleCtx match {
+    case None => 16
+    case Some((s, dir)) =>
+      val rows = Tables.load(s, dir, "lineitem").count()
+      math.max(16, math.ceil(rows / 60000000.0 * 16).toInt)
+  }
 
   /** The triangle oracle, sharded by wedge source. The r11 monolithic
     * form fed every triangle's THREE corner rows into one final
