@@ -61,19 +61,29 @@ object Graph {
     * here (pagerank / PPR / label propagation / BFS); four inline
     * copies could drift on e.g. self-loop or distinct() handling
     * (code-review r10). */
+  /** The symmetrized edge set — ONE definition of the undirected
+    * graph shared by both snapshot variants below, so they cannot
+    * drift on self-loop/distinct handling. */
+  private def symUnion(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+
   private def symSnapshot(edges: DataFrame, site: String): DataFrame =
-    symSnapshotCounted(edges, site)._1
+    Dedup.materialize(symUnion(edges), site)
 
   /** [[symSnapshot]] whose row count rides the write as an observe()
     * (zero extra jobs — the CC move), for call sites that gate plan
-    * strategy on graph size. */
+    * strategy on graph size. Kept SEPARATE from the uncounted
+    * variant: `Observation.get` blocks on the listener bus after the
+    * write, a wait measured at up to ~2 s behind a backlog of prior
+    * jobs (g_bfs paid it in the r13 same-window sweep) — only
+    * pageRank's gate needs the count, so only pageRank pays. */
   private def symSnapshotCounted(edges: DataFrame,
                                  site: String): (DataFrame, Long) = {
     val obs = org.apache.spark.sql.Observation()
     val snap = Dedup.materialize(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n")),
+      symUnion(edges).observe(obs,
+        coalesce(count(lit(1)), lit(0L)).as("n")),
       site)
     (snap, obs.get("n").asInstanceOf[Long])
   }

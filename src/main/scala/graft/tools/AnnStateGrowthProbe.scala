@@ -103,9 +103,11 @@ object AnnStateGrowthProbe {
     }
     q.stop()
 
-    // the maintenance answer to the linear file growth measured above:
-    // one offline small-file compaction, then file count + search
-    // latency again — the post-compaction point closes the curve
+    // r13: compaction is AUTOMATIC inside the ingest loop (every 10
+    // micro-batches, ingestStream default), so the per-wave file
+    // counts above already show the maintained-flat curve. This
+    // trailing offline pass is the residual check: it should find
+    // little or nothing left to compact.
     val compacted = graft.operators.Similarity
       .compactIvfSmallFiles(spark, idx).size
     val filesAfter = fileCount()
