@@ -13,12 +13,15 @@ import graft.sources.Tables
   * batching (`mapPartitions` over a typed Dataset — the Scala
   * equivalent of `mapInPandas`: one iterator per partition so a codec
   * can amortize per-batch init), and the column contracts each stage
-  * consumes/produces. Two codecs ride the single `MediaCodec` seam:
-  * [[BmpCodec]], a REAL dependency-free decoder for 24bpp BI_RGB
-  * Windows BMP (gate-checked byte-exact via `mm_image`), and
-  * [[StubCodec]], a deterministic fake for formats whose libraries
-  * (libjpeg/ffmpeg) aren't in this environment — swap a JNI codec in
-  * at the same seam.
+  * consumes/produces. Four codecs ride the single `MediaCodec` seam:
+  * [[BmpCodec]] (REAL 24bpp BI_RGB Windows BMP, gate-checked via
+  * `mm_image`), the PNG decoder (REAL zlib inflate + scanline
+  * unfiltering, via `mm_png`), [[WavCodec]] (REAL RIFF/WAVE 16-bit
+  * PCM, via `mm_audio` and the `mm_decode` audio branch), and
+  * [[StubCodec]], a deterministic fake remaining ONLY for video
+  * (ffmpeg isn't in this environment) — swap a JNI codec in at the
+  * same seam. [[DispatchCodec]] routes by kind, so the decode stage's
+  * gate exercises real parsers on two of its three branches.
   *
   * At 100 TB: binary payloads dominate row size, so stages that don't
   * need the payload must prune it (`decoded.drop("media")` happens at
@@ -97,6 +100,41 @@ object Multimodal {
         ((st.sum_r + st.sum_g + st.sum_b).toDouble / (n * 3 * 255)).toFloat)
       MediaFeatures(r.doc_id, r.kind, st.width, st.height, features,
         Array.empty[Int])
+    }
+  }
+
+  /** REAL audio codec through the [[MediaCodec]] seam: [[wavStats]]'
+    * RIFF/WAVE chunk walk, repackaged as the uniform [[MediaFeatures]]
+    * record. Audio has no spatial dims, so the two metadata ints
+    * carry (sample_rate, n_samples) — documented mapping, pinned by
+    * the `mm_decode` oracle, which derives both from the container
+    * the decoder must actually parse. Features are the five
+    * normalized sample statistics. */
+  object WavCodec extends MediaCodec {
+    def decode(r: MediaRow): MediaFeatures = {
+      val st = wavStats(r.doc_id, r.media)
+      val n = math.max(1, st.n_samples)
+      val features = Array(
+        (st.sum_s.toDouble / n / 2048.0).toFloat,
+        (st.sum_abs.toDouble / n / 2048.0).toFloat,
+        (math.sqrt(st.sum_sq.toDouble / n) / 2048.0).toFloat,
+        (st.sum_first_half.toDouble / n / 2048.0).toFloat,
+        (st.max_s / 2048.0).toFloat)
+      MediaFeatures(r.doc_id, r.kind, st.sample_rate, st.n_samples,
+        features, Array.empty[Int])
+    }
+  }
+
+  /** Kind-dispatching codec — the production shape of the decode
+    * stage: REAL parsers for the formats this environment can decode
+    * dependency-free (BMP images, RIFF/WAVE audio), the deterministic
+    * stub only where the native libraries are absent (video/ffmpeg).
+    * One seam, per-partition instantiation unchanged. */
+  object DispatchCodec extends MediaCodec {
+    def decode(r: MediaRow): MediaFeatures = r.kind match {
+      case "image" => BmpCodec.decode(r)
+      case "audio" => WavCodec.decode(r)
+      case _       => StubCodec.decode(r)
     }
   }
 
@@ -610,6 +648,29 @@ object Multimodal {
         .otherwise("video").as("kind"))
       .withColumn("n_bytes", length(col("media")))
 
+  /** Media table with REAL payloads where a dependency-free encoder
+    * exists: image docs carry a spec-conformant BMP, audio docs a
+    * RIFF/WAVE PCM clip (both closed-form in doc_id, so oracles
+    * recompute their contents codec-free), video docs the UTF-8 text
+    * bytes the stub consumes. Same (doc_id → kind) routing as
+    * [[mediaTable]]; payloads built executor-side as a typed map. */
+  def realMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b = (id % 3) match {
+          case 0 => encodeBmp(id)
+          case 1 => encodeWav(id)
+          case _ => text.getBytes("UTF-8")
+        }
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRow(id, b, kind, b.length)
+      }).toDF()
+  }
+
   /** Partition-wise decode: one codec instance per partition, rows
     * streamed through it (the mapInPandas batch shape). */
   def decodeAll(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
@@ -804,8 +865,15 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> (mediaMeta _),
+    // decode DISPATCH over real payloads: image rows decode a real
+    // BMP (width/height out of the BITMAPINFOHEADER), audio rows a
+    // real RIFF/WAVE (rate/sample-count out of the fmt/data chunks),
+    // video rows the deterministic stub (ffmpeg absent). The oracle
+    // derives each kind's dims from the container formulas with no
+    // codec, and n_features pins WHICH codec ran per kind — a wrong
+    // dispatch or a header misparse flips the hash.
     "mm_decode" -> ((s, dir) => {
-      val d = decodeAll(mediaTable(s, dir)).toDF()
+      val d = decodeAll(realMediaTable(s, dir), DispatchCodec).toDF()
       d.select(col("doc_id"), col("kind"), col("width"), col("height"),
         size(col("features")).as("n_features"),
         size(col("frame_offsets")).as("n_frames"))
@@ -867,14 +935,14 @@ object Multimodal {
       "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS content_hash FROM documents",
     "mm_frames" ->
       "SELECT doc_id, CAST(off / 1024 AS INTEGER) AS frame_no, CAST(off AS INTEGER) AS offset FROM (SELECT doc_id, unnest(range(0, octet_length(CAST(text AS BLOB)), 1024)) AS off FROM documents WHERE doc_id % 3 = 2)",
-    // the stub codec is DETERMINISTIC arithmetic over the payload
-    // bytes (rolling h=h*31+b hash mod 2^64), so the whole decode
-    // stage oracles in SQL: HUGEINT arithmetic restates the unsigned
-    // 64-bit hash, floorMod(h>>8,64) ≡ (hu//256)%64 on the unsigned
-    // value (mod-64 reads bits 8..13 regardless of shift signedness),
-    // bytes ≡ codepoints because the corpus is ASCII (verified).
-    // Hash equality proves the mapPartitions decode seam delivers
-    // exact per-row outputs independent of partitioning.
+    // the VIDEO branch of mm_decode rides the stub: DETERMINISTIC
+    // arithmetic over the payload bytes (rolling h=h*31+b hash mod
+    // 2^64) that oracles in SQL — HUGEINT arithmetic restates the
+    // unsigned 64-bit hash, floorMod(h>>8,64) ≡ (hu//256)%64 on the
+    // unsigned value (mod-64 reads bits 8..13 regardless of shift
+    // signedness), bytes ≡ codepoints because the corpus is ASCII
+    // (verified). Hash equality proves the mapPartitions decode seam
+    // delivers exact per-row outputs independent of partitioning.
     // pixel channels are linear in (doc_id, x, y): the oracle crosses
     // each doc with its w×h pixel grid and sums the same formulas the
     // encoder wrote — pure integer arithmetic on both sides
@@ -923,8 +991,15 @@ object Multimodal {
         |  CAST(sum(CASE WHEN y < h // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_top,
         |  CAST(sum(CASE WHEN x < w // 2 THEN r + g + b ELSE 0 END) AS BIGINT) AS sum_left
         |FROM ch GROUP BY doc_id, w, h""".stripMargin,
+    // three codec-free branches, one per dispatch target: image dims
+    // from the BMP formula, audio (rate, samples) from the WAV
+    // formula, video from the stub's rolling-hash arithmetic; the
+    // per-kind n_features constant pins which decoder ran
     "mm_decode" ->
-      """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents) SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, 64 + CAST(hu % 64 AS INTEGER) AS width, 64 + CAST((hu // 256) % 64 AS INTEGER) AS height, 8 AS n_features, CASE WHEN doc_id % 3 = 2 AND n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE 0 END AS n_frames FROM h""",
+      """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, 'image' AS kind, CAST(5 + doc_id % 4 AS INTEGER) AS width, CAST(3 + doc_id % 3 AS INTEGER) AS height, CAST(6 AS INTEGER) AS n_features, CAST(0 AS INTEGER) AS n_frames FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL SELECT doc_id, 'audio', CAST(8000 + (doc_id % 4) * 4000 AS INTEGER), CAST(50 + doc_id % 32 AS INTEGER), CAST(5 AS INTEGER), CAST(0 AS INTEGER) FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL SELECT doc_id, 'video', 64 + CAST(hu % 64 AS INTEGER), 64 + CAST((hu // 256) % 64 AS INTEGER), CAST(8 AS INTEGER), CASE WHEN n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE CAST(0 AS INTEGER) END FROM h""".stripMargin,
     // hashes recomputed from the pixel formula codec-free; neighbor
     // counts by EXACT all-pairs popcount (no banding in the oracle)
     "mm_phash" ->

@@ -761,6 +761,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dispatch codec: real BMP/WAV parsers per kind, stub only for video") {
+    val rows = Multimodal
+      .decodeAll(Multimodal.realMediaTable(spark, sf),
+        Multimodal.DispatchCodec)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { f =>
+      (f.doc_id % 3) match {
+        case 0 => // image: dims out of the real BMP header formula
+          assert(f.kind == "image")
+          assert(f.width === 5 + (f.doc_id % 4).toInt, f.toString)
+          assert(f.height === 3 + (f.doc_id % 3).toInt, f.toString)
+          assert(f.features.length === 6)
+          assert(f.frame_offsets.isEmpty)
+        case 1 => // audio: (rate, samples) out of the real WAV chunks
+          assert(f.kind == "audio")
+          assert(f.width === 8000 + (f.doc_id % 4).toInt * 4000, f.toString)
+          assert(f.height === 50 + (f.doc_id % 32).toInt, f.toString)
+          assert(f.features.length === 5)
+          assert(f.frame_offsets.isEmpty)
+        case _ => // video: the stub's byte-hash dims
+          assert(f.kind == "video")
+          assert(f.width >= 64 && f.width < 128, f.toString)
+          assert(f.features.length === 8)
+      }
+    }
+  }
+
   test("multimodal decode: deterministic, schema-true, payload-derived") {
     val a = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
     val b = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
