@@ -28,8 +28,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "sig_agreement", "word_ngrams_3", "word_ngrams_2",
       "z_order_16", "z_order_n", "srp_bucket", "ascii_fold",
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
-      "bloom_longs_agg", "kmv_longs_agg", "pq_codes", "splitmix_unif",
-      "misra_gries", "srp_pack", "hamming_dist", "cdc_chunks"))
+      "bloom_longs_agg", "kmv_longs_agg", "pq_codes", "pq_residual",
+      "splitmix_unif", "misra_gries", "srp_pack", "hamming_dist",
+      "cdc_chunks"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
@@ -87,6 +88,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(pqCodes.toIntArray().toSeq === Seq(0, 1))
     // dimension mismatch → null, not a crash
     assert(b("pq_codes")(Seq(vec, pqBooks, Literal(2), Literal(2)))
+      .eval() === null)
+    // pq_residual: same books — both subspaces of (1,2,3,4)
+    // reconstruct exactly, residual 0. For (1,2,0,0) the nearest
+    // m1 codeword is (3,4): sqrt(0 + 3²+4²) = 5
+    assert(b("pq_residual")(Seq(pqVec, pqBooks, Literal(2), Literal(2)))
+      .eval() === 0.0)
+    val pqVecOff = Literal.create(Seq(1.0f, 2.0f, 0.0f, 0.0f),
+      ArrayType(FloatType))
+    assert(b("pq_residual")(Seq(pqVecOff, pqBooks, Literal(2), Literal(2)))
+      .eval() === 5.0)
+    assert(b("pq_residual")(Seq(vec, pqBooks, Literal(2), Literal(2)))
       .eval() === null)
   }
 
