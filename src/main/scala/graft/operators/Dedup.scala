@@ -736,6 +736,11 @@ object Dedup {
                           sigOf: Column => Column = simhash): DataFrame = {
     require(nBlocks > blocksPerBand && blocksPerBand >= 1,
       s"need 1 <= blocksPerBand < nBlocks, got $blocksPerBand/$nBlocks")
+    // > 64 blocks would make some widths ZERO: constant band keys,
+    // one bucket, and the all-pairs join this function exists to
+    // prevent — fail fast instead
+    require(nBlocks <= 64,
+      s"nBlocks must be <= 64 (64-bit signature), got $nBlocks")
     val widths = Array.tabulate(nBlocks)(i =>
       64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
@@ -794,13 +799,26 @@ object Dedup {
     * exactly {discovered pairs with J ≥ minJaccard} and the oracle
     * equality proves joint recall 1. At 100 TB this is the
     * production hybrid: two banded discovery passes (each one narrow
-    * shuffle with selective keys), never an all-pairs join. */
+    * shuffle with selective keys), never an all-pairs join.
+    *
+    * The 6·10⁻¹⁵ bound holds for pairs whose band buckets survive
+    * [[minhashPairs]]' hot-bucket skew guard, so the union call
+    * raises that cap to 4096: a duplicate CLUSTER of B docs fills
+    * its true-match buckets with ~B entries, and the default cap of
+    * 64 would silently drop every bucket of a 100+-doc cluster —
+    * exactly the pairs in the (3, 15] Hamming tail that the blocked
+    * SimHash pass no longer guarantees (review r13). Cost stays
+    * output-bound (a B-doc cluster's C(B,2) pairs ARE true
+    * candidates the rerank must see); clusters past ~6k docs exceed
+    * even the raised cap and belong to the exact/normalized dedup
+    * passes that run before near-dup discovery in every composed
+    * pipeline here. */
   def simhashVerifiedPairs(df: DataFrame,
                            minJaccard: Double = 0.8): DataFrame = {
     val simCand = simhashPairsBlocked(df, maxHamming = 15,
       sigOf = simhashShingled)
       .select(col("doc_a"), col("doc_b"))
-    val mhCand = minhashPairs(df, bands = 32, rows = 2)
+    val mhCand = minhashPairs(df, bands = 32, rows = 2, maxBucket = 4096)
       .select(col("doc_a"), col("doc_b"))
     val pairs = materialize(
       simCand.union(mhCand).distinct(),

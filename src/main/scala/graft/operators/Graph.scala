@@ -56,14 +56,11 @@ object Graph {
     customerSupplierEdgesNum(orders, lineitem)
       .select(decodeNode(col("a")).as("a"), decodeNode(col("b")).as("b"))
 
-  /** Symmetrized (undirected) edge snapshot — the ONE definition of
-    * what "the same undirected graph" means for every graph operator
-    * here (pagerank / PPR / label propagation / BFS); four inline
-    * copies could drift on e.g. self-loop or distinct() handling
-    * (code-review r10). */
-  /** The symmetrized edge set — ONE definition of the undirected
-    * graph shared by both snapshot variants below, so they cannot
-    * drift on self-loop/distinct handling. */
+  /** The symmetrized edge set — the ONE definition of what "the same
+    * undirected graph" means for every graph operator here (pagerank /
+    * PPR / label propagation / BFS), shared by both snapshot variants
+    * below; inline copies could drift on e.g. self-loop or distinct()
+    * handling (code-review r10). */
   private def symUnion(edges: DataFrame): DataFrame =
     edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))

@@ -114,12 +114,17 @@ object Multimodal {
     def decode(r: MediaRow): MediaFeatures = {
       val st = wavStats(r.doc_id, r.media)
       val n = math.max(1, st.n_samples)
+      // a zero-length data chunk is a VALID container: the sum
+      // features are 0 via the n guard, but max_s is the Int.MinValue
+      // sentinel and must not leak ~-1e6 into the feature vector
+      // (BmpCodec's empty-region 0f rule, same hazard class)
+      val maxF = if (st.n_samples == 0) 0f else (st.max_s / 2048.0).toFloat
       val features = Array(
         (st.sum_s.toDouble / n / 2048.0).toFloat,
         (st.sum_abs.toDouble / n / 2048.0).toFloat,
         (math.sqrt(st.sum_sq.toDouble / n) / 2048.0).toFloat,
         (st.sum_first_half.toDouble / n / 2048.0).toFloat,
-        (st.max_s / 2048.0).toFloat)
+        maxF)
       MediaFeatures(r.doc_id, r.kind, st.sample_rate, st.n_samples,
         features, Array.empty[Int])
     }

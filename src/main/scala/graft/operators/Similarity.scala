@@ -1132,11 +1132,16 @@ object Similarity {
                                        k: Int): DataFrame = {
     val b = scored.select(col("qid"), col("nid"),
       (col("sim") - col("err")).as("lo"), (col("sim") + col("err")).as("hi"))
+    // try_element_at, not element_at: under ANSI (the Spark 4
+    // default) a plain element_at THROWS past the array end, so a
+    // query with fewer than k candidates would crash instead of
+    // taking the keep-all fallback (same ANSI-safety move as the
+    // query/Paths array access)
     val thr = b.groupBy(col("qid"))
       .agg(graft.functions.HashExpressions
         .top_k_by_score(col("lo"), col("nid"), k).as("tk"))
       .select(col("qid"),
-        coalesce(element_at(col("tk"), k).getField("sim"),
+        coalesce(try_element_at(col("tk"), lit(k)).getField("sim"),
           lit(Double.MinValue)).as("thr"))
     b.join(broadcast(thr), "qid")
       .filter(col("hi") >= col("thr") - lit(1e-9))

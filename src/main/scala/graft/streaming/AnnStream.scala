@@ -20,8 +20,16 @@ import graft.operators.Similarity
   * appends only add files, so a concurrent [[Similarity
   * .searchIvfIndex]] sees a monotone prefix of the growth — possibly
   * a partial batch if it lists files mid-append, which is acceptable
-  * for ANN search (no in-place mutation, no torn rows); exact
-  * snapshot isolation would need the Merge manifest protocol. Single
+  * for ANN search (no in-place mutation, no torn rows). The
+  * AUTOMATIC compaction cadence weakens this one notch: each
+  * compacted cell swaps via delete→rename, so a search that lists
+  * files inside that two-metadata-op window transiently misses that
+  * cell (review r13). Deployments that serve queries concurrently
+  * with ingest and cannot tolerate a transiently short answer should
+  * pass `compactEvery = 0` and schedule [[Similarity
+  * .compactIvfSmallFiles]] in a reader-quiesced window; exact
+  * snapshot isolation under maintenance is what the Merge manifest
+  * protocol provides and is the upgrade path for this layout. Single
   * writer per index path (the MergeStream contract). */
 object AnnStream {
 

@@ -901,6 +901,14 @@ class OperatorsSpec extends AnyFunSuite {
       assert(at16(qid) < 512,
         s"qid $qid shortlist ${at16(qid)} is not sublinear in N=1024")
     }
+    // fewer candidates than k: the keep-all fallback must engage
+    // (ANSI element_at past the array end throws — review r13), and
+    // the rerank returns every candidate
+    val tiny = Similarity.clusteredCorpus(spark, nClusters = 2,
+      perCluster = 8, dim = 16)  // 16 vectors, k = 50 > candidates
+    val tinyOut = Similarity.pqCosineTopK(tiny, 2, 50, nSub = 8,
+      codesPerSub = 8)
+    assert(tinyOut.count() === 2L * 15, "keep-all fallback must rerank all")
     // and recall stays exactly 1 at both scales — the margin cover
     // is sound by construction, not tuned
     Seq(8, 16).foreach { nc =>
