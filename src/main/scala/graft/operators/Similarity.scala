@@ -624,9 +624,9 @@ object Similarity {
     * unchanged, so the recomputed fingerprint equals the saved one —
     * but the saved meta STILL can't stay published through the swaps:
     * [[ensureIvfIndex]] compares the meta FILE to its expected string,
-    * never to disk content, so a crash between a cell's delete and
-    * rename would otherwise leave a torn layout that ensure happily
-    * reuses, silently missing that cell. [[compactIvfCells]]'
+    * never to disk content, so a crash mid-swap (merged file moved in,
+    * old files not yet deleted → duplicated rows) would otherwise
+    * leave a torn layout that ensure happily reuses. [[compactIvfCells]]'
     * completion-marker contract applies: unpublish meta before the
     * first swap, republish the identical string atomically after the
     * last — a torn pass then reads as an absent index and forces a
@@ -649,12 +649,23 @@ object Similarity {
       val dir = s"$cellsDir/cell=$c"
       val tmp = s"$path/_compact_tmp/cell=$c"
       fs.delete(tmp)
-      // leaf-dir read: rows are (vec_id, embedding), the cell value
-      // lives in the dirname on both sides of the swap
+      // snapshot the file set BEFORE the merge read (single writer,
+      // so the read sees exactly this set); leaf-dir read: rows are
+      // (vec_id, embedding), the cell value lives in the dirname
+      val oldFiles = fs.listNames(dir).filter(_.endsWith(".parquet"))
       spark.read.parquet(dir).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.delete(dir)
-      fs.rename(tmp, dir)
+      // move the merged part IN first, delete the snapshot after —
+      // a concurrent search that lists mid-swap sees old ∪ new
+      // (bounded error: a duplicate candidate, absorbed or at worst
+      // displacing the k-th neighbor), never a MISSING cell (losing
+      // every true neighbor in it), which a delete-dir→rename swap
+      // would expose. Spark part names carry a write-job UUID, so
+      // the move cannot collide with an existing file
+      fs.listNames(tmp).filter(_.endsWith(".parquet"))
+        .foreach(n => fs.rename(s"$tmp/$n", s"$dir/$n"))
+      oldFiles.foreach(n => fs.delete(s"$dir/$n"))
+      fs.delete(tmp)
     }
     fs.delete(s"$path/_compact_tmp")
     saved.foreach(fs.writeStringAtomic(metaPath, _))
@@ -719,11 +730,18 @@ object Similarity {
     toCompact.foreach { c =>
       val dir = s"$path/cells/cell=$c"
       val tmp = s"$path/_compact_tmp_cell_$c"
+      // same move-in-then-delete swap as [[compactIvfSmallFiles]]: a
+      // concurrent search listing mid-swap sees surviving rows twice
+      // (dead rows stay masked — the tombstone set only shrinks AFTER
+      // this loop), never a missing cell
+      val oldFiles = fs.listNames(dir).filter(_.endsWith(".parquet"))
       spark.read.parquet(dir)
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.delete(dir)
-      fs.rename(tmp, dir)
+      fs.listNames(tmp).filter(_.endsWith(".parquet"))
+        .foreach(n => fs.rename(s"$tmp/$n", s"$dir/$n"))
+      oldFiles.foreach(n => fs.delete(s"$dir/$n"))
+      fs.delete(tmp)
     }
     // tombstones shrink to ids still physically present (cells kept
     // below the threshold); an emptied set deletes the dir outright

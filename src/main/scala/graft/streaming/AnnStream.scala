@@ -22,12 +22,16 @@ import graft.operators.Similarity
   * a partial batch if it lists files mid-append, which is acceptable
   * for ANN search (no in-place mutation, no torn rows). The
   * AUTOMATIC compaction cadence weakens this one notch: each
-  * compacted cell swaps via delete→rename, so a search that lists
-  * files inside that two-metadata-op window transiently misses that
-  * cell (review r13). Deployments that serve queries concurrently
-  * with ingest and cannot tolerate a transiently short answer should
-  * pass `compactEvery = 0` and schedule [[Similarity
-  * .compactIvfSmallFiles]] in a reader-quiesced window; exact
+  * compacted cell swaps by moving the merged file IN and deleting
+  * the old files AFTER, so a search that lists files inside that
+  * window sees some rows twice — a bounded error (a duplicate
+  * candidate can at worst displace the k-th neighbor), chosen over
+  * the delete-dir→rename alternative whose window hides the WHOLE
+  * cell (losing every true neighbor in it). Deployments that serve
+  * queries concurrently with ingest and cannot tolerate even a
+  * transient duplicate should pass `compactEvery = 0` and schedule
+  * [[Similarity.compactIvfSmallFiles]] in a reader-quiesced window;
+  * exact
   * snapshot isolation under maintenance is what the Merge manifest
   * protocol provides and is the upgrade path for this layout. Single
   * writer per index path (the MergeStream contract). */
