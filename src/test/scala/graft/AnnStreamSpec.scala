@@ -230,4 +230,62 @@ class AnnStreamSpec extends AnyFunSuite {
       assert(post.toSeq === pre.toSeq)
     } finally q.stop()
   }
+
+  /** Ordered log of every seam call, delegating to the real
+    * filesystem — the data path (Spark parquet I/O) stays real while
+    * the PROTOCOL sequencing becomes assertable, the [[DfsSpec]]
+    * mock's trick applied where a pure mock can't carry Spark reads. */
+  private final class LoggingDfs(inner: graft.sources.Dfs)
+      extends graft.sources.Dfs {
+    val log = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def exists(p: String): Boolean = inner.exists(p)
+    override def mkdirs(p: String): Unit = inner.mkdirs(p)
+    override def delete(p: String): Unit = {
+      log += s"delete $p"; inner.delete(p) }
+    override def rename(s: String, d: String): Unit = {
+      log += s"rename $s -> $d"; inner.rename(s, d) }
+    override def listNames(p: String): Seq[String] = inner.listNames(p)
+    override def listDirNames(p: String): Seq[String] =
+      inner.listDirNames(p)
+    override def touch(p: String): Unit = inner.touch(p)
+    override def readString(p: String): String = inner.readString(p)
+    override def writeStringAtomic(p: String, c: String): Unit = {
+      log += s"publish $p"; inner.writeStringAtomic(p, c) }
+  }
+
+  test("compaction swap protocol: merged part moves IN before old files" +
+      " delete, meta unpublished across the loop, no whole-dir delete") {
+    val path = JF.createTempDirectory("ann_swap").toString + "/idx"
+    assert(!Similarity.ensureIvfIndex(vecs(0, 128), path,
+      nCells = 4, refineIters = 1))
+    // two appends leave >1 file in every touched cell
+    Similarity.appendIvfIndex(vecs(128, 192), path)
+    Similarity.appendIvfIndex(vecs(192, 256), path)
+    val fs = new LoggingDfs(graft.sources.Dfs.default)
+    val compacted = Similarity.compactIvfSmallFiles(spark, path,
+      maxFilesPerCell = 1, fs)
+    assert(compacted.nonEmpty)
+    val log = fs.log.toSeq
+    val meta = s"$path/_index_meta.tsv"
+    val metaDel = log.indexOf(s"delete $meta")
+    val metaPub = log.indexOf(s"publish $meta")
+    assert(metaDel >= 0 && metaPub > metaDel, log.mkString("; "))
+    compacted.foreach { c =>
+      val dir = s"$path/cells/cell=$c"
+      // the concurrent-search guarantee: every merged part lands
+      // BEFORE the first old file of that cell disappears (a mid-swap
+      // listing sees old ∪ new, never a short cell) ...
+      val lastIn = log.lastIndexWhere(e =>
+        e.startsWith("rename ") && e.contains(s" -> $dir/"))
+      val firstOut = log.indexWhere(e =>
+        e.startsWith(s"delete $dir/") && e.endsWith(".parquet"))
+      assert(lastIn >= 0 && firstOut > lastIn,
+        s"cell $c: ${log.mkString("; ")}")
+      // ... the meta stays unpublished across the whole window ...
+      assert(metaDel < lastIn && metaPub > firstOut)
+      // ... and the cell DIRECTORY is never deleted (the old swap's
+      // whole-cell blackout)
+      assert(!log.contains(s"delete $dir"))
+    }
+  }
 }
