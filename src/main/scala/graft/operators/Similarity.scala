@@ -631,6 +631,26 @@ object Similarity {
     * first swap, republish the identical string atomically after the
     * last — a torn pass then reads as an absent index and forces a
     * rebuild. Returns the compacted cell ids. */
+  /** The move-in-then-delete swap both compaction paths share: move
+    * every parquet part of `tmp` into `dir`, then delete the parquet
+    * files `dir` held before (the caller's pre-merge snapshot), then
+    * drop `tmp`. A concurrent listing inside the window sees
+    * old ∪ new — bounded duplicates, never a short dir; Spark part
+    * names carry a write-job UUID, so the moves cannot collide. The
+    * residual reader hazard is LOUD, not silent: a query that LISTED
+    * `dir` before the swap and opens the old files after the deletes
+    * fails with Spark's missing-file error and re-plans on retry —
+    * it never returns a silently short or duplicated answer from a
+    * stale plan. Single writer per layout (the caller's contract). */
+  private def swapInMergedFiles(fs: graft.sources.Dfs, dir: String,
+                                tmp: String,
+                                oldFiles: Seq[String]): Unit = {
+    fs.listNames(tmp).filter(_.endsWith(".parquet"))
+      .foreach(n => fs.rename(s"$tmp/$n", s"$dir/$n"))
+    oldFiles.foreach(n => fs.delete(s"$dir/$n"))
+    fs.delete(tmp)
+  }
+
   def compactIvfSmallFiles(spark: SparkSession, path: String,
                            maxFilesPerCell: Int = 8,
                            fs: graft.sources.Dfs = graft.sources.Dfs.default)
@@ -655,17 +675,11 @@ object Similarity {
       val oldFiles = fs.listNames(dir).filter(_.endsWith(".parquet"))
       spark.read.parquet(dir).coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      // move the merged part IN first, delete the snapshot after —
-      // a concurrent search that lists mid-swap sees old ∪ new
-      // (bounded error: a duplicate candidate, absorbed or at worst
-      // displacing the k-th neighbor), never a MISSING cell (losing
-      // every true neighbor in it), which a delete-dir→rename swap
-      // would expose. Spark part names carry a write-job UUID, so
-      // the move cannot collide with an existing file
-      fs.listNames(tmp).filter(_.endsWith(".parquet"))
-        .foreach(n => fs.rename(s"$tmp/$n", s"$dir/$n"))
-      oldFiles.foreach(n => fs.delete(s"$dir/$n"))
-      fs.delete(tmp)
+      // merged part IN first, snapshot out after: a mid-swap listing
+      // sees bounded duplicates (at worst a displaced k-th neighbor),
+      // never a MISSING cell losing every true neighbor in it — see
+      // [[swapInMergedFiles]] for the full reader contract
+      swapInMergedFiles(fs, dir, tmp, oldFiles)
     }
     fs.delete(s"$path/_compact_tmp")
     saved.foreach(fs.writeStringAtomic(metaPath, _))
@@ -738,22 +752,35 @@ object Similarity {
       spark.read.parquet(dir)
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      fs.listNames(tmp).filter(_.endsWith(".parquet"))
-        .foreach(n => fs.rename(s"$tmp/$n", s"$dir/$n"))
-      oldFiles.foreach(n => fs.delete(s"$dir/$n"))
-      fs.delete(tmp)
+      swapInMergedFiles(fs, dir, tmp, oldFiles)
     }
     // tombstones shrink to ids still physically present (cells kept
-    // below the threshold); an emptied set deletes the dir outright
+    // below the threshold); an emptied set deletes the dir outright.
+    // The shrink swap must keep the VISIBLE set a SUPERSET of the
+    // true dead set at every instant: a delete-dir→rename order has
+    // a window with NO tombstone dir while under-threshold cells
+    // still hold dead rows — a concurrent search returns them, and a
+    // crash there resurrects them PERMANENTLY (both the rebuild path
+    // and [[tombstoneIds]] key off the dir's existence, and neither
+    // knows about `_tombstones_tmp`). Same move-in-then-delete swap
+    // as the cells: the transient old ∪ new union only carries extra
+    // ids whose rows are no longer physically present — a no-op for
+    // the anti-joins — and the read side distinct()s duplicates.
     val remaining = tomb.join(
       spark.read.parquet(s"$path/cells").select(col("vec_id")),
       Seq("vec_id"), "left_semi")
+    val tombsDir = s"$path/_tombstones"
     val tmpT = s"$path/_tombstones_tmp"
+    val oldTombFiles = fs.listNames(tombsDir).filter(_.endsWith(".parquet"))
     remaining.write.mode(SaveMode.Overwrite).parquet(tmpT)
     val nRemain = spark.read.parquet(tmpT).count()
-    fs.delete(s"$path/_tombstones")
-    if (nRemain > 0) fs.rename(tmpT, s"$path/_tombstones")
-    else fs.delete(tmpT)
+    if (nRemain > 0) swapInMergedFiles(fs, tombsDir, tmpT, oldTombFiles)
+    else {
+      // every dead row was physically removed by the rewrites above,
+      // so an absent set is correct at any crash point from here on
+      fs.delete(tombsDir)
+      fs.delete(tmpT)
+    }
     // meta keeps describing PHYSICAL cell content (the append-path
     // contract): recompute the fingerprint from the compacted layout
     // and republish — completion marker for the whole pass

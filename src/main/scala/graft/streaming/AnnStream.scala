@@ -21,15 +21,20 @@ import graft.operators.Similarity
   * .searchIvfIndex]] sees a monotone prefix of the growth — possibly
   * a partial batch if it lists files mid-append, which is acceptable
   * for ANN search (no in-place mutation, no torn rows). The
-  * AUTOMATIC compaction cadence weakens this one notch: each
-  * compacted cell swaps by moving the merged file IN and deleting
-  * the old files AFTER, so a search that lists files inside that
-  * window sees some rows twice — a bounded error (a duplicate
+  * AUTOMATIC compaction cadence weakens this one notch, in two
+  * precisely bounded ways: a search that LISTS files inside the
+  * swap window sees some rows twice — a bounded error (a duplicate
   * candidate can at worst displace the k-th neighbor), chosen over
   * the delete-dir→rename alternative whose window hides the WHOLE
-  * cell (losing every true neighbor in it). Deployments that serve
-  * queries concurrently with ingest and cannot tolerate even a
-  * transient duplicate should pass `compactEvery = 0` and schedule
+  * cell (losing every true neighbor in it) — and a search that
+  * listed BEFORE the swap and opens the old files after their
+  * deletion fails LOUD with Spark's missing-file error and gets the
+  * consistent compacted layout on retry (do NOT set
+  * `spark.sql.files.ignoreMissingFiles`, which would convert that
+  * loud failure into exactly the silent short answer the swap order
+  * exists to prevent). Deployments that serve queries concurrently
+  * with ingest and can tolerate neither should pass
+  * `compactEvery = 0` and schedule
   * [[Similarity.compactIvfSmallFiles]] in a reader-quiesced window;
   * exact
   * snapshot isolation under maintenance is what the Merge manifest

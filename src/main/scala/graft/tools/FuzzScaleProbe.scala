@@ -68,7 +68,8 @@ object FuzzScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       if (f == 1) basePairs = pairs
       val oracleNote =
-        if (basePairs >= 0 && pairs == f * basePairs) "linear-oracle=OK"
+        if (basePairs < 0) "linear-oracle=N/A(no factor-1 baseline)"
+        else if (pairs == f * basePairs) "linear-oracle=OK"
         else s"linear-oracle=FAIL(expected ${f * basePairs})"
       println(f"fuzz_scale factor=$f names=$n pairs=$pairs sec=$sec%.2f $oracleNote")
       names.unpersist()

@@ -288,4 +288,47 @@ class AnnStreamSpec extends AnyFunSuite {
       assert(!log.contains(s"delete $dir"))
     }
   }
+
+  test("tombstone shrink protocol: the visible delete-set stays a" +
+      " superset throughout — never an absent dir while dead rows remain") {
+    val path = JF.createTempDirectory("ann_tshrink").toString + "/idx"
+    assert(!Similarity.ensureIvfIndex(vecs(0, 512), path,
+      nCells = 8, refineIters = 1))
+    // kill one whole cluster — membership is vec_id % nClusters in
+    // [[Similarity.clusteredCorpus]], so residue class 2 — (its cell
+    // crosses minDeadFrac and gets rewritten) plus a single id
+    // elsewhere (its cell stays below the threshold, so its dead row
+    // survives physically -> nRemain > 0 and the shrink swap runs)
+    Similarity.deleteFromIvfIndex(
+      vecs(0, 512).filter(col("vec_id") % 8 === 2)
+        .select(col("vec_id")), path)
+    Similarity.deleteFromIvfIndex(
+      vecs(201, 202).select(col("vec_id")), path)
+    val fs = new LoggingDfs(graft.sources.Dfs.default)
+    val compacted = Similarity.compactIvfCells(spark, path,
+      minDeadFrac = 0.3, fs = fs)
+    assert(compacted.nonEmpty)
+    val log = fs.log.toSeq
+    val tombs = s"$path/_tombstones"
+    // the old delete-dir→rename shrink had a no-tombstones window (a
+    // crash there resurrected every below-threshold dead row
+    // permanently); the superset swap never deletes the dir ...
+    assert(!log.contains(s"delete $tombs"), log.mkString("; "))
+    // ... and moves the shrunken set IN before the old files go
+    val lastIn = log.lastIndexWhere(e =>
+      e.startsWith("rename ") && e.contains(s" -> $tombs/"))
+    val firstOut = log.indexWhere(e =>
+      e.startsWith(s"delete $tombs/") && e.endsWith(".parquet"))
+    assert(lastIn >= 0 && firstOut > lastIn, log.mkString("; "))
+    // the surviving set is exactly the physically-unreclaimed id
+    val left = spark.read.parquet(tombs)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0))
+    assert(left.toSeq === Seq(201L))
+    // and the searcher still masks it
+    val q = vecs(201, 202)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val got = Similarity.searchIvfIndex(spark, path, q, 5, nProbe = 8)
+      .collect().map(_.getLong(1))
+    assert(!got.contains(201L))
+  }
 }
