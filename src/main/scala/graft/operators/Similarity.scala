@@ -350,10 +350,17 @@ object Similarity {
     centroidsDf(spark, centroids)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/centroids")
-    // assignment is scan-local: one pass over the corpus, routed
-    // straight into the partitioned layout
+    // assignment is one pass over the corpus; the cell-wise
+    // repartition before the partitioned write is the file-count
+    // cap: a raw partitionBy leaves every WRITE TASK emitting a file
+    // into every cell it sees — tasks × nCells files, which at
+    // cluster scale (1000s of tasks, √N cells) is a small-file
+    // explosion the AnnStateGrowthProbe showed taxes every
+    // subsequent search. One shuffle at build time (write-once,
+    // search-many) buys exactly one file per cell forever
     embeddings.select(col("vec_id"), col("embedding"),
         nearestCell(centroids, col("embedding")).as("cell"))
+      .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$path/cells")
   }
@@ -412,8 +419,16 @@ object Similarity {
     * vectors rebuilds, never reuses stale cells into a hash gate.
     * bit_xor (not sum of hashes) cannot overflow under ANSI. */
   private[graft] def corpusFingerprint(vecs: DataFrame): (Long, Long, Long) = {
+    // the id component sums RESIDUES mod 1e9+7, not raw ids: replica
+    // key offsets put ids near 1e13, and a raw sum over ~10^7 such
+    // rows overflows long, which under ANSI (the Spark 4 default)
+    // throws instead of wrapping — found by AnnScaleProbe's 20M-row
+    // decade. Residue sums keep the disjoint-union composition law
+    // ([[composeFp]]) exactly, and stay within long for any index
+    // under ~9·10⁹ rows; content sensitivity lives in the xor-of-row-
+    // hashes component either way.
     val r = vecs.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("vec_id")), lit(0L)).as("s"),
+      coalesce(sum(pmod(col("vec_id"), lit(1000000007L))), lit(0L)).as("s"),
       coalesce(bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L))
         .as("x")).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -564,6 +579,9 @@ object Similarity {
           (a, x) => a + x * x)).as("xnorm"),
         col("embedding"),
         nearestCell(centroids, col("embedding")).as("cell"))
+      // same file-count cap as [[writeIvfIndex]]: one build-time
+      // shuffle keeps the layout at one file per cell
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$path/cells")
   }
@@ -600,6 +618,12 @@ object Similarity {
       newVecs.select(col("vec_id"), col("embedding")))
     newVecs.select(col("vec_id"), col("embedding"),
         nearestCell(centroids, col("embedding")).as("cell"))
+      // the cell-wise repartition bounds the append at ≤ nCells new
+      // files per batch REGARDLESS of the batch's input partitioning
+      // (a raw partitionBy emits tasks × touched-cells files); the
+      // shuffle is micro-batch-sized, and the compaction cadence
+      // still owns the long-run file budget
+      .repartition(col("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$path/cells")
     val metaPath = s"$path/_index_meta.tsv"
