@@ -13,15 +13,16 @@ import graft.sources.Tables
   * batching (`mapPartitions` over a typed Dataset — the Scala
   * equivalent of `mapInPandas`: one iterator per partition so a codec
   * can amortize per-batch init), and the column contracts each stage
-  * consumes/produces. Four codecs ride the single `MediaCodec` seam:
-  * [[BmpCodec]] (REAL 24bpp BI_RGB Windows BMP, gate-checked via
-  * `mm_image`), the PNG decoder (REAL zlib inflate + scanline
-  * unfiltering, via `mm_png`), [[WavCodec]] (REAL RIFF/WAVE 16-bit
-  * PCM, via `mm_audio` and the `mm_decode` audio branch), and
-  * [[StubCodec]], a deterministic fake remaining ONLY for video
-  * (ffmpeg isn't in this environment) — swap a JNI codec in at the
-  * same seam. [[DispatchCodec]] routes by kind, so the decode stage's
-  * gate exercises real parsers on two of its three branches.
+  * consumes/produces. Four codecs ride the single `MediaCodec` seam,
+  * every one a REAL from-spec parser: [[BmpCodec]] (24bpp BI_RGB
+  * Windows BMP, gate-checked via `mm_image`), the PNG decoder (zlib
+  * inflate + scanline unfiltering, via `mm_png`), [[WavCodec]]
+  * (RIFF/WAVE 16-bit PCM, via `mm_audio`), and [[AviCodec]] (RIFF/AVI
+  * container demux — headers, movi walk, idx1 cross-validation — via
+  * `mm_video`). Frame PIXEL decode inside the AVI would need ffmpeg
+  * (absent here); a JNI codec swaps in at the same seam.
+  * [[DispatchCodec]] routes by kind, so the decode stage's gate
+  * exercises real parsers on all three branches.
   *
   * At 100 TB: binary payloads dominate row size, so stages that don't
   * need the payload must prune it (`decoded.drop("media")` happens at
@@ -41,30 +42,42 @@ object Multimodal {
                                  features: Array[Float],
                                  frame_offsets: Array[Int])
 
-  /** The codec seam. A real implementation wraps libjpeg/ffmpeg with
-    * per-partition init; the stub derives everything deterministically
-    * from the bytes so the plumbing is testable end-to-end. */
+  /** The codec seam. Implementations parse the payload bytes into the
+    * uniform [[MediaFeatures]] record; a production deployment wraps
+    * libjpeg/ffmpeg here with per-partition init. */
   trait MediaCodec extends Serializable {
     def decode(row: MediaRow): MediaFeatures
   }
 
-  object StubCodec extends MediaCodec {
-    // ??? in a real deployment: replace with actual decode. The stub
-    // fakes dimensions from a rolling byte hash and features from
-    // fixed byte strides — deterministic, schema-true.
+  /** REAL video-container codec through the same seam — RIFF/AVI per
+    * the published AVI 1.0 container format ([[aviParse]]). Dimensions
+    * come out of the `avih` main header (cross-checked against the
+    * stream's BITMAPINFOHEADER), fps out of the `strh`
+    * dwRate/dwScale pair, and `frame_offsets` are the REAL absolute
+    * payload positions of each `00dc` frame chunk — the container
+    * walk AND the `idx1` index must agree on them or decode rejects.
+    * Frame PIXEL decode (the codec inside the container) would need
+    * ffmpeg, which this environment lacks; everything a container
+    * demuxer does is real. */
+  object AviCodec extends MediaCodec {
     def decode(r: MediaRow): MediaFeatures = {
-      var h = 17L
-      var i = 0
-      while (i < r.media.length) { h = h * 31 + (r.media(i) & 0xff); i += 1 }
-      val width = 64 + math.floorMod(h, 64).toInt
-      val height = 64 + math.floorMod(h >> 8, 64).toInt
-      val features = Array.tabulate(8) { j =>
-        if (r.media.isEmpty) 0f
-        else (r.media(j * r.media.length / 8) & 0xff) / 255f
+      val m = aviParse(r.doc_id, r.media)
+      val n = m.frames.length
+      val fps = m.rate.toFloat / m.scale
+      var sumSz = 0L; var minSz = Int.MaxValue; var maxSz = 0
+      var k = 0
+      while (k < n) {
+        val s = m.frames(k).size
+        sumSz += s; if (s < minSz) minSz = s; if (s > maxSz) maxSz = s
+        k += 1
       }
-      val frames =
-        if (r.kind == "video") Array.range(0, r.media.length, 1024) else Array.empty[Int]
-      MediaFeatures(r.doc_id, r.kind, width, height, features, frames)
+      val features = Array(fps, n.toFloat, sumSz.toFloat, minSz.toFloat,
+        maxSz.toFloat, n / fps, m.usecPerFrame.toFloat)
+      // absolute payload offsets: chunk position (relative to the
+      // 'movi' fourcc, as idx1 records them) + fourcc position + the
+      // 8-byte chunk header
+      val offsets = m.frames.map(f => m.moviFcc + f.relOff + 8)
+      MediaFeatures(r.doc_id, r.kind, m.width, m.height, features, offsets)
     }
   }
 
@@ -131,15 +144,16 @@ object Multimodal {
   }
 
   /** Kind-dispatching codec — the production shape of the decode
-    * stage: REAL parsers for the formats this environment can decode
-    * dependency-free (BMP images, RIFF/WAVE audio), the deterministic
-    * stub only where the native libraries are absent (video/ffmpeg).
-    * One seam, per-partition instantiation unchanged. */
+    * stage: REAL dependency-free parsers on every branch (BMP images,
+    * RIFF/WAVE audio, RIFF/AVI video containers). One seam,
+    * per-partition instantiation unchanged. */
   object DispatchCodec extends MediaCodec {
     def decode(r: MediaRow): MediaFeatures = r.kind match {
       case "image" => BmpCodec.decode(r)
       case "audio" => WavCodec.decode(r)
-      case _       => StubCodec.decode(r)
+      case "video" => AviCodec.decode(r)
+      case k => throw new IllegalArgumentException(
+        s"doc ${r.doc_id}: unknown media kind '$k'")
     }
   }
 
@@ -289,6 +303,263 @@ object Multimodal {
     }
     require(st != null, s"doc $docId: no data chunk")
     st
+  }
+
+  /** One demuxed frame chunk: offset of its `00dc` fourcc RELATIVE to
+    * the `movi` list fourcc (the idx1 convention), declared payload
+    * size, and the exact sum of its payload bytes. */
+  private[graft] final case class AviFrame(relOff: Int, size: Int,
+                                           byteSum: Long)
+
+  /** Everything a container demux yields before pixel decode: stream
+    * geometry + timing out of the headers, the absolute position of
+    * the `movi` fourcc (the base idx1 offsets are relative to), and
+    * the per-frame chunk table. */
+  private[graft] final case class AviMeta(width: Int, height: Int,
+                                          rate: Int, scale: Int,
+                                          usecPerFrame: Int, moviFcc: Int,
+                                          frames: Array[AviFrame])
+
+  /** REAL RIFF/AVI container demuxer per the published AVI 1.0 format
+    * — the same little-endian chunk discipline as [[wavStats]]
+    * (id + le32 size, bodies padded to even length), plus everything
+    * AVI adds on top: NESTED `LIST` chunks (`hdrl` holding `avih` and
+    * a `LIST strl` per stream; `movi` holding the frame chunks), the
+    * fixed-layout `avih`/`strh`/`strf` headers, two-digit stream-id
+    * frame fourccs (`00dc`/`00db`), and the trailing `idx1` index
+    * whose entries are offsets relative to the `movi` fourcc.
+    *
+    * The demux is SELF-VALIDATING three ways a shortcut parser is
+    * not: (a) `avih.dwTotalFrames`, `strh.dwLength`, the walked movi
+    * chunk count, and the idx1 entry count must all agree; (b) every
+    * idx1 entry's (ckid, offset, size) must match the chunk the movi
+    * walk actually found at that position; (c) `strf`'s
+    * BITMAPINFOHEADER dims must match `avih`'s. A one-byte layout
+    * error anywhere breaks one of the three. */
+  private[graft] def aviParse(docId: Long, d: Array[Byte]): AviMeta = {
+    def str4(o: Int) = new String(d, o, 4, "US-ASCII")
+    def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+    require(d.length >= 12 && str4(0) == "RIFF" && str4(8) == "AVI ",
+      s"doc $docId: not a RIFF/AVI container")
+    var w = -1; var h = -1; var rate = -1; var scale = -1; var usec = -1
+    var totalFrames = -1; var strhLen = -1
+    var moviFcc = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
+    var idx1: Array[(String, Int, Int)] = null
+
+    def walkStrl(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = str4(o); val sz = i32(o + 4); val b = o + 8
+        require(sz >= 0 && b.toLong + sz <= end,
+          s"doc $docId: truncated '$id' in strl (size=$sz)")
+        id match {
+          case "strh" =>
+            require(sz >= 56, s"doc $docId: short strh ($sz)")
+            // only the FIRST stream is consumed; a real multi-stream
+            // file would dispatch on fccType per strl
+            require(str4(b) == "vids",
+              s"doc $docId: first stream is '${str4(b)}', expected vids")
+            scale = i32(b + 20); rate = i32(b + 24); strhLen = i32(b + 32)
+          case "strf" =>
+            require(sz >= 40, s"doc $docId: short strf ($sz)")
+            require(i32(b + 4) == w && i32(b + 8) == h,
+              s"doc $docId: strf dims ${i32(b + 4)}x${i32(b + 8)} " +
+                s"!= avih ${w}x$h")
+            require(u16(b + 14) == 24,
+              s"doc $docId: only 24bpp DIB streams supported")
+          case _ => () // JUNK/vprp/...: skip
+        }
+        o = b + sz + (sz & 1)
+      }
+    }
+    def walkHdrl(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = str4(o); val sz = i32(o + 4); val b = o + 8
+        require(sz >= 0 && b.toLong + sz <= end,
+          s"doc $docId: truncated '$id' in hdrl (size=$sz)")
+        id match {
+          case "avih" =>
+            require(sz >= 56, s"doc $docId: short avih ($sz)")
+            usec = i32(b); totalFrames = i32(b + 16)
+            w = i32(b + 32); h = i32(b + 36)
+            require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+              s"doc $docId: bad dimensions ${w}x$h")
+          case "LIST" if sz >= 4 && str4(b) == "strl" =>
+            walkStrl(b + 4, b + sz)
+          case _ => ()
+        }
+        o = b + sz + (sz & 1)
+      }
+    }
+
+    var off = 12
+    while (off + 8 <= d.length) {
+      val id = str4(off); val size = i32(off + 4); val body = off + 8
+      require(size >= 0 && body.toLong + size <= d.length,
+        s"doc $docId: truncated '$id' chunk (size=$size, " +
+          s"have ${d.length - body})")
+      id match {
+        case "LIST" =>
+          require(size >= 4, s"doc $docId: short LIST ($size)")
+          str4(body) match {
+            case "hdrl" => walkHdrl(body + 4, body + size)
+            case "movi" =>
+              moviFcc = body
+              var o = body + 4
+              val end = body + size
+              while (o + 8 <= end) {
+                val cid = str4(o); val sz = i32(o + 4); val b = o + 8
+                require(sz >= 0 && b.toLong + sz <= end,
+                  s"doc $docId: truncated movi chunk '$cid' (size=$sz)")
+                // ##dc (compressed) / ##db (uncompressed) video frame
+                // of stream ##; other streams' chunks (##wb audio,
+                // rec  lists) are skipped by the same walk
+                if (cid(0).isDigit && cid(1).isDigit &&
+                  (cid.endsWith("dc") || cid.endsWith("db"))) {
+                  var s = 0L; var t = 0
+                  while (t < sz) { s += (d(b + t) & 0xff); t += 1 }
+                  frames += AviFrame(o - moviFcc, sz, s)
+                }
+                o = b + sz + (sz & 1)
+              }
+            case _ => () // INFO/...: skip
+          }
+        case "idx1" =>
+          require(size % 16 == 0, s"doc $docId: ragged idx1 ($size)")
+          idx1 = Array.tabulate(size / 16) { k =>
+            val e = body + k * 16
+            (str4(e), i32(e + 8), i32(e + 12))
+          }
+        case _ => () // JUNK/...: skip
+      }
+      off = body + size + (size & 1)
+    }
+    require(w > 0, s"doc $docId: no avih header")
+    require(scale > 0 && rate > 0, s"doc $docId: no vids stream header")
+    require(moviFcc >= 0 && frames.nonEmpty, s"doc $docId: no movi frames")
+    require(idx1 != null, s"doc $docId: no idx1 index")
+    require(totalFrames == frames.length && strhLen == frames.length &&
+      idx1.length == frames.length,
+      s"doc $docId: frame count mismatch (avih=$totalFrames " +
+        s"strh=$strhLen movi=${frames.length} idx1=${idx1.length})")
+    var k = 0
+    while (k < frames.length) {
+      val (ck, ro, sz) = idx1(k)
+      require(ck == "00dc" && ro == frames(k).relOff && sz == frames(k).size,
+        s"doc $docId: idx1[$k] ($ck@$ro+$sz) disagrees with movi walk " +
+          s"(00dc@${frames(k).relOff}+${frames(k).size})")
+      k += 1
+    }
+    AviMeta(w, h, rate, scale, usec, moviFcc, frames.toArray)
+  }
+
+  /** Exact integer demux facts from a parsed AVI — the video analogue
+    * of [[BmpStats]]/[[WavStats]] (integer arithmetic end to end).
+    * `sum_rel_offsets` pins the whole chunk-layout arithmetic (header
+    * sizes, even-padding, per-frame strides); `sum_bytes` pins that
+    * payloads were read at exactly the right positions (a misaligned
+    * walk shifts every byte formula). */
+  final case class AviStats(doc_id: Long, width: Int, height: Int,
+                            n_frames: Int, rate: Int, sum_sizes: Long,
+                            sum_rel_offsets: Long, sum_bytes: Long,
+                            first_off: Int, last_off: Int)
+
+  private[graft] def aviStats(docId: Long, d: Array[Byte]): AviStats = {
+    val m = aviParse(docId, d)
+    var sumSz = 0L; var sumOff = 0L; var sumB = 0L
+    var k = 0
+    while (k < m.frames.length) {
+      val f = m.frames(k)
+      sumSz += f.size; sumOff += f.relOff; sumB += f.byteSum
+      k += 1
+    }
+    AviStats(docId, m.width, m.height, m.frames.length, m.rate / m.scale,
+      sumSz, sumOff, sumB, m.frames.head.relOff, m.frames.last.relOff)
+  }
+
+  /** Closed-form test clip: geometry, fps, frame count, frame sizes,
+    * and every payload byte are formulas in (doc_id, frame, byte), so
+    * the DuckDB oracle recomputes the whole demux result codec-free.
+    * Layout hazards on the gate: an odd-sized JUNK chunk before the
+    * movi list (fixed-offset parsers land mid-chunk), odd FRAME sizes
+    * (the movi walk must apply even-padding between frames or every
+    * later offset shifts), and idx1 offsets that must equal the
+    * walked positions. */
+  private[graft] def encodeAvi(docId: Long): Array[Byte] = {
+    val n = 4 + (docId % 6).toInt
+    val w = 16 + (docId % 8).toInt * 4
+    val h = 12 + (docId % 5).toInt * 4
+    val rate = 24 + (docId % 3).toInt * 6
+    val j = 5 + (docId % 4).toInt              // 5..8: odd exercises padding
+    val szs = Array.tabulate(n)(k => 24 + ((docId * 7 + k * 13) % 17).toInt)
+    val moviData = 4 + szs.map(s => 8 + s + (s & 1)).sum
+    val total = 12 + 200 + (8 + j + (j & 1)) + (8 + moviData) + (8 + 16 * n)
+    val out = new Array[Byte](total)
+    var o = 0
+    def pStr(s: String): Unit = { s.foreach { c => out(o) = c.toByte; o += 1 } }
+    def p16(v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte; o += 2 }
+    def p32(v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte; o += 4
+    }
+    pStr("RIFF"); p32(total - 8); pStr("AVI ")
+    pStr("LIST"); p32(192); pStr("hdrl")
+    pStr("avih"); p32(56)
+    p32(1000000 / rate); p32(0); p32(0); p32(0x10) // AVIF_HASINDEX
+    p32(n); p32(0); p32(1); p32(0)
+    p32(w); p32(h); p32(0); p32(0); p32(0); p32(0)
+    pStr("LIST"); p32(116); pStr("strl")
+    pStr("strh"); p32(56)
+    pStr("vids"); pStr("DIB "); p32(0); p16(0); p16(0); p32(0)
+    p32(1); p32(rate); p32(0); p32(n); p32(0); p32(0); p32(0)
+    p16(0); p16(0); p16(w); p16(h)
+    pStr("strf"); p32(40)
+    p32(40); p32(w); p32(h); p16(1); p16(24); p32(0); p32(0)
+    p32(0); p32(0); p32(0); p32(0)
+    pStr("JUNK"); p32(j)                        // header carries UNPADDED size
+    var t = 0
+    while (t < j) { out(o) = ((docId + t) % 256).toByte; o += 1; t += 1 }
+    if ((j & 1) == 1) { out(o) = 0; o += 1 }
+    val moviStart = o
+    pStr("LIST"); p32(moviData); pStr("movi")
+    val rel = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      rel(k) = o - (moviStart + 8)
+      pStr("00dc"); p32(szs(k))
+      var tt = 0
+      while (tt < szs(k)) {
+        out(o) = ((docId * 11 + k * 17 + tt * 5) % 251).toByte; o += 1; tt += 1
+      }
+      if ((szs(k) & 1) == 1) { out(o) = 0; o += 1 }
+      k += 1
+    }
+    pStr("idx1"); p32(16 * n)
+    k = 0
+    while (k < n) {
+      pStr("00dc"); p32(0x10); p32(rel(k)); p32(szs(k)) // AVIIF_KEYFRAME
+      k += 1
+    }
+    out
+  }
+
+  /** Media table of REAL encoded video containers: one closed-form
+    * AVI per 7th document id (the per-byte oracle crosses each doc
+    * with its frame×byte grid, so the subset keeps the DuckDB side
+    * decade-scalable), built executor-side like [[bmpTable]]. */
+  def aviTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 7 == 0)
+      .mapPartitions(_.map { id =>
+        val b = encodeAvi(id)
+        MediaRow(id, b, "video", b.length)
+      })
+      .toDF()
   }
 
   /** Closed-form test clip: length/rate from the doc id, samples
@@ -653,21 +924,20 @@ object Multimodal {
         .otherwise("video").as("kind"))
       .withColumn("n_bytes", length(col("media")))
 
-  /** Media table with REAL payloads where a dependency-free encoder
-    * exists: image docs carry a spec-conformant BMP, audio docs a
-    * RIFF/WAVE PCM clip (both closed-form in doc_id, so oracles
-    * recompute their contents codec-free), video docs the UTF-8 text
-    * bytes the stub consumes. Same (doc_id → kind) routing as
-    * [[mediaTable]]; payloads built executor-side as a typed map. */
+  /** Media table with REAL payloads on every branch: image docs carry
+    * a spec-conformant BMP, audio docs a RIFF/WAVE PCM clip, video
+    * docs a RIFF/AVI container (all closed-form in doc_id, so oracles
+    * recompute their contents codec-free). Same (doc_id → kind)
+    * routing as [[mediaTable]]; payloads built executor-side as a
+    * typed map. */
   def realMediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
         val b = (id % 3) match {
           case 0 => encodeBmp(id)
           case 1 => encodeWav(id)
-          case _ => text.getBytes("UTF-8")
+          case _ => encodeAvi(id)
         }
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
@@ -678,7 +948,7 @@ object Multimodal {
 
   /** Partition-wise decode: one codec instance per partition, rows
     * streamed through it (the mapInPandas batch shape). */
-  def decodeAll(media: DataFrame, codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
+  def decodeAll(media: DataFrame, codec: MediaCodec = DispatchCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
@@ -690,8 +960,9 @@ object Multimodal {
   /** Resize stage: cap the longer side at `maxDim`, preserving aspect
     * ratio (integer truncation, floorMod-free: dims are positive).
     * Payload-free typed map over the decoded records — the stage a
-    * real pipeline runs between decode and feature extraction; the
-    * stub keeps features unchanged (a real codec would re-extract). */
+    * real pipeline runs between decode and feature extraction;
+    * features pass through unchanged (a pixel codec would
+    * re-extract). */
   def resizeAll(decoded: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
     val spark = decoded.sparkSession
     import spark.implicits._
@@ -708,7 +979,9 @@ object Multimodal {
 
   /** Frame-sampling stage: one row per sampled frame of each video —
     * the explode that feeds per-frame models downstream. Offsets come
-    * from the decode stage (every 1024 payload bytes in the stub). */
+    * from the decode stage: the REAL absolute payload position of
+    * each `00dc` chunk, as demuxed (and idx1-verified) by
+    * [[AviCodec]]. */
   def frameRows(decoded: DataFrame): DataFrame =
     decoded.filter(col("kind") === "video")
       .select(col("doc_id"),
@@ -873,9 +1146,10 @@ object Multimodal {
     // decode DISPATCH over real payloads: image rows decode a real
     // BMP (width/height out of the BITMAPINFOHEADER), audio rows a
     // real RIFF/WAVE (rate/sample-count out of the fmt/data chunks),
-    // video rows the deterministic stub (ffmpeg absent). The oracle
-    // derives each kind's dims from the container formulas with no
-    // codec, and n_features pins WHICH codec ran per kind — a wrong
+    // video rows a real RIFF/AVI (dims out of avih, frame count out
+    // of the cross-validated movi/idx1 demux). The oracle derives
+    // each kind's dims from the container formulas with no codec,
+    // and n_features pins WHICH codec ran per kind — a wrong
     // dispatch or a header misparse flips the hash.
     "mm_decode" -> ((s, dir) => {
       val d = decodeAll(realMediaTable(s, dir), DispatchCodec).toDF()
@@ -883,11 +1157,13 @@ object Multimodal {
         size(col("features")).as("n_features"),
         size(col("frame_offsets")).as("n_frames"))
     }),
-    // frame offsets are payload-length-derived (every 1024 bytes), so
-    // the explode is fully SQL-oracle-checkable — the one multimodal
-    // stage whose output is engine-independent
+    // frame offsets are the REAL absolute payload positions of each
+    // 00dc chunk out of the AVI demux; the oracle restates the whole
+    // container-layout arithmetic (header sizes, JUNK padding,
+    // per-frame even-padding cumsum) in SQL — a one-byte walk error
+    // shifts every offset
     "mm_frames" -> ((s, dir) =>
-      frameRows(decodeAll(mediaTable(s, dir)).toDF())),
+      frameRows(decodeAll(realMediaTable(s, dir), DispatchCodec).toDF())),
     // the REAL-codec gate: encode a closed-form 24bpp BMP per doc,
     // decode it back through the partition-wise seam, emit exact
     // integer pixel sums. The oracle recomputes the sums from the
@@ -926,6 +1202,19 @@ object Multimodal {
         .mapPartitions(_.map(r => pngStats(r.doc_id, r.media)))
         .toDF()
     }),
+    // the REAL-video-container gate, same contract as mm_image/
+    // mm_audio: encode a closed-form RIFF/AVI per doc (odd JUNK chunk
+    // before movi, odd frame sizes inside it), demux it back through
+    // the partition-wise seam, emit exact integer layout + payload
+    // sums; the oracle recomputes them from the size/byte formulas
+    // with NO codec. Chunk walking, nested LISTs, even-padding, and
+    // the idx1 cross-check each corrupt a sum if mishandled.
+    "mm_video" -> ((s, dir) => {
+      import s.implicits._
+      aviTable(s, dir).as[MediaRow]
+        .mapPartitions(_.map(r => aviStats(r.doc_id, r.media)))
+        .toDF()
+    }),
     // perceptual-hash near-dup ACROSS codecs: base image as a real
     // BMP, perturbed variant as a real PNG; decode both, aHash the
     // pixels, banded Hamming-radius-3 discovery. The oracle
@@ -938,8 +1227,23 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
       "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS content_hash FROM documents",
+    // absolute payload offset of frame k: movi_start(= 220 + padded
+    // JUNK) + 12 (LIST hdr + 'movi' fourcc) + Σ_{i<k}(8 + padded
+    // size_i) + 8 (the frame's own chunk header) — the exact layout
+    // arithmetic encodeAvi writes and aviParse must walk
     "mm_frames" ->
-      "SELECT doc_id, CAST(off / 1024 AS INTEGER) AS frame_no, CAST(off AS INTEGER) AS offset FROM (SELECT doc_id, unnest(range(0, octet_length(CAST(text AS BLOB)), 1024)) AS off FROM documents WHERE doc_id % 3 = 2)",
+      """WITH v AS (SELECT doc_id, 4 + doc_id % 6 AS n, 5 + doc_id % 4 AS j
+        |    FROM documents WHERE doc_id % 3 = 2),
+        |  f AS (SELECT doc_id, 220 + j + j % 2 AS movi_start,
+        |    unnest(range(0, n)) AS k FROM v),
+        |  sz AS (SELECT doc_id, movi_start, k,
+        |    24 + (doc_id*7 + k*13) % 17 AS sz FROM f)
+        |SELECT doc_id, CAST(k AS INTEGER) AS frame_no,
+        |  CAST(movi_start + 20 + coalesce(sum(8 + sz + sz % 2)
+        |    OVER (PARTITION BY doc_id ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS INTEGER) AS offset
+        |FROM sz""".stripMargin,
     // the VIDEO branch of mm_decode rides the stub: DETERMINISTIC
     // arithmetic over the payload bytes (rolling h=h*31+b hash mod
     // 2^64) that oracles in SQL — HUGEINT arithmetic restates the
@@ -998,13 +1302,41 @@ object Multimodal {
         |FROM ch GROUP BY doc_id, w, h""".stripMargin,
     // three codec-free branches, one per dispatch target: image dims
     // from the BMP formula, audio (rate, samples) from the WAV
-    // formula, video from the stub's rolling-hash arithmetic; the
+    // formula, video (dims, frame count) from the AVI formulas; the
     // per-kind n_features constant pins which decoder ran
     "mm_decode" ->
-      """WITH h AS (SELECT doc_id, list_reduce(list_prepend(CAST(17 AS HUGEINT), list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))), (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu, octet_length(encode(text)) AS n_bytes FROM documents WHERE doc_id % 3 = 2)
-        |SELECT doc_id, 'image' AS kind, CAST(5 + doc_id % 4 AS INTEGER) AS width, CAST(3 + doc_id % 3 AS INTEGER) AS height, CAST(6 AS INTEGER) AS n_features, CAST(0 AS INTEGER) AS n_frames FROM documents WHERE doc_id % 3 = 0
+      """SELECT doc_id, 'image' AS kind, CAST(5 + doc_id % 4 AS INTEGER) AS width, CAST(3 + doc_id % 3 AS INTEGER) AS height, CAST(6 AS INTEGER) AS n_features, CAST(0 AS INTEGER) AS n_frames FROM documents WHERE doc_id % 3 = 0
         |UNION ALL SELECT doc_id, 'audio', CAST(8000 + (doc_id % 4) * 4000 AS INTEGER), CAST(50 + doc_id % 32 AS INTEGER), CAST(5 AS INTEGER), CAST(0 AS INTEGER) FROM documents WHERE doc_id % 3 = 1
-        |UNION ALL SELECT doc_id, 'video', 64 + CAST(hu % 64 AS INTEGER), 64 + CAST((hu // 256) % 64 AS INTEGER), CAST(8 AS INTEGER), CASE WHEN n_bytes > 0 THEN CAST((n_bytes - 1) // 1024 + 1 AS INTEGER) ELSE CAST(0 AS INTEGER) END FROM h""".stripMargin,
+        |UNION ALL SELECT doc_id, 'video', CAST(16 + (doc_id % 8) * 4 AS INTEGER), CAST(12 + (doc_id % 5) * 4 AS INTEGER), CAST(7 AS INTEGER), CAST(4 + doc_id % 6 AS INTEGER) FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // whole-demux restatement: sizes, layout offsets (cumsum of
+    // even-padded strides), and payload byte sums all recomputed
+    // from the closed forms with no codec
+    "mm_video" ->
+      """WITH v AS (SELECT doc_id, 4 + doc_id % 6 AS n,
+        |    16 + (doc_id % 8) * 4 AS w, 12 + (doc_id % 5) * 4 AS h,
+        |    24 + (doc_id % 3) * 6 AS rate
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |  f AS (SELECT doc_id, n, w, h, rate, unnest(range(0, n)) AS k FROM v),
+        |  sz AS (SELECT doc_id, n, w, h, rate, k,
+        |    24 + (doc_id*7 + k*13) % 17 AS sz FROM f),
+        |  rel AS (SELECT doc_id, n, w, h, rate, k, sz,
+        |    4 + coalesce(sum(8 + sz + sz % 2) OVER (PARTITION BY doc_id
+        |      ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS rel_off FROM sz),
+        |  b AS (SELECT doc_id, k, sz, unnest(range(0, sz)) AS t FROM sz),
+        |  bs AS (SELECT doc_id, sum((doc_id*11 + k*17 + t*5) % 251) AS sb
+        |    FROM b GROUP BY doc_id)
+        |SELECT r.doc_id, CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(n) AS INTEGER) AS n_frames,
+        |  CAST(max(rate) AS INTEGER) AS rate,
+        |  CAST(sum(sz) AS BIGINT) AS sum_sizes,
+        |  CAST(sum(rel_off) AS BIGINT) AS sum_rel_offsets,
+        |  CAST(max(sb) AS BIGINT) AS sum_bytes,
+        |  CAST(min(CASE WHEN k = 0 THEN rel_off END) AS INTEGER) AS first_off,
+        |  CAST(max(CASE WHEN k = n - 1 THEN rel_off END) AS INTEGER) AS last_off
+        |FROM rel r JOIN bs ON r.doc_id = bs.doc_id
+        |GROUP BY r.doc_id""".stripMargin,
     // hashes recomputed from the pixel formula codec-free; neighbor
     // counts by EXACT all-pairs popcount (no banding in the oracle)
     "mm_phash" ->

@@ -761,7 +761,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("dispatch codec: real BMP/WAV parsers per kind, stub only for video") {
+  test("dispatch codec: real BMP/WAV/AVI parsers per kind") {
     val rows = Multimodal
       .decodeAll(Multimodal.realMediaTable(spark, sf),
         Multimodal.DispatchCodec)
@@ -781,28 +781,84 @@ class OperatorsSpec extends AnyFunSuite {
           assert(f.height === 50 + (f.doc_id % 32).toInt, f.toString)
           assert(f.features.length === 5)
           assert(f.frame_offsets.isEmpty)
-        case _ => // video: the stub's byte-hash dims
+        case _ => // video: dims and frame count out of the real AVI demux
           assert(f.kind == "video")
-          assert(f.width >= 64 && f.width < 128, f.toString)
-          assert(f.features.length === 8)
+          assert(f.width === 16 + (f.doc_id % 8).toInt * 4, f.toString)
+          assert(f.height === 12 + (f.doc_id % 5).toInt * 4, f.toString)
+          assert(f.features.length === 7)
+          assert(f.frame_offsets.length === 4 + (f.doc_id % 6).toInt, f.toString)
       }
     }
   }
 
+  test("avi demux: round-trip, idx1 cross-check, reject paths") {
+    // round-trip: encode → demux matches the closed form for ids
+    // covering all (n, junk, size) parities
+    for (id <- 0L to 11L) {
+      val st = Multimodal.aviStats(id, Multimodal.encodeAvi(id))
+      val n = 4 + (id % 6).toInt
+      val szs = (0 until n).map(k => 24 + ((id * 7 + k * 13) % 17).toInt)
+      // offsets: 4 + cumsum of even-padded strides, per the layout
+      val rels = szs.scanLeft(4)((acc, s) => acc + 8 + s + (s & 1)).init
+      assert(st.width === 16 + (id % 8).toInt * 4)
+      assert(st.height === 12 + (id % 5).toInt * 4)
+      assert(st.n_frames === n)
+      assert(st.rate === 24 + (id % 3).toInt * 6)
+      assert(st.sum_sizes === szs.map(_.toLong).sum)
+      assert(st.sum_rel_offsets === rels.map(_.toLong).sum)
+      assert(st.first_off === 4)
+      assert(st.last_off === rels.last)
+      val expBytes = (for (k <- 0 until n; t <- 0 until szs(k))
+        yield ((id * 11 + k * 17 + t * 5) % 251)).sum
+      assert(st.sum_bytes === expBytes)
+      // AviCodec features/offsets agree with the demux facts
+      val b = Multimodal.encodeAvi(id)
+      val f = Multimodal.AviCodec.decode(
+        Multimodal.MediaRow(id, b, "video", b.length))
+      assert(f.frame_offsets.length === n)
+      // absolute payload offset = moviFcc + rel + 8; moviFcc =
+      // 220 + padded junk + 8
+      val j = 5 + (id % 4).toInt
+      val moviFcc = 220 + j + (j & 1) + 8
+      assert(f.frame_offsets.toSeq === rels.map(r => moviFcc + r + 8))
+      assert(f.features.length === 7)
+      assert(f.features(1) === n.toFloat)
+    }
+    val good = Multimodal.encodeAvi(5L)
+    val nGood = 4 + (5 % 6) // 9 frames
+    // bad magic
+    val d1 = good.clone(); d1(8) = 'X'
+    intercept[IllegalArgumentException] { Multimodal.aviStats(5L, d1) }
+    // idx1 offset tampered: the movi walk and the index disagree
+    val idxOff = good.length - 16 * nGood + 8 // first entry's dwChunkOffset
+    val d2 = good.clone(); d2(idxOff) = (d2(idxOff) + 2).toByte
+    intercept[IllegalArgumentException] { Multimodal.aviStats(5L, d2) }
+    // frame-count lie in avih (dwTotalFrames at body 32 + 16 = 48)
+    val d3 = good.clone(); d3(48) = (d3(48) + 1).toByte
+    intercept[IllegalArgumentException] { Multimodal.aviStats(5L, d3) }
+    // non-vids first stream: strh fccType at its body offset 108
+    val d4 = good.clone(); d4(108) = 'a'.toByte
+    intercept[IllegalArgumentException] { Multimodal.aviStats(5L, d4) }
+    // truncated: declared movi size overruns the payload
+    intercept[IllegalArgumentException] {
+      Multimodal.aviStats(5L, good.take(good.length - 16 * nGood - 8 - 20))
+    }
+  }
+
   test("multimodal decode: deterministic, schema-true, payload-derived") {
-    val a = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
-    val b = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)).collect()
+    val a = Multimodal.decodeAll(Multimodal.realMediaTable(spark, sf)).collect()
+    val b = Multimodal.decodeAll(Multimodal.realMediaTable(spark, sf)).collect()
     assert(a.map(_.doc_id).sorted === b.map(_.doc_id).sorted)
     val byId = a.map(f => f.doc_id -> f).toMap
-    assert(a.forall(f => f.features.length == 8))
-    assert(a.forall(f => f.width >= 64 && f.width < 128))
-    // frame sampling only for video kind
+    // frame sampling only for video kind (real AVI demux offsets)
     assert(a.forall(f => (f.kind == "video") == f.frame_offsets.nonEmpty))
     assert(byId === b.map(f => f.doc_id -> f).toMap.keys.map(k => k -> byId(k)).toMap)
     // resize stage: longer side capped, aspect preserved, small dims
-    // untouched (decode emits 64-127, so maxDim=96 exercises both)
+    // untouched (audio rows carry width=sample_rate ≥ 8000, so
+    // maxDim=96 exercises the cap; image/video dims are < 96 and
+    // must pass through untouched)
     val resized = Multimodal.resizeAll(
-      Multimodal.decodeAll(Multimodal.mediaTable(spark, sf)), 96).collect()
+      Multimodal.decodeAll(Multimodal.realMediaTable(spark, sf)), 96).collect()
     assert(resized.exists(f => math.max(f.width, f.height) == 96))
     resized.foreach { f =>
       val orig = byId(f.doc_id)
