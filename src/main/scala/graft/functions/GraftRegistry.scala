@@ -53,6 +53,15 @@ object GraftRegistry {
     }
   }
 
+  private def staticInts(e: Expression, what: String): Array[Int] = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toIntArray()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int-array literal, got: $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_signature" -> (es => MinHashSignature(es.head, 64)),
     "simhash64" -> (es => SimHash64(es.head)),
@@ -128,6 +137,29 @@ object GraftRegistry {
       require(nSub > 0 && k > 0 && books.length % (nSub * k) == 0,
         s"pq_residual books length ${books.length} not divisible by nSub*k")
       PqResidual(es(0), books, nSub, k)
+    }),
+    // nearest_cell(vec, cells, centroids) / top_cells(vec, cells,
+    // centroids, nProbe) — the IVF coarse quantizer; the model is a
+    // pair of static array literals (cell ids ascending + flat
+    // cell-major centroid matrix) carried into codegen as reference
+    // objects, so generated-code size is constant in nCells
+    "nearest_cell" -> (es => {
+      val cells = staticInts(es(1), "nearest_cell cells")
+      val cents = staticFloats(es(2), "nearest_cell centroids")
+      require(cells.length > 0 && cents.length % cells.length == 0,
+        s"nearest_cell centroid matrix length ${cents.length} not " +
+          s"divisible by cell count ${cells.length}")
+      NearestCell(es(0), cells, cents)
+    }),
+    "top_cells" -> (es => {
+      val cells = staticInts(es(1), "top_cells cells")
+      val cents = staticFloats(es(2), "top_cells centroids")
+      val nProbe = staticInt(es(3), "top_cells nProbe")
+      require(cells.length > 0 && cents.length % cells.length == 0 &&
+        nProbe > 0,
+        s"top_cells bad model shape (cells=${cells.length}, " +
+          s"cents=${cents.length}, nProbe=$nProbe)")
+      TopCells(es(0), cells, cents, nProbe)
     }),
     "ascii_fold" -> (es => AsciiFold(es.head)),
     "snowball_stem" -> (es => SnowballStem(es.head)))

@@ -259,6 +259,78 @@ object HashExpressions {
     override def prettyName: String = "pq_residual"
   }
 
+  /** Nearest-centroid assignment: embedding array<float> → the cell
+    * id (from a CELL-ASCENDING model) with the highest cosine, ties
+    * to the smallest cell. The centroid matrix is held inside the
+    * expression and emitted into generated code via the REFERENCES
+    * array (`ctx.addReferenceObj`), so the generated method is one
+    * static [[Kernels.nearestCell]] call of CONSTANT size — the
+    * unrolled-literal formulation this replaces grew the generated
+    * method linearly in nCells and overflowed janino's 64 KB limit
+    * at 1024 cells × dim 64 (PERF_r13), silently dropping the whole
+    * stage to interpreted evaluation. Dimension mismatch → null. */
+  case class NearestCell(child: Expression, cells: Array[Int],
+                         cents: Array[Float])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    private val dim = cents.length / cells.length
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) null
+      else java.lang.Integer.valueOf(Kernels.nearestCell(a, cells, cents))
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[]")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        if ($c.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.Kernels.nearestCell($c, $cellsRef, $centsRef);
+        }""")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCell =
+      copy(child = c)
+    override def prettyName: String = "nearest_cell"
+  }
+
+  /** The nProbe nearest cells of a query vector, best-first (cosine
+    * DESC, cell ASC) — same reference-object model embedding as
+    * [[NearestCell]], same constant generated-code size. Dimension
+    * mismatch → null. */
+  case class TopCells(child: Expression, cells: Array[Int],
+                      cents: Array[Float], nProbe: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private val dim = cents.length / cells.length
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) null
+      else Kernels.topCells(a, cells, cents, nProbe)
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+      val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+      val centsRef = ctx.addReferenceObj("cents", cents, "float[]")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        if ($c.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.Kernels.topCells($c, $cellsRef, $centsRef, $nProbe);
+        }""")
+    }
+    override protected def withNewChildInternal(c: Expression): TopCells =
+      copy(child = c)
+    override def prettyName: String = "top_cells"
+  }
+
   /** Morton/Z-order interleave of the low `bits` of two non-negative
     * longs: x occupies even bit positions, y odd. Sorting by the
     * z-value clusters rows that are close in BOTH dimensions — the
@@ -579,6 +651,17 @@ object HashExpressions {
       org.apache.spark.sql.functions.typedLit(books.toSeq),
       org.apache.spark.sql.functions.lit(nSub),
       org.apache.spark.sql.functions.lit(k))
+  def nearest_cell(vec: Column, cells: Array[Int],
+                   cents: Array[Float]): Column =
+    call_function("nearest_cell", vec,
+      org.apache.spark.sql.functions.typedLit(cells.toSeq),
+      org.apache.spark.sql.functions.typedLit(cents.toSeq))
+  def top_cells(vec: Column, cells: Array[Int], cents: Array[Float],
+                nProbe: Int): Column =
+    call_function("top_cells", vec,
+      org.apache.spark.sql.functions.typedLit(cells.toSeq),
+      org.apache.spark.sql.functions.typedLit(cents.toSeq),
+      org.apache.spark.sql.functions.lit(nProbe))
 
   /** srp_bucket carries per-call (bits, table) statics — register a
     * closure per configuration. */

@@ -212,6 +212,97 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Spark SQL's double ordering (NaN greatest, NaN == NaN,
+    * -0.0 == 0.0) as a three-way compare — the centroid kernels must
+    * replicate the `array_max`-over-structs semantics of the unrolled
+    * formulation they replaced bit for bit. */
+  @inline private def simCmp(a: Double, b: Double): Int = {
+    val an = java.lang.Double.isNaN(a); val bn = java.lang.Double.isNaN(b)
+    if (an && bn) 0 else if (an) 1 else if (bn) -1
+    else if (a > b) 1 else if (a < b) -1 else 0
+  }
+
+  /** All nCells cosine scores of one vector against a flat
+    * (cell-major) centroid matrix — the shared body of the two
+    * assignment kernels. Identical arithmetic to [[cosine]] (per-index
+    * float→double casts, sequential folds); the query norm is hoisted
+    * out of the per-centroid loop (same fold over the same floats, so
+    * bit-identical, k× cheaper). */
+  private def cellScores(v: ArrayData, cents: Array[Float],
+                         dim: Int): Array[Double] = {
+    val k = cents.length / dim
+    var na = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = v.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    val sqna = math.sqrt(na)
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0; var nb = 0.0
+      i = 0
+      while (i < dim) {
+        val x = v.getFloat(i).toDouble
+        val y = cents(off + i).toDouble
+        dot += x * y; nb += y * y
+        i += 1
+      }
+      sims(c) = dot / (sqna * math.sqrt(nb))
+      c += 1
+    }
+    sims
+  }
+
+  /** Nearest-centroid cell id: argmax cosine over a CELL-ASCENDING
+    * model, ties to the smallest cell (the scan keeps the first
+    * best). The model rides the codegen references array — one static
+    * call regardless of nCells, where the unrolled-literal
+    * formulation hit janino's 64 KB method ceiling at 1024 cells ×
+    * dim 64 (PERF_r13) and fell back to interpreted evaluation. */
+  def nearestCell(v: ArrayData, cells: Array[Int],
+                  cents: Array[Float]): Int = {
+    val dim = cents.length / cells.length
+    val sims = cellScores(v, cents, dim)
+    var best = 0
+    var c = 1
+    while (c < sims.length) {
+      if (simCmp(sims(c), sims(best)) > 0) best = c
+      c += 1
+    }
+    cells(best)
+  }
+
+  /** The nProbe nearest cells, best-first (cosine DESC, cell ASC on
+    * ties — the ascending scan with strict-greater replacement keeps
+    * the smaller cell). O(nCells·nProbe) selection: nProbe is small
+    * (4–32) and nCells bounded by the model, so no sort. */
+  def topCells(v: ArrayData, cells: Array[Int], cents: Array[Float],
+               nProbe: Int): ArrayData = {
+    val dim = cents.length / cells.length
+    val sims = cellScores(v, cents, dim)
+    val k = sims.length
+    val m = math.min(nProbe, k)
+    val taken = new Array[Boolean](k)
+    val out = new Array[Int](m)
+    var r = 0
+    while (r < m) {
+      var bi = -1
+      var c = 0
+      while (c < k) {
+        if (!taken(c) && (bi < 0 || simCmp(sims(c), sims(bi)) > 0)) bi = c
+        c += 1
+      }
+      taken(bi) = true
+      out(r) = cells(bi)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hamming distance between two EQUAL-LENGTH packed sign codes
     * (callers check word counts — the expression emits the
     * mismatch→null branch). */

@@ -207,28 +207,50 @@ object Similarity {
     topKPerQuery(rer, k)
   }
 
-  /** Per-row (csim, cell) scores against a DRIVER-HELD centroid set,
-    * unrolled into a literal struct array: assignment and probe
-    * selection become scan-local expressions — no crossJoin, no
-    * window, no shuffle. Centroid count is nCells (bounded, k-means
-    * small) so the unrolled expression stays compact; `negcell` makes
-    * the struct ordering total with the tie the probe contract wants
-    * (csim DESC, cell ASC). */
-  private def cellSims(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
-    array(centroids.map { case (c, ce) =>
-      struct(cosine(v, typedLit(ce)).as("csim"),
-        lit(-c).as("negcell"), lit(c).as("cell"))
-    }: _*)
+  /** The DRIVER-HELD centroid model flattened to the static-literal
+    * shape the assignment kernels take: cell ids ascending + one flat
+    * cell-major float matrix. The model rides the codegen REFERENCES
+    * array (one static `Kernels.nearestCell` call of constant
+    * generated-code size), where the previous unrolled-literal struct
+    * array grew the generated method linearly in nCells and hit
+    * janino's 64 KB ceiling at 1024 cells × dim 64 (PERF_r13),
+    * dropping the stage to interpreted evaluation — at billion-vector
+    * scale √N cells ≈ 30k, far past that cliff. Assignment and probe
+    * selection stay scan-local expressions: no crossJoin, no window,
+    * no shuffle; tie-breaks (cosine DESC, cell ASC) are the kernel's
+    * contract, bit-identical to the old struct ordering. */
+  private def modelArrays(
+      centroids: Seq[(Int, Seq[Float])]): (Array[Int], Array[Float]) = {
+    require(centroids.nonEmpty, "empty centroid model")
+    val dim = centroids.head._2.length
+    val cells = new Array[Int](centroids.length)
+    val flat = new Array[Float](centroids.length * dim)
+    var i = 0
+    centroids.foreach { case (c, ce) =>
+      require(ce.length == dim,
+        s"centroid $c has dim ${ce.length}, expected $dim")
+      require(i == 0 || c > cells(i - 1),
+        "centroid model must be cell-ascending")
+      cells(i) = c
+      ce.copyToArray(flat, i * dim)
+      i += 1
+    }
+    (cells, flat)
+  }
 
   /** Nearest-centroid id, map-side. */
   private def nearestCell(centroids: Seq[(Int, Seq[Float])],
-                          v: Column): Column =
-    array_max(cellSims(centroids, v)).getField("cell")
+                          v: Column): Column = {
+    val (cells, flat) = modelArrays(centroids)
+    graft.functions.HashExpressions.nearest_cell(v, cells, flat)
+  }
 
-  /** The `nProbe` nearest cells, best-first, map-side. */
+  /** The `nProbe` nearest cell ids, best-first, map-side. */
   private def topCells(centroids: Seq[(Int, Seq[Float])], v: Column,
-                       nProbe: Int): Column =
-    slice(reverse(array_sort(cellSims(centroids, v))), 1, nProbe)
+                       nProbe: Int): Column = {
+    val (cells, flat) = modelArrays(centroids)
+    graft.functions.HashExpressions.top_cells(v, cells, flat, nProbe)
+  }
 
   /** Seed (first nCells vectors) optionally k-means-refined, collected
     * driver-side — nCells × dim floats, a model not a data collect.
@@ -327,7 +349,7 @@ object Similarity {
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         explode(topCells(centroids, col("embedding"), nProbe)).as("pc"))
-      .select(col("qid"), col("qe"), col("pc.cell").as("cell"))
+      .select(col("qid"), col("qe"), col("pc").as("cell"))
 
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -357,18 +379,36 @@ object Similarity {
     // cluster scale (1000s of tasks, √N cells) is a small-file
     // explosion the AnnStateGrowthProbe showed taxes every
     // subsequent search. One shuffle at build time (write-once,
-    // search-many) buys exactly one file per cell forever
+    // search-many) buys ~one file per cell; maxRecordsPerFile is the
+    // opposite-direction bound (ADVICE r13): a cell whose population
+    // outgrows one object must SPLIT rather than grow a single file
+    // unboundedly (object-store size caps, compaction rewrite units)
     embeddings.select(col("vec_id"), col("embedding"),
         nearestCell(centroids, col("embedding")).as("cell"))
       .repartition(col("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("maxRecordsPerFile", CellMaxRecordsPerFile)
       .partitionBy("cell").parquet(s"$path/cells")
   }
+
+  /** Per-file row cap on cell-partitioned index writes: ~300 B/row at
+    * dim 64 puts 4M rows around 1.2 GB per file — large enough that
+    * file count stays ~1/cell at any bench scale, small enough that a
+    * crowded cell splits instead of growing one unbounded object. */
+  private val CellMaxRecordsPerFile = 4000000L
 
   /** Probed search over a persisted [[writeIvfIndex]] layout. The
     * probe-cell set is collected driver-side — bounded by nCells, not
     * by data — and becomes a literal partition filter, so the index
-    * scan reads only the probed directories. */
+    * scan reads only the probed directories.
+    *
+    * Concurrency caveat (single-writer layouts only ever hit this
+    * during maintenance): a scan that lists a cell inside a
+    * compaction's move-in-then-delete window ([[swapInMergedFiles]])
+    * can see old ∪ new files, so the SAME nid may appear at two ranks
+    * within one top-k result — callers that assume nid-distinct
+    * output should dedupe, or search outside compaction windows.
+    * Never a short answer: the window only ever ADDS duplicates. */
   def searchIvfIndex(spark: SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      nProbe: Int = 4): DataFrame = {
@@ -378,11 +418,29 @@ object Similarity {
     val probes = queries
       .select(col("qid"), col("qe"),
         explode(topCells(centroids, col("qe"), nProbe)).as("pc"))
-      .select(col("qid"), col("qe"), col("pc.cell").as("cell"))
+      .select(col("qid"), col("qe"), col("pc").as("cell"))
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // <= nCells values, not a data collect
-    val scanned = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    // read ONLY the probed directories, by name: a plain read of the
+    // cells root builds a file index over EVERY cell before the
+    // partition filter prunes it — one recursive listing of nCells
+    // directories per search batch, which the 2048-cell AnnScaleProbe
+    // measured dominating warm search latency (and at object-store
+    // scale is nCells LIST calls). One driver-side name listing picks
+    // the probed dirs that exist (cells can be empty → never
+    // written); basePath keeps `cell` a partition column
+    val cellsDir = s"$path/cells"
+    val present = graft.sources.Dfs.default.listNames(cellsDir)
+      .filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toInt).toSet
+    val probedDirs = cells.filter(present).map(c => s"$cellsDir/cell=$c")
+    val scanned =
+      if (probedDirs.isEmpty)
+        spark.read.parquet(cellsDir)
+          .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      else
+        spark.read.option("basePath", cellsDir)
+          .parquet(probedDirs.toIndexedSeq: _*)
     // soft-deleted ids ([[deleteFromIvfIndex]]) drop here: an id-only
     // broadcast anti-join on the pruned scan — cell pruning and the
     // candidate shapes are unchanged when no tombstones exist
@@ -401,9 +459,9 @@ object Similarity {
     * ([[Dedup.initLshIndex]] / [[Dedup.ensureIndexRegistered]])
     * applied to the ANN side. The meta file records a layout version,
     * the build parameters, and a cheap corpus fingerprint (row count
-    * + vec_id sum: ONE columnar scan of the 8-byte id column,
-    * negligible next to retraining centroids and rewriting the
-    * corpus); a session whose meta matches reuses the on-disk
+    * + sum of vec_id residues mod 1e9+7: ONE columnar scan of the
+    * 8-byte id column, negligible next to retraining centroids and
+    * rewriting the corpus); a session whose meta matches reuses the on-disk
     * cells/centroids with no training and no corpus rewrite — the
     * "search 100 TB without rebuilding the index" path. The meta is
     * written atomically AFTER the data, so it doubles as the
@@ -411,7 +469,8 @@ object Similarity {
     * rebuilt, never reused. Returns true when the existing index was
     * reused. */
   /** Content-sensitive corpus fingerprint for the index restart
-    * protocols: (count, vec_id sum, order-independent XOR of per-row
+    * protocols: (count, sum of vec_id residues mod 1e9+7,
+    * order-independent XOR of per-row
     * xxhash64(vec_id, embedding)). Computable identically from the
     * input corpus AND from the persisted cells' columns
     * ([[appendIvfIndex]]), so meta describes the exact vector
@@ -443,9 +502,14 @@ object Similarity {
                                b: (Long, Long, Long)): (Long, Long, Long) =
     (a._1 + b._1, a._2 + b._2, a._3 ^ b._3)
 
+  /** Layout version 2 = the r13 fingerprint format change (vecIdSum
+    * holds RESIDUE sums mod 1e9+7, not raw id sums). Bumping the
+    * version makes the one-time rebuild of any v1 index attributable
+    * to the intentional format change instead of reading as a silent
+    * fingerprint mismatch (ADVICE r13). */
   private[graft] def ivfMetaString(nCells: Int, refineIters: Int,
                                    fp: (Long, Long, Long)): String =
-    s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
+    s"version\t2\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
       s"count\t${fp._1}\nvecIdSum\t${fp._2}\ncontentSig\t${fp._3}\n"
 
   /** The driver-held centroid model of a persisted index — ONE
@@ -579,10 +643,12 @@ object Similarity {
           (a, x) => a + x * x)).as("xnorm"),
         col("embedding"),
         nearestCell(centroids, col("embedding")).as("cell"))
-      // same file-count cap as [[writeIvfIndex]]: one build-time
-      // shuffle keeps the layout at one file per cell
+      // same file-count cap (and per-file size bound) as
+      // [[writeIvfIndex]]: one build-time shuffle keeps the layout at
+      // ~one file per cell, splitting only past CellMaxRecordsPerFile
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", CellMaxRecordsPerFile)
       .partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -831,7 +897,10 @@ object Similarity {
       : Boolean = {
     val metaPath = s"$path/_index_meta.tsv"
     val fp = corpusFingerprint(embeddings)
-    val meta = s"version\t1\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
+    // version 2 ≡ the residue-sum fingerprint format
+    // ([[ivfMetaString]]) — this meta shares corpusFingerprint, so it
+    // bumps in lockstep
+    val meta = s"version\t2\nnCells\t$nCells\nrefineIters\t$refineIters\n" +
       s"nSub\t$nSub\ncodesPerSub\t$codesPerSub\npqIters\t$pqIters\n" +
       s"count\t${fp._1}\nvecIdSum\t${fp._2}\ncontentSig\t${fp._3}\n"
     if (fs.exists(metaPath) && fs.readString(metaPath) == meta) true
@@ -880,7 +949,7 @@ object Similarity {
     // per-query probe cells, collected as a bounded (qid → cells) model
     val probes = queries
       .select(col("qid"), explode(topCells(centroids, col("qe"), nProbe)).as("pc"))
-      .select(col("qid"), col("pc.cell").as("cell"))
+      .select(col("qid"), col("pc").as("cell"))
     val cellSet = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nCells values
     // shortlist sizing from the meta's recorded count — a
@@ -899,8 +968,22 @@ object Similarity {
       else spark.read.parquet(s"$path/cells").count()
     val shortlist = math.max(minShortlist,
       math.ceil(n * shortlistFrac).toInt)
-    val index = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cellSet.toIndexedSeq: _*))
+    // same probed-directories read as [[searchIvfIndex]]: name-list
+    // once, open only the probed cell dirs (a root read file-indexes
+    // every cell before pruning)
+    val cellsDir = s"$path/cells"
+    val present = fsm.listNames(cellsDir)
+      .filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toInt).toSet
+    val probedDirs = cellSet.filter(present)
+      .map(c => s"$cellsDir/cell=$c")
+    val index =
+      if (probedDirs.isEmpty)
+        spark.read.parquet(cellsDir)
+          .filter(col("cell").isin(cellSet.toIndexedSeq: _*))
+      else
+        spark.read.option("basePath", cellsDir)
+          .parquet(probedDirs.toIndexedSeq: _*)
     val adc = index
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(lutDf), Seq("qid"))

@@ -23,15 +23,15 @@ import graft.sources.Tables
   *   - the scanned fraction itself (nProbe/nCells), printed so the
   *     claimed pruning is arithmetic, not adjective.
   *
-  * Cell count scales as √N capped at 512: the centroid model is a
-  * driver-held literal unrolled into the per-row assignment
-  * expression ([[Similarity.nearestCell]]), which is the right shape
-  * for moderate cell counts (zero joins, zero shuffles per pass) but
-  * bounds how many cells one codegen'd expression can carry — this
-  * probe MEASURED the bound: 1024 cells × dim 64 overflows janino's
-  * method limits (InternalCompilerException, interpreted fallback).
-  * Beyond the cap the library's scale path is IVF-PQ (compressed
-  * cells) and a coarse-quantizer two-level split, not more literals. Replicas
+  * Cell count scales as √N (power-of-two), UNCAPPED since r14: the
+  * centroid model rides the codegen references array as two flat
+  * arrays (`nearest_cell` kernel), so generated-code size is constant
+  * in nCells. The r13 unrolled-literal formulation bounded this probe
+  * at 512 cells (1024 cells × dim 64 overflowed janino's method
+  * limits → InternalCompilerException, interpreted fallback); the
+  * probe session now sets codegen factoryMode=CODEGEN_ONLY and
+  * fallback=false, so any regression to an uncompilable expression
+  * FAILS the probe loudly instead of silently degrading. Replicas
   * use ScaleUp's embedding convention (fresh xxhash components,
   * disjoint key ranges), so every decade has the same geometry as the
   * base corpus rather than duplicated points.
@@ -54,6 +54,13 @@ object AnnScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the probe's codegen assert: CODEGEN_ONLY forbids the
+      // interpreted expression path, fallback=false makes a
+      // whole-stage compile failure throw — a janino overflow
+      // (the r13 512-cell ceiling) fails the run instead of
+      // silently degrading to interpreted evaluation
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -90,8 +97,8 @@ object AnnScaleProbe {
         .parquet(corpusPath)
       val corpus = spark.read.parquet(corpusPath)
       val n = corpus.count()
-      val nCells = math.min(512,
-        Integer.highestOneBit(math.max(16, math.sqrt(n.toDouble).toInt)))
+      val nCells =
+        Integer.highestOneBit(math.max(16, math.sqrt(n.toDouble).toInt))
       val idx = s"$root/idx_$f"
       val t0 = System.nanoTime()
       Similarity.ensureIvfIndex(corpus, idx, nCells, refineIters = 1)

@@ -30,12 +30,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "snowball_stem", "top_k_by_score", "bloom_might_contain_long",
       "bloom_longs_agg", "kmv_longs_agg", "pq_codes", "pq_residual",
       "splitmix_unif", "misra_gries", "srp_pack", "hamming_dist",
-      "cdc_chunks"))
+      "cdc_chunks", "nearest_cell", "top_cells"))
   }
 
   test("every injected builder evaluates correctly on literal input") {
     val vec = Literal.create(Seq(1.0f, 2.0f, 3.0f), ArrayType(FloatType))
     assert(b("cosine_similarity")(Seq(vec, vec)).eval() === 1.0)
+    // coarse-quantizer kernels: cell 0 is the vector itself (cos 1),
+    // cell 1 its negation (cos -1) — argmax 0, probe order [0, 1]
+    locally {
+      val cells = Literal.create(Seq(0, 1), ArrayType(IntegerType))
+      val cents = Literal.create(
+        Seq(1.0f, 2.0f, 3.0f, -1.0f, -2.0f, -3.0f), ArrayType(FloatType))
+      assert(b("nearest_cell")(Seq(vec, cells, cents)).eval() === 0)
+      assert(b("top_cells")(Seq(vec, cells, cents, Literal(2)))
+        .eval().asInstanceOf[ArrayData].toIntArray().toSeq === Seq(0, 1))
+    }
     val toks = Literal.create(Seq("a", "b", "c", "d"), ArrayType(StringType))
     assert(b("word_ngrams_3")(Seq(toks)).eval()
       .asInstanceOf[ArrayData].numElements() === 2)
