@@ -776,6 +776,95 @@ object Similarity {
     crowded
   }
 
+  /** SIZE-TIERED small-file compaction — the write-amplification fix
+    * over [[compactIvfSmallFiles]]'s leveling scheme. Leveling
+    * rewrites a crowded cell WHOLESALE, so once the index dwarfs the
+    * batch size every pass re-rewrites the cell's big base file and
+    * amortized rewrite bytes per ingested batch grow with index size.
+    * Here files are bucketed by SIZE (Cassandra STCS shape): sort a
+    * cell's parquet files ascending, open a bucket at each file whose
+    * size exceeds tierFactor × the current bucket's floor, and merge
+    * ONLY buckets holding ≥ minTierFiles members — fresh micro-batch
+    * files merge among themselves into a medium file, mediums merge
+    * into a large one when enough accumulate, and the big base file
+    * is untouched until its own tier fills. Each byte is rewritten
+    * O(log_tierFactor(index/batch)) times TOTAL, so per-batch rewrite
+    * bytes stay bounded as the index grows.
+    *
+    * `minSizeBytes` floors the bucket threshold so KB-scale stream
+    * droppings coalesce aggressively regardless of their exact sizes.
+    * Same crash contract as [[compactIvfSmallFiles]]: meta
+    * unpublished before the first swap, republished atomically after
+    * the last — a torn pass reads as index-absent and rebuilds, never
+    * a silent partial layout. Content (and so the fingerprint) is
+    * unchanged. Single writer (the caller's contract). Returns the
+    * touched cell ids. */
+  /** The pure size-tiered merge planner: sort (name, size) pairs
+    * ascending, open a new bucket whenever a file's size exceeds
+    * tierFactor × the current bucket's (floored) minimum, and return
+    * ONLY the buckets holding ≥ minTierFiles members — those merge;
+    * everything else (in particular the big base file, alone in its
+    * tier) is left untouched. Extracted so the tiering decisions are
+    * unit-testable against synthetic size distributions, independent
+    * of real parquet file-size noise. */
+  private[graft] def sizeTierBuckets(sized: Seq[(String, Long)],
+                                     minTierFiles: Int, tierFactor: Long,
+                                     minSizeBytes: Long): Seq[Seq[String]] = {
+    val asc = sized.sortBy(_._2)
+    val buckets = asc.foldLeft(List.empty[(Long, List[String])]) {
+      case (Nil, (n, sz)) =>
+        (math.max(sz, minSizeBytes), List(n)) :: Nil
+      case (acc @ ((floor, names) :: rest), (n, sz)) =>
+        if (sz <= floor * tierFactor) (floor, n :: names) :: rest
+        else (math.max(sz, minSizeBytes), List(n)) :: acc
+    }
+    buckets.reverse.collect {
+      case (_, names) if names.length >= minTierFiles => names.reverse
+    }
+  }
+
+  def compactIvfSizeTiered(spark: SparkSession, path: String,
+                           minTierFiles: Int = 4,
+                           tierFactor: Long = 8,
+                           minSizeBytes: Long = 64L * 1024,
+                           fs: graft.sources.Dfs = graft.sources.Dfs.default)
+      : Seq[Int] = {
+    require(minTierFiles >= 2 && tierFactor >= 2,
+      s"size-tiered compaction needs minTierFiles >= 2 and " +
+        s"tierFactor >= 2 (got $minTierFiles, $tierFactor)")
+    val cellsDir = s"$path/cells"
+    // plan first (pure listing work), touch disk only if needed
+    val plans: Seq[(Int, Seq[String])] =
+      fs.listDirNames(cellsDir).filter(_.startsWith("cell="))
+        .sortBy(_.stripPrefix("cell=").toInt)
+        .flatMap { d =>
+          val cell = d.stripPrefix("cell=").toInt
+          val sized = fs.listFileSizes(s"$cellsDir/$d")
+            .filter(_._1.endsWith(".parquet"))
+          sizeTierBuckets(sized, minTierFiles, tierFactor, minSizeBytes)
+            .map(cell -> _)
+        }
+    if (plans.isEmpty) return Seq.empty
+    val metaPath = s"$path/_index_meta.tsv"
+    val saved =
+      if (fs.exists(metaPath)) Some(fs.readString(metaPath)) else None
+    fs.delete(metaPath)
+    plans.foreach { case (cell, names) =>
+      val dir = s"$cellsDir/cell=$cell"
+      val tmp = s"$path/_compact_tmp/cell=$cell"
+      fs.delete(tmp)
+      // merge ONLY the bucket's files — the whole point: files
+      // outside the bucket (the big base file) are never read or
+      // rewritten by this pass
+      spark.read.parquet(names.map(n => s"$dir/$n"): _*).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      swapInMergedFiles(fs, dir, tmp, names)
+    }
+    fs.delete(s"$path/_compact_tmp")
+    saved.foreach(fs.writeStringAtomic(metaPath, _))
+    plans.map(_._1).distinct
+  }
+
   /** Delete vectors from a persisted [[writeIvfIndex]] layout by
     * TOMBSTONE — the O(|delete batch|) maintenance path every
     * production ANN index runs (Lucene/Milvus-style soft delete):

@@ -160,6 +160,18 @@ object SurrealQL {
         applyPostfix(vars(name), postfix)
       case parenRe(inner, postfix) if balanced(inner) =>
         applyPostfix(evalExpr(inner.trim, t, vars), postfix)
+      // bare literals: `LET $x = 2;` / `= 2.5` / `= "s"` are valid
+      // SurrealQL — found by SurrealQLProps' generated LET chains
+      // (every hand-written script happened to bind selects or
+      // arithmetic, never a lone literal)
+      case _ if e.matches("-?[0-9]+") =>
+        t.entities.sparkSession.range(1).select(lit(e.toLong).as("value"))
+      case _ if e.matches("-?[0-9]*\\.[0-9]+") =>
+        t.entities.sparkSession.range(1).select(lit(e.toDouble).as("value"))
+      case _ if e.length >= 2 && e.startsWith("\"") && e.endsWith("\"") &&
+          !e.substring(1, e.length - 1).contains("\"") =>
+        t.entities.sparkSession.range(1)
+          .select(lit(e.substring(1, e.length - 1)).as("value"))
       case _ if !e.matches("(?is)^SELECT\\b.*") && topLevelOp(e).isDefined =>
         val (lhs, op, rhs) = topLevelOp(e).get
         val a = numOf(lhs, t, vars)

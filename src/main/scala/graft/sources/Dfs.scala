@@ -38,6 +38,9 @@ trait Dfs {
   def listNames(path: String): Seq[String]
   /** Names of the immediate child DIRECTORIES; empty when absent. */
   def listDirNames(path: String): Seq[String]
+  /** (name, byte size) of the immediate child FILES; empty when
+    * absent. The size-tiered compaction planner's input. */
+  def listFileSizes(path: String): Seq[(String, Long)]
   /** Create an empty file (completion markers). */
   def touch(path: String): Unit
   def readString(path: String): String
@@ -77,6 +80,13 @@ final class HadoopDfs(confOf: () => Configuration) extends Dfs {
     val f = fs(p)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+  override def listFileSizes(path: String): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isFile)
+      .map(s => s.getPath.getName -> s.getLen).toSeq
   }
   override def touch(path: String): Unit = {
     val p = new Path(path)

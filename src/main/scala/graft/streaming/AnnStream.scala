@@ -68,7 +68,7 @@ object AnnStream {
     * the re-append then leaves orphans that the next
     * `ensureIvfIndex` fingerprint check detects and rebuilds away.
     *
-    * `compactEvery > 0` runs [[Similarity.compactIvfSmallFiles]]
+    * `compactEvery > 0` runs [[Similarity.compactIvfSizeTiered]]
     * every that-many batches, AFTER the high-water mark records —
     * the r12 100-batch probe measured nCells new files per
     * micro-batch and search latency doubling with the file count;
@@ -79,13 +79,16 @@ object AnnStream {
     * batch (or ensure) reads as torn-index-absent and fails loud
     * into a rebuild — never a silent partial read. Compaction
     * preserves content and therefore the fingerprint, so the intent
-    * equality and every subsequent append compose unchanged. Write
-    * amplification is the standard leveling trade: each pass
-    * rewrites crowded cells wholesale, so a cadence of K bounds
-    * files-per-cell at ~K+1 between passes at O(indexSize/K)
-    * amortized rewrite bytes per batch — pick K by read-path file
-    * budget, not write cost, until index size makes a size-tiered
-    * scheme worth the complexity. */
+    * equality and every subsequent append compose unchanged. The
+    * SIZE-TIERED scheme (r14, VERDICT r13 #4) bounds write
+    * amplification where the previous leveling pass did not: fresh
+    * micro-batch files merge among themselves, and a cell's big base
+    * file is rewritten only when its own size tier fills — each byte
+    * is rewritten O(log(index/batch)) times total, so per-batch
+    * rewrite bytes stay bounded as the index grows
+    * (AnnStateGrowthProbe measures the per-wave rewrite curve).
+    * `maxFilesPerCell` sets the tier trigger: a size bucket merges
+    * once it holds that many files. */
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
                   id: String, compactEvery: Int = 0,
                   maxFilesPerCell: Int = 8): Unit =
@@ -112,8 +115,9 @@ object AnnStream {
       // pass, caught by the next), and idempotent (a re-run finds the
       // cells already merged and touches nothing)
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-        Similarity.compactIvfSmallFiles(
-          batch.sparkSession, indexPath, maxFilesPerCell, fs)
+        Similarity.compactIvfSizeTiered(
+          batch.sparkSession, indexPath, minTierFiles = maxFilesPerCell,
+          fs = fs)
     }
 
   /** Start the ingest stream over `vecStream` (vec_id, embedding).

@@ -63,12 +63,16 @@ object AnnStateGrowthProbe {
             lit(2000000L)).cast("double") / lit(1000000.0) - lit(1.0))
             .cast("float")))
 
-    def fileCount(): Int = {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1 else 0
+    def fileSizes(): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          b += f.getPath -> f.length()
       walk(new java.io.File(s"$idx/cells"))
+      b.result()
     }
+    def fileCount(): Int = fileSizes().size
 
     def searchMs(): Long = {
       val q = e.filter(col("vec_id") < 10)
@@ -89,17 +93,31 @@ object AnnStateGrowthProbe {
         .option("maxFilesPerTrigger", "1").json(s"$base/in"),
       idx, s"$base/ckpt")
     val perWave = nBatches / nWaves
+    var prevSizes = fileSizes()
     val waveStats = (0 until nWaves).map { w =>
       StreamProbe.stageChunks(s"$base/in",
         (1 + w * perWave until 1 + (w + 1) * perWave).map(replica),
         offset = w * perWave)
       q.processAllAvailable()
-      val files = fileCount()
+      val sizes = fileSizes()
+      val files = sizes.size
+      // write-amplification accounting (VERDICT r13 #4): bytes of
+      // files that existed at the previous wave boundary and are gone
+      // now were REWRITTEN by compaction (appends only add files) —
+      // under the old leveling scheme this grows with index size
+      // (every pass re-merges each crowded cell's base file); under
+      // size-tiered it stays bounded per wave, stepping up only when
+      // a higher tier fills
+      val rewritten = prevSizes.collect {
+        case (p, sz) if !sizes.contains(p) => sz
+      }.sum
+      prevSizes = sizes
       val sms = searchMs()
       val stateVecs = perBatch * (1 + (w + 1).toLong * perWave)
       System.err.println(
-        s"[ann_probe] wave=$w state_vecs=$stateVecs files=$files search_ms=$sms")
-      (stateVecs, files, sms)
+        s"[ann_probe] wave=$w state_vecs=$stateVecs files=$files " +
+          s"rewritten_mb=${rewritten / 1048576.0} search_ms=$sms")
+      (stateVecs, files, sms, rewritten)
     }
     q.stop()
 
@@ -109,7 +127,7 @@ object AnnStateGrowthProbe {
     // trailing offline pass is the residual check: it should find
     // little or nothing left to compact.
     val compacted = graft.operators.Similarity
-      .compactIvfSmallFiles(spark, idx).size
+      .compactIvfSizeTiered(spark, idx).size
     val filesAfter = fileCount()
     val searchAfter = searchMs()
     System.err.println(
@@ -120,8 +138,8 @@ object AnnStateGrowthProbe {
     val dec = math.max(1, times.length / 10)
     val head = times.take(dec).sum.toDouble / dec
     val tail = times.takeRight(dec).sum.toDouble / dec
-    val waves = waveStats.map { case (v, f, s) =>
-      s"""{"state_vecs":$v,"files":$f,"search_ms":$s}"""
+    val waves = waveStats.map { case (v, f, s, rw) =>
+      s"""{"state_vecs":$v,"files":$f,"search_ms":$s,"rewritten_bytes":$rw}"""
     }
     println(s"""{"metric":"ann_ingest_state_growth","batches":${ps.length},"vecs_per_batch":$perBatch,"first_decile_trigger_ms":${head.round},"last_decile_trigger_ms":${tail.round},"tail_over_head":${(tail / head * 100).round / 100.0},"compacted_cells":$compacted,"files_after_compact":$filesAfter,"search_ms_after_compact":$searchAfter,"waves":[${waves.mkString(",")}]}""")
     spark.stop()

@@ -59,6 +59,9 @@ class DfsSpec extends AnyFunSuite {
     }
     override def exists(p: String): Boolean =
       dirs.contains(p) || files.contains(p)
+    override def listFileSizes(p: String): Seq[(String, Long)] =
+      children(p).filter(c => files.contains(s"${p.stripSuffix("/")}/$c"))
+        .map(c => c -> files(s"${p.stripSuffix("/")}/$c").length.toLong)
     override def mkdirs(p: String): Unit = { dirs += p; () }
     override def delete(p: String): Unit = {
       log += s"delete $p"
