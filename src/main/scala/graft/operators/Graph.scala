@@ -147,39 +147,74 @@ object Graph {
       "pr_deg")
     val n = degObs.get("n").asInstanceOf[Long]
     require(n > 0, "pageRank: empty edge set")
-    val symDeg = Dedup.materialize(symSnap.join(degSnap, "src"), "pr_edges")
-    var ranks = degSnap.select(col("src"), lit(1.0 / n).as("r"))
-    var converged = false
-    var i = 0
-    while (i < iters && !converged) {
-      i += 1
-      val next = symDeg.join(ranks, "src")
-        .select(col("dst"), (col("r") / col("deg")).as("m"))
-        .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"))
-        .select(col("dst").as("src"),
-          (lit((1 - damping) / n) + lit(damping) * col("in_mass")).as("r"))
-      if (tol > 0) {
-        // convergence mode: pin this iteration's vector (also the
-        // lineage truncation) and measure the L∞ step
-        val pinned = next.localCheckpoint()
-        val delta = pinned.as("n").join(ranks.as("p"), "src")
-          .agg(max(abs(col("n.r") - col("p.r")))).head().getDouble(0)
-        converged = delta <= tol
-        ranks = pinned
-      } else {
-        ranks = next
-        // long fixed runs: truncate the per-iteration lineage growth
-        // before the plan deepens past what the optimizer re-walks
-        // cheaply (never triggers at the 5-iteration oracle depth)
-        if (i % checkpointEvery == 0 && i < iters)
-          ranks = ranks.localCheckpoint()
+    // the FUSED iteration shape (VERDICT r13 #7), gated on edge
+    // count: above `fusedPrSymEdges` the edge table is pre-partitioned
+    // on the join key ONCE and cached, so each of the k iterations
+    // shuffles only the NODE-sized rank vector — the lazy shape
+    // re-exchanges (and re-sorts, under SMJ) the EDGE-sized side
+    // every iteration, the dominant cost at 100× (measured: sf10 =
+    // 117M sym edges, g_pagerank 72→64 s, g_ppr 88→56 s). BELOW the
+    // gate the lazy shape is faster (sf1 = 11.7M edges: fused lost
+    // 8.4→10.1 s warm — cache fill + in-memory scan overhead exceeds
+    // the smaller exchange it saves), so bench-scale plans are
+    // untouched; the gate is the third regime boundary after the
+    // driver-local tiny gate. The shuffle_hash hint on the small side
+    // removes the per-iteration sort SMJ would re-impose on the
+    // cached edges; map-side partial aggregation bounds the groupBy's
+    // shuffle at O(partitions × nodes). The final vector is pinned
+    // (localCheckpoint) before the cache releases in the finally, so
+    // the returned plan never recomputes against the dropped cache.
+    val fused = mEdges >= fusedPrSymEdges
+    val symDegSnap =
+      Dedup.materialize(symSnap.join(degSnap, "src"), "pr_edges")
+    val symDeg =
+      if (fused) symDegSnap.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else symDegSnap
+    try {
+      var ranks = degSnap.select(col("src"), lit(1.0 / n).as("r"))
+      var converged = false
+      var i = 0
+      while (i < iters && !converged) {
+        i += 1
+        val rhs = if (fused) ranks.hint("shuffle_hash") else ranks
+        val next = symDeg.join(rhs, "src")
+          .select(col("dst"), (col("r") / col("deg")).as("m"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"))
+          .select(col("dst").as("src"),
+            (lit((1 - damping) / n) + lit(damping) * col("in_mass")).as("r"))
+        if (tol > 0) {
+          // convergence mode: pin this iteration's vector (also the
+          // lineage truncation) and measure the L∞ step
+          val pinned = next.localCheckpoint()
+          val delta = pinned.as("n").join(ranks.as("p"), "src")
+            .agg(max(abs(col("n.r") - col("p.r")))).head().getDouble(0)
+          converged = delta <= tol
+          ranks = pinned
+        } else {
+          ranks = next
+          // long fixed runs: truncate the per-iteration lineage growth
+          // before the plan deepens past what the optimizer re-walks
+          // cheaply (never triggers at the 5-iteration oracle depth)
+          if (i % checkpointEvery == 0 && i < iters)
+            ranks = ranks.localCheckpoint()
+        }
       }
-    }
-    if (tol > 0 && !converged)
-      throw new IllegalStateException(
-        s"pageRank did not converge to tol=$tol within $iters iterations")
-    ranks.select(col("src").as("node"), (round(col("r") * 1e6) / 1e6).as("rank"))
+      if (tol > 0 && !converged)
+        throw new IllegalStateException(
+          s"pageRank did not converge to tol=$tol within $iters iterations")
+      if (fused && tol == 0) ranks = ranks.localCheckpoint()
+      ranks.select(col("src").as("node"),
+        (round(col("r") * 1e6) / 1e6).as("rank"))
+    } finally if (fused) symDeg.unpersist(false)
   }
+
+  /** Above this many symmetrized edges the power-iteration loops
+    * switch to the cached-pre-partitioned edge table (fused shape);
+    * below, the lazy per-iteration exchange is cheaper. Measured
+    * bracket: lazy wins at 11.7M (sf1), fused wins at 117M (sf10) —
+    * the boundary sits at the geometric middle. */
+  private val fusedPrSymEdges = 30000000L
 
   /** Driver-side power iteration over a tiny symmetrized edge list —
     * the [[Dedup.dupClusters]] union-find device applied here: the
@@ -250,7 +285,7 @@ object Graph {
     * seed set is never re-joined raw). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            damping: Double = 0.85): DataFrame = {
-    val symSnap = symSnapshot(edges, "ppr_sym")
+    val (symSnap, mEdges) = symSnapshotCounted(edges, "ppr_sym")
     // seed count rides observe() on the snapshot write (the CC
     // move, used three functions up) — the former separate .count()
     // spent one full extra job AND recomputed the distinct for the
@@ -277,27 +312,42 @@ object Graph {
     // so each iteration's update needs NO node-table join: the
     // aggregation recovers it as max(base) — base is functionally
     // dependent on dst
-    val symDeg = Dedup.materialize(symSnap
+    // fused iteration shape above the edge-count gate, same trade and
+    // measurements as [[pageRankBounded]]: edges cached
+    // pre-partitioned on the join key once, only the node-sized rank
+    // vector shuffles per iteration
+    val fused = mEdges >= fusedPrSymEdges
+    val symDegSnap = Dedup.materialize(symSnap
       .join(nodeSnap.select(col("src"), col("deg")), "src")
       .join(nodeSnap.select(col("src").as("dst"), col("base")), "dst"),
       "ppr_edges")
-    var ranks = nodeSnap.select(col("src"), col("r0").as("r"))
-    var i = 0
-    while (i < iters) {
-      i += 1
-      ranks = symDeg.join(ranks, "src")
-        .select(col("dst"), (col("r") / col("deg")).as("m"), col("base"))
-        .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"),
-          max(col("base")).as("b"))
-        .select(col("dst").as("src"),
-          (col("b") + lit(damping) * col("in_mass")).as("r"))
-      // long-run lineage truncation, same as the global loop (never
-      // triggers at the 5-iteration oracle depth)
-      if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
-    }
-    ranks.select(col("src").as("node"),
-      (round(col("r") * 1e6) / 1e6).as("rank"))
+    val symDeg =
+      if (fused) symDegSnap.repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else symDegSnap
+    try {
+      var ranks = nodeSnap.select(col("src"), col("r0").as("r"))
+      var i = 0
+      while (i < iters) {
+        i += 1
+        val rhs = if (fused) ranks.hint("shuffle_hash") else ranks
+        ranks = symDeg.join(rhs, "src")
+          .select(col("dst"), (col("r") / col("deg")).as("m"), col("base"))
+          .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"),
+            max(col("base")).as("b"))
+          .select(col("dst").as("src"),
+            (col("b") + lit(damping) * col("in_mass")).as("r"))
+        // long-run lineage truncation, same as the global loop (never
+        // triggers at the 5-iteration oracle depth)
+        if (i % checkpointEvery == 0 && i < iters)
+          ranks = ranks.localCheckpoint()
+      }
+      // pin before the cache releases: the returned plan must not
+      // recompute the edge join against a dropped cache
+      if (fused) ranks = ranks.localCheckpoint()
+      ranks.select(col("src").as("node"),
+        (round(col("r") * 1e6) / 1e6).as("rank"))
+    } finally if (fused) symDeg.unpersist(false)
   }
 
   /** Distinct part–part co-purchase edges (parts sharing an order) —
