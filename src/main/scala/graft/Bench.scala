@@ -8,7 +8,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query and
   * total wall seconds. Each query is forced with .count() (full plan
-  * execution, no result materialization on the driver).
+  * execution, no result materialization on the driver). Build and
+  * action are BOTH inside the timed region, so eager operators can't
+  * hide work.
+  *
+  * READING THE NUMBERS: driver-window runs (`BENCH_r{N}.json`) share
+  * the machine with round machinery and wobble ±10–25% per query;
+  * the round-over-round comparable is the clean-window run
+  * (`BENCH_builder_r{N}.json`) — see README "Benchmark protocol".
   *
   * Stall-resilience (BENCH_r05 was rc=124/parsed:null — one rep stalled
   * in a host contention window and blew the driver's whole timeout):
