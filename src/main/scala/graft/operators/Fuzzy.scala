@@ -84,14 +84,29 @@ object Fuzzy {
     * the candidate stream ~k× before the filter prunes it
     * (7.6 s → 12 s). */
   def editSelfJoin(df: DataFrame, key: Column, tau: Int): DataFrame = {
-    graft.functions.HashExpressions.register(df.sparkSession)
+    val spark = df.sparkSession
+    graft.functions.HashExpressions.register(spark)
+    val width = graft.Tuning.computeWidth(spark)
     // snapshot the exploded key table: the self-join would otherwise
-    // run the distinct + variant expansion twice (once per side)
+    // run the distinct + variant expansion twice (once per side).
+    // Width discipline (r14, guide §2.5/§4): every stage of this
+    // operator is COMPUTE-dense (×(L+1)^τ variant explode, per-bucket
+    // pair expansion, banded-DP verify), so byte-driven AQE coalescing
+    // starves it — measured at sf0.1: the whole candidate+verify
+    // pipeline collapsed to ≤4 tasks (3.5 MB of keys) and ran ~5.7 s
+    // warm on 32 idle cores. The repartition BEFORE the explode
+    // spreads names ahead of the ×19 amplification (shuffle the keys,
+    // not the payload — guide §8), and the one AFTER the snapshot
+    // read pins the pair-expansion width AND pre-distributes on dk —
+    // exactly the distribution the at-scale SMJ needs, so past the
+    // broadcast threshold it replaces (not adds to) the join exchange.
     val keyed = Dedup.materialize(
       df.select(key.as("nm")).distinct()
+        .repartition(width, col("nm"))
         .select(col("nm"),
           explode(deletionVariants(col("nm"), tau)).as("dk")),
       "fuzzy_keys")
+      .repartition(width, col("dk"))
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.dk") === col("b.dk") && col("a.nm") < col("b.nm"))
