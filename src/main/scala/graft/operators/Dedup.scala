@@ -105,6 +105,18 @@ object Dedup {
   private[graft] def materialize(df: DataFrame, site: String): DataFrame =
     materializeDir(df, site)._1
 
+  /** [[materialize]] with the row count observed ON the write (the
+    * CC/Graph observe device, zero extra jobs) — for iterative loops
+    * whose stop test is "is the frontier empty", which otherwise pay
+    * a whole extra count/limit job per round. */
+  private[graft] def materializeCounted(df: DataFrame,
+                                        site: String): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val snap = materialize(
+      df.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n")), site)
+    (snap, obs.get("n").asInstanceOf[Long])
+  }
+
   /** [[materialize]] that also returns the snapshot directory, for
     * call sites that re-read the snapshot through a DIFFERENT session
     * (the connected-components small-graph plan mode below). */

@@ -65,24 +65,30 @@ object Graph {
     edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
 
+  /** Snapshot the ASYMMETRIC list, return the lazy symmetrized view —
+    * half the write of snapshotting the union (see
+    * [[edgeSnapshotCounted]]). */
   private def symSnapshot(edges: DataFrame, site: String): DataFrame =
-    Dedup.materialize(symUnion(edges), site)
+    symUnion(Dedup.materialize(edges, site))
 
-  /** [[symSnapshot]] whose row count rides the write as an observe()
-    * (zero extra jobs — the CC move), for call sites that gate plan
-    * strategy on graph size. Kept SEPARATE from the uncounted
-    * variant: `Observation.get` blocks on the listener bus after the
-    * write, a wait measured at up to ~2 s behind a backlog of prior
-    * jobs (g_bfs paid it in the r13 same-window sweep) — only
-    * pageRank's gate needs the count, so only pageRank pays. */
-  private def symSnapshotCounted(edges: DataFrame,
-                                 site: String): (DataFrame, Long) = {
+  /** Snapshot of the ASYMMETRIC edge list with its row count observed
+    * on the write, plus the lazy symmetrized view over it (r14): the
+    * former symmetrized snapshot wrote 2|E| rows where |E| suffice —
+    * the union is a cheap scan-level view over the snapshot, and the
+    * symmetrized count is exactly 2|E| (the bipartite parity encoding
+    * and the a<b co-purchase convention both exclude self-loops and
+    * mirrored duplicates). Downstream consumers that scan the
+    * symmetrized view twice re-read the half-size snapshot twice —
+    * the same bytes as one full-size scan, minus the doubled write.
+    * The observe rides the write (zero extra jobs — the CC move);
+    * only gate-dependent call sites block on it. */
+  private def edgeSnapshotCounted(edges: DataFrame,
+                                  site: String): (DataFrame, Long) = {
     val obs = org.apache.spark.sql.Observation()
     val snap = Dedup.materialize(
-      symUnion(edges).observe(obs,
-        coalesce(count(lit(1)), lit(0L)).as("n")),
+      edges.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n")),
       site)
-    (snap, obs.get("n").asInstanceOf[Long])
+    (symUnion(snap), 2L * obs.get("n").asInstanceOf[Long])
   }
 
   /** Fixed-iteration damped PageRank over an undirected edge list
@@ -137,7 +143,7 @@ object Graph {
     // total), the degree table (node count rides the write as an
     // observe() — zero extra jobs, the CC move), and the
     // degree-annotated edge list the loop scans.
-    val (symSnap, mEdges) = symSnapshotCounted(edges, "pr_sym")
+    val (symSnap, mEdges) = edgeSnapshotCounted(edges, "pr_sym")
     if (mEdges <= tinyGate)
       return pageRankLocal(symSnap, iters, damping, tol)
     val degObs = org.apache.spark.sql.Observation()
@@ -285,7 +291,7 @@ object Graph {
     * seed set is never re-joined raw). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            damping: Double = 0.85): DataFrame = {
-    val (symSnap, mEdges) = symSnapshotCounted(edges, "ppr_sym")
+    val (symSnap, mEdges) = edgeSnapshotCounted(edges, "ppr_sym")
     // seed count rides observe() on the snapshot write (the CC
     // move, used three functions up) — the former separate .count()
     // spent one full extra job AND recomputed the distinct for the

@@ -1565,7 +1565,8 @@ object Similarity {
     * rounds). */
   def mmrTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nCand: Int = 10, lambda: Double = 0.7,
-              lambdaComp: Double = 0.3): DataFrame = {
+              lambdaComp: Double = 0.3,
+              localPairGate: Long = MmrLocalPairs): DataFrame = {
     // lambdaComp is a SEPARATE literal (not derived 1 - lambda)
     // because 1 - 0.7 != 0.3 in doubles and the oracle restates the
     // same source literals — but the two must still form an MMR
@@ -1577,6 +1578,22 @@ object Similarity {
     graft.functions.HashExpressions.register(embeddings.sparkSession)
     val cand = Dedup.materialize(
       cosineTopK(embeddings, nQueries, nCand), "mmr_cand")
+    // Driver-local greedy (r14): everything AFTER the corpus-scale
+    // cosineTopK discovery is bounded by the CALLER'S PARAMETERS —
+    // ≤ nQueries·nCand candidate rows and nCand² pair sims per query
+    // — i.e. driver model state by construction, independent of
+    // corpus size (the gate is a pure parameter check, no job). The
+    // distributed loop's cost at that size is pure scheduling: one
+    // pair-snapshot write plus a selection-snapshot write and two
+    // joins PER ROUND (measured 33 jobs / 1.9 s warm at sf0.1 for 50
+    // output rows). The local loop replays the identical trajectory:
+    // Kernels.cosine's exact fold, the same round(x*1e4)/1e4
+    // quantization BEFORE selection (Spark Round = BigDecimal
+    // HALF_UP, the pageRankLocal device), max-pair-sim diversity
+    // penalty, (raw DESC, nid ASC) ties. Callers with a genuinely
+    // huge query batch keep the unchanged distributed loop.
+    if (nQueries.toLong * nCand * nCand <= localPairGate)
+      return mmrLocal(cand, embeddings, k, lambda, lambdaComp)
     val cv = cand.select(col("qid"), col("nid"), col("sim"))
       .join(embeddings.select(col("vec_id").as("nid"), col("embedding")),
         "nid")
@@ -1621,6 +1638,67 @@ object Similarity {
     }
     sel.select(col("qid"), col("nid"), col("score"),
       col("step").cast("int").as("step"))
+  }
+
+  /** Pair-budget gate for [[mmrTopK]]'s driver-local plan mode:
+    * nQueries·nCand² bounded means the post-discovery state is
+    * parameter-sized, not data-sized. */
+  private val MmrLocalPairs = 1L << 20
+
+  /** The [[mmrTopK]] greedy loop on the driver — identical arithmetic
+    * and tie-breaks to the distributed rounds (see call-site comment).
+    * `cand` is the materialized cosineTopK output (qid, nid, sim, rk),
+    * ≤ nQueries·nCand rows by construction. */
+  private def mmrLocal(cand: DataFrame, embeddings: DataFrame, k: Int,
+                       lambda: Double, lambdaComp: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    def rnd4(v: Double): Double = java.math.BigDecimal.valueOf(v * 1e4)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e4
+    // same per-index float→double fold as Kernels.cosine
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = cand.select(col("qid"), col("nid"), col("sim"), col("rk"))
+      .join(embeddings.select(col("vec_id").as("nid"), col("embedding")),
+        "nid")
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rk"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val out = Vector.newBuilder[(Long, Long, Double, Int)]
+    rows.groupBy(_._1).foreach { case (qid, cs) =>
+      val first = cs.find(_._4 == 1).get
+      var sel = Vector((first._2, first._5))
+      out += ((qid, first._2, first._3, 1))
+      var j = 2
+      while (j <= k) {
+        val remaining = cs.filter(c => !sel.exists(_._1 == c._2))
+        if (remaining.nonEmpty) {
+          var bestNid = 0L; var bestRaw = Double.NegativeInfinity
+          var bestEmb: Array[Float] = null
+          remaining.foreach { c =>
+            var ms = Double.NegativeInfinity
+            sel.foreach(s => ms = math.max(ms, rnd4(cos(c._5, s._2))))
+            val raw = lambda * c._3 - lambdaComp * ms
+            if (raw > bestRaw || (raw == bestRaw && c._2 < bestNid)) {
+              bestRaw = raw; bestNid = c._2; bestEmb = c._5
+            }
+          }
+          sel :+= ((bestNid, bestEmb))
+          out += ((qid, bestNid, rnd4(bestRaw), j))
+        }
+        j += 1
+      }
+    }
+    out.result().toDF("qid", "nid", "score", "step")
+      .select(col("qid"), col("nid"), col("score"),
+        col("step").cast("int").as("step"))
   }
 
   /** Per-label embedding centroids, computed FULLY distributed (the
@@ -1670,39 +1748,97 @@ object Similarity {
     * (`zip_with`+`aggregate` here, `list_transform`+`list_reduce` in
     * the oracle), so selection — argmax over exact IEEE doubles —
     * agrees bit-for-bit with the unrolled-CTE restatement. */
-  def kCenter(embeddings: DataFrame, k: Int): DataFrame = {
+  def kCenter(embeddings: DataFrame, k: Int,
+              localGate: Long = KCenterLocalRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    def d2(center: Array[Float]): Column =
-      aggregate(
-        zip_with(col("embedding"), typedLit(center), (a, b) => {
-          val d = a.cast("double") - b.cast("double"); d * d
-        }),
-        lit(0.0), (acc, x) => acc + x)
-    val seed = e.filter(col("vec_id") === 0L)
-      .select(col("embedding")).as[Array[Float]].head()
-    // bounded driver model state: k center vectors + their ids
-    var centers = Vector(0L -> seed)
-    var picked = Vector((1, 0L, 0.0))
-    var j = 2
-    while (j <= k) {
-      val dist = centers.map(c => d2(c._2)) match {
-        case Seq(one) => one
-        case many     => least(many: _*)
+    // Tiny-corpus plan mode (r14 — the pageRankLocal/TinyCcEdges
+    // device): below the gate the corpus IS bounded driver model
+    // state (≤ ~50 MB of vectors), and the k-round loop's cost is
+    // pure scheduling — measured 18 jobs / 3.6 s warm for 2,000
+    // vectors at sf0.1, where one collect + a local loop is ~0.3 s.
+    // The local loop computes the IDENTICAL greedy trajectory: same
+    // per-index float→double (a−b)² left fold as the zip_with/
+    // aggregate expression, min over centers (exact, order-free),
+    // argmax with the same (dist DESC, vec_id ASC) tie-break, and the
+    // shared final round()-select. The count gate is metadata-only on
+    // a bare scan; real corpora keep the unchanged distributed loop.
+    val picked: Vector[(Int, Long, Double)] =
+      if (e.count() <= localGate) {
+        val rows = e.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        val byId = rows.toMap
+        val seed = byId.getOrElse(0L, throw new NoSuchElementException(
+          "kCenter: seed vec_id 0 absent"))
+        def d2(v: Array[Float], c: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < v.length) {
+            val d = v(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+          }
+          acc
+        }
+        var centers = Vector(0L -> seed)
+        var sel = Set(0L)
+        var out = Vector((1, 0L, 0.0))
+        var j = 2
+        while (j <= k) {
+          var bestId = 0L; var bestD = Double.NegativeInfinity
+          rows.foreach { case (id, v) =>
+            if (!sel(id)) {
+              var dmin = Double.PositiveInfinity
+              centers.foreach(c => dmin = math.min(dmin, d2(v, c._2)))
+              if (dmin > bestD || (dmin == bestD && id < bestId)) {
+                bestD = dmin; bestId = id
+              }
+            }
+          }
+          // mirrors the distributed head() on an exhausted candidate set
+          if (bestD == Double.NegativeInfinity)
+            throw new NoSuchElementException("kCenter: k exceeds corpus size")
+          centers :+= (bestId -> byId(bestId))
+          sel += bestId
+          out :+= ((j, bestId, bestD))
+          j += 1
+        }
+        out
+      } else {
+        def d2(center: Array[Float]): Column =
+          aggregate(
+            zip_with(col("embedding"), typedLit(center), (a, b) => {
+              val d = a.cast("double") - b.cast("double"); d * d
+            }),
+            lit(0.0), (acc, x) => acc + x)
+        val seed = e.filter(col("vec_id") === 0L)
+          .select(col("embedding")).as[Array[Float]].head()
+        // bounded driver model state: k center vectors + their ids
+        var centers = Vector(0L -> seed)
+        var out = Vector((1, 0L, 0.0))
+        var j = 2
+        while (j <= k) {
+          val dist = centers.map(c => d2(c._2)) match {
+            case Seq(one) => one
+            case many     => least(many: _*)
+          }
+          val row = e.filter(!col("vec_id").isInCollection(centers.map(_._1)))
+            .select(col("vec_id"), col("embedding"), dist.as("dist"))
+            .orderBy(col("dist").desc, col("vec_id"))
+            .limit(1).head()
+          centers :+= (row.getLong(0) -> row.getSeq[Float](1).toArray)
+          out :+= ((j, row.getLong(0), row.getDouble(2)))
+          j += 1
+        }
+        out
       }
-      val row = e.filter(!col("vec_id").isInCollection(centers.map(_._1)))
-        .select(col("vec_id"), col("embedding"), dist.as("dist"))
-        .orderBy(col("dist").desc, col("vec_id"))
-        .limit(1).head()
-      centers :+= (row.getLong(0) -> row.getSeq[Float](1).toArray)
-      picked :+= ((j, row.getLong(0), row.getDouble(2)))
-      j += 1
-    }
     picked.toDF("rank", "vec_id", "dist")
       .select(col("rank"), col("vec_id"),
         (round(col("dist") * 1e6) / 1e6).as("dist"))
   }
+
+  /** Row gate for [[kCenter]]'s driver-local plan mode: ≤ ~50 MB of
+    * (id, ≤64-dim float) vectors — the bounded-driver-model regime
+    * shared with `Dedup.TinyCcEdges` / `Graph.tinyPrSymEdges`. */
+  private val KCenterLocalRows = 200000L
 
   /** Unrolled-CTE oracle for [[kCenter]] — the same greedy loop in
     * plain SQL: round j picks `ORDER BY dist DESC, vec_id LIMIT 1`

@@ -85,42 +85,53 @@ object WordPiece {
     * a 1-row argmax collect. */
   def train(docs: DataFrame, text: Column,
             nMerges: Int = NMerges): DataFrame = {
-    val spark = docs.sparkSession
     val wc = wordCounts(docs, text).persist()
-    try {
-      var cur = wc.select(col("w"), charDelimWp(col("w")).as("s"), col("cnt"))
-      val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
-      var exhausted = false
-      for (r <- 1 to nMerges if !exhausted) {
-        val toks = cur.select(
-            explode(split(col("s").substr(lit(2), length(col("s")) - 2),
-              "\\|\\|")).as("tok"), col("cnt"))
-          .groupBy(col("tok")).agg(sum(col("cnt")).as("tc"))
-        val top = cur
-          .select(explode(Bpe.pairsOf(col("s"))).as("pair"), col("cnt"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
-          .withColumn("a", split(col("pair"), " ", 2).getItem(0))
-          .withColumn("b", split(col("pair"), " ", 2).getItem(1))
-          .join(broadcast(toks.select(col("tok").as("a"), col("tc").as("ca"))), "a")
-          .join(broadcast(toks.select(col("tok").as("b"), col("tc").as("cb"))), "b")
-          .withColumn("score_q",
-            floor((log(col("pc")) - log(col("ca")) - log(col("cb"))) * 1e6))
-          .orderBy(col("score_q").desc, col("pair"))
-          .select(col("pair"), col("score_q"), col("pc"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val pair = top(0).getString(0)
-          val Array(a, b) = pair.split(" ", 2)
-          val m = mergedToken(a, b)
-          merges += ((r, pair, m, top(0).getLong(1), top(0).getLong(2)))
-          cur = cur.withColumn("s",
-            replace(col("s"), lit(s"|$a||$b|"), lit(s"|$m|")))
-        }
+    try trainFromWc(wc, nMerges) finally { wc.unpersist(); () }
+  }
+
+  /** The merge loop over an already-pinned dictionary frame — shared
+    * by [[train]] (persist) and [[tokenCount]] (snapshot, reused by
+    * the encode stages). Per merge: ONE dictionary-frame aggregation
+    * collected to a driver token-count map (bounded: cur's distinct
+    * tokens ⊆ alphabet ∪ merged tokens, ≤ |alphabet| + nMerges — the
+    * BPE-dictionary regime) and ONE pair aggregation + argmax job;
+    * the former broadcast-join shape built two broadcast relations
+    * per round, each re-running the token aggregation (r14, measured
+    * 60 jobs → 36 for the composed encode gate). */
+  private def trainFromWc(wc: DataFrame, nMerges: Int): DataFrame = {
+    val spark = wc.sparkSession
+    var cur = wc.select(col("w"), charDelimWp(col("w")).as("s"), col("cnt"))
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val tokMap = cur.select(
+          explode(split(col("s").substr(lit(2), length(col("s")) - 2),
+            "\\|\\|")).as("tok"), col("cnt"))
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("tc"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      val tm = typedLit(tokMap)
+      val top = cur
+        .select(explode(Bpe.pairsOf(col("s"))).as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+        .withColumn("ca", element_at(tm, split(col("pair"), " ", 2).getItem(0)))
+        .withColumn("cb", element_at(tm, split(col("pair"), " ", 2).getItem(1)))
+        .withColumn("score_q",
+          floor((log(col("pc")) - log(col("ca")) - log(col("cb"))) * 1e6))
+        .orderBy(col("score_q").desc, col("pair"))
+        .select(col("pair"), col("score_q"), col("pc"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        val m = mergedToken(a, b)
+        merges += ((r, pair, m, top(0).getLong(1), top(0).getLong(2)))
+        cur = cur.withColumn("s",
+          replace(col("s"), lit(s"|$a||$b|"), lit(s"|$m|")))
       }
-      import spark.implicits._
-      merges.result().toDF("merge_rank", "pair", "merged", "score_q", "cnt")
-    } finally { wc.unpersist(); () }
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "pair", "merged", "score_q", "cnt")
   }
 
   /** Final vocabulary: the initial alphabet (every single-char piece,
@@ -172,9 +183,16 @@ object WordPiece {
     * table is vocabulary-sized and broadcast back to the corpus. */
   def tokenCount(docs: DataFrame, text: Column,
                  nMerges: Int = NMerges): DataFrame = {
-    val model = train(docs, text, nMerges).collect()
+    // ONE corpus-wide word-count shuffle, snapshotted: the trainer,
+    // the vocabulary collect, and the greedy encode all read the
+    // dictionary frame — unsnapshotted, each re-ran the corpus
+    // explode+groupBy (3 full corpus passes for the one gate; r14).
+    // Snapshot, not persist: the returned plan references perWord
+    // lazily, and cached blocks must not outlive a returned plan
+    // (persist-hygiene contract).
+    val wc = Dedup.materialize(wordCounts(docs, text), "wp_wc")
+    val model = trainFromWc(wc, nMerges).collect()
       .map(_.getString(2)).toSeq
-    val wc = wordCounts(docs, text)
     val perWord = greedyTokenCount(wc, vocabulary(wc, model))
       .select(col("w"), col("n_tok"))
     docs.select(col("doc_id"), explode(split(text, " ")).as("w"))

@@ -557,6 +557,28 @@ class OperatorsSpec extends AnyFunSuite {
         .maxBy { case (id, v) => (d2(vecs(0L), v), -id) }._1)
   }
 
+  test("kCenter: driver-local plan mode ≡ distributed loop (r14 gate)") {
+    // localGate=0 forces the distributed argmax loop; default takes
+    // the local path on this corpus — both must pick the identical
+    // greedy trajectory with identical rounded distances
+    val loc = Similarity.kCenter(emb, 8).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val dist = Similarity.kCenter(emb, 8, localGate = 0L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(loc.toSeq === dist.toSeq)
+  }
+
+  test("mmrTopK: driver-local greedy ≡ distributed rounds (r14 gate)") {
+    val loc = Similarity.mmrTopK(emb, 4, 3, nCand = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val dist = Similarity.mmrTopK(emb, 4, 3, nCand = 5, localPairGate = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(loc.toSeq === dist.toSeq)
+  }
+
   test("as-of join: hand-computed case incl. equal-ts inclusivity") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
