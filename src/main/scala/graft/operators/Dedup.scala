@@ -836,7 +836,9 @@ object Dedup {
       simCand.union(mhCand).distinct(),
       "simhash_pairs")
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      // no distinct: a left-semi probe side tolerates duplicates, and
+      // the dedup exchange cost more than the (tiny) duplicate keys
     pairs.join(
         ngramJaccardPairs(df.join(candDocs, Seq("doc_id"), "left_semi"),
           minJaccard),
@@ -895,7 +897,9 @@ object Dedup {
     // quadratic kernel never sees the full corpus (the discovery/
     // rerank split that holds at 100 TB)
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      // no distinct: a left-semi probe side tolerates duplicates, and
+      // the dedup exchange cost more than the (tiny) duplicate keys
     pairs.join(
         ngramJaccardPairs(df.join(candDocs, Seq("doc_id"), "left_semi"),
           minJaccard),
@@ -1167,7 +1171,8 @@ object Dedup {
           greatest(col("new_id"), col("dup_of")).as("doc_b")),
       "incremental_cand")
     val ids = cand.select(col("new_id").as("doc_id"))
-      .union(cand.select(col("dup_of").as("doc_id"))).distinct()
+      .union(cand.select(col("dup_of").as("doc_id")))
+      // no distinct — see minhashVerifiedPairs
     cand.join(
         ngramJaccardPairs(df.join(ids, Seq("doc_id"), "left_semi"), minJaccard),
         Seq("doc_a", "doc_b"))

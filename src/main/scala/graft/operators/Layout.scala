@@ -97,8 +97,9 @@ object Layout {
     * `input_file_name()` — file-local aggregation, no shuffle of the
     * data rows beyond the per-file partials. */
   def writeSkipping(df: DataFrame, path: String, key: Column,
-                    targetRowsPerFile: Long): Int = {
-    val nFiles = writeSized(df, s"$path/data", Seq(key), targetRowsPerFile)
+                    targetRowsPerFile: Long, rows: Long = -1L): Int = {
+    val nFiles = writeSized(df, s"$path/data", Seq(key), targetRowsPerFile,
+      rows)
     val s = df.sparkSession
     val keyName = df.select(key).schema.head.name
     s.read.parquet(s"$path/data")
@@ -122,11 +123,11 @@ object Layout {
     * contributes one bloomBits-sized filter row). */
   def writeBloomSkipping(df: DataFrame, path: String, sortKey: Column,
                          bloomKey: Column, targetRowsPerFile: Long,
-                         bloomBits: Int = 1 << 16): Int = {
+                         bloomBits: Int = 1 << 16, rows: Long = -1L): Int = {
     val s = df.sparkSession
     graft.functions.HashExpressions.register(s)
     val nFiles = writeSized(df, s"$path/data", Seq(sortKey),
-      targetRowsPerFile)
+      targetRowsPerFile, rows)
     val keyName = df.select(bloomKey).schema.head.name
     s.read.parquet(s"$path/data")
       .groupBy(input_file_name().as("file"))
@@ -378,7 +379,14 @@ object Layout {
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_skip").toString
-    writeSkipping(li, path, col("l_orderkey"), targetRowsPerFile = 4000L)
+    // same width-derived file budget as the bloom gate (r14): file
+    // count follows write parallelism, floor 4000 rows/file keeps the
+    // sf0.01 driver-gate layout byte-identical
+    val rows = li.count()
+    writeSkipping(li, path, col("l_orderkey"),
+      targetRowsPerFile =
+        math.max(4000L, rows / (2L * graft.Tuning.computeWidth(s))),
+      rows = rows)
     val (df, _, _) = skippingRead(s, path, "l_orderkey", 1000L, 3000L)
     df.select(col("l_orderkey"), col("l_partkey"),
       (round(col("l_quantity") * 100) / 100).as("l_quantity"))
@@ -404,15 +412,18 @@ object Layout {
       .select(col("l_orderkey"), col("l_partkey"), ch.as("ch"))
     val path = java.nio.file.Files
       .createTempDirectory("graft_bloomskip").toString
-    // file-size scaling: hold the file COUNT ~constant (≤ 150, the
-    // sf0.1 shape) instead of the rows-per-file constant — the r11
+    // file-size scaling: bound the file COUNT by the session's write
+    // parallelism (2×computeWidth — cluster-adaptive, r14; was a
+    // constant 150) instead of the rows-per-file constant — the r11
     // fixed 4000-rows/file gate wrote 15,000 files at the 100×
     // rehearsal and the probe measured file creation, not the
-    // operator (PERF_r11 "build-dominated"). Unchanged below 600k
-    // rows, so driver-gate bytes are identical.
+    // operator (PERF_r11 "build-dominated"). The 4000-row floor keeps
+    // the sf0.01 driver-gate layout byte-identical; `rows` is passed
+    // through so writeSized doesn't re-count the projected table.
     val rows = li.count()
+    val fileBudget = 2L * graft.Tuning.computeWidth(s)
     writeBloomSkipping(li, path, col("l_orderkey"), col("ch"),
-      targetRowsPerFile = math.max(4000L, rows / 150L))
+      targetRowsPerFile = math.max(4000L, rows / fileBudget), rows = rows)
     val keys = li.filter(col("l_orderkey") % 3000 === 0)
       .select(col("ch")).distinct().collect().map(_.getLong(0)).toSeq
     val (df, _, _) = bloomSkipRead(s, path, "ch", keys)
