@@ -366,7 +366,15 @@ object Dedup {
 
   def minhashPairs(df: DataFrame, bands: Int = 16, rows: Int = 4,
                    minEst: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val sigd = signatures(df)
+    // snapshot the signatures (r14): this one plan references sigd
+    // THREE times (band explode + both verify-join sides), and with
+    // no shared exchange under it each reference re-ran the 64-perm
+    // shingle+minhash map over the corpus TEXT — the heaviest map in
+    // the operator, ×3. The signature table is bands×16 bytes/doc,
+    // three orders of magnitude narrower than the text it stands for
+    // (the index-table argument at line ~410), so one write buys two
+    // saved corpus passes at any scale.
+    val sigd = materialize(signatures(df), "mh_sigs")
 
     // band key: ONE definition ([[bandKeyArray]]) shared with the
     // persisted-index paths — a second inline copy of the key formula
