@@ -112,7 +112,35 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var etlEps = -1.0
+    // end-of-sweep re-run of the SAME calibration marker (r15, VERDICT
+    // r14 #1): the marker is measured first, so a host-speed swing
+    // DURING the sweep was invisible in the artifact and every
+    // round-over-round comparison needed manual archaeology (PERF_r14
+    // read as a 2× regression until the untouched-code ETL drift was
+    // dug out by hand). start≈end ⇒ the window was stable; start≫end
+    // (or ≪) ⇒ per-query numbers drifted with the host and the
+    // comparison must deflate by the marker ratio.
+    var etlEpsEnd = -1.0
+    // queries recorded from a SINGLE rep (rep 2 suppressed by the
+    // late-sweep cutoff or failed): their entries carry cold
+    // first-execution cost and are NOT comparable to warm best-of-2
+    // numbers — the r14 driver window's worst "regressions" were all
+    // in this class, indistinguishable in the artifact until now.
+    val singleRep = scala.collection.mutable.ListBuffer[String]()
     var complete = false
+
+    // window-quality fields shared by the full and compact envelopes:
+    // the end-of-sweep marker re-run and the single-rep (cold-record)
+    // query names — ADDED fields only, nothing removed or renamed
+    def windowFields(): String = {
+      val endField =
+        if (etlEpsEnd < 0) "" else s""","etl_eps_end":${fmt(etlEpsEnd)}"""
+      val srField =
+        if (singleRep.isEmpty) ""
+        else singleRep.map("\"" + _ + "\"")
+          .mkString(""","single_rep":[""", ",", "]")
+      endField + srField
+    }
 
     // atomic re-publish of the artifact after every measurement: a
     // killed/timed-out process still leaves a parseable file
@@ -130,7 +158,7 @@ object Bench {
         case None => ""
       }
       val partialField = if (complete) "" else ""","partial":true"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568$subsetField$failedField$partialField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568${windowFields()}$subsetField$failedField$partialField}"""
     }
 
     /** The round driver records only the LAST ~2000 chars of output and
@@ -149,7 +177,7 @@ object Bench {
           if (elided == 0) "" else s""","queries_elided":$elided"""
         val failedField =
           if (nFailed == 0) "" else s""","failed_count":$nFailed"""
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568$elidedField$failedField}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"best_of_2","queries":$qs,"sf":"$sfDir","etl_entities_per_sec":${fmt(etlEps)},"etl_baseline_eps":568${windowFields()}$elidedField$failedField}"""
       }
       val slowestFirst = results.toSeq.sortBy { case (_, v) => -v }
       val kept = scala.collection.mutable.ListBuffer[String]()
@@ -250,11 +278,26 @@ object Bench {
           if (r1 >= 0 && sweepElapsed() <= SingleRepAfterSec) {
             val cap2 = math.min(cap, math.max(6, math.ceil(r1 * 1.25).toInt))
             val r2 = runCapped(spark, name, cap2) { fn(spark, sfDir).count() }
+            if (r2 < 0) singleRep += name // rep 2 failed → cold record
             if (r2 >= 0) math.min(r1, r2) else r1
-          } else r1
+          } else {
+            // late-sweep single-rep regime: the recorded time is a cold
+            // first execution — mark it so the artifact says so (r15)
+            if (r1 >= 0) singleRep += name
+            r1
+          }
         results(name) = best
         flush()
       }
+
+    // re-measure the calibration marker at sweep END (r15): untouched
+    // code, so start-vs-end drift is pure host speed — the one number
+    // that makes a slow-window sweep machine-detectable. One run (not
+    // best-of-2): this is a window gauge, not a throughput claim.
+    if (subset.isEmpty) {
+      etlEpsEnd = etlOnce()
+      flush()
+    }
 
     complete = true
     flush()

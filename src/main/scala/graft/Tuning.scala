@@ -27,16 +27,10 @@ object Tuning {
       spark.conf.getOption("spark.sql.shuffle.partitions")
         .map(_.toInt).getOrElse(200))
 
-  /** Spread a NARROW input to [[computeWidth]] ahead of a
-    * compute-dense map stage (signature hashing, variant explode):
-    * a no-op — no exchange in the plan at all — when the input's
-    * natural parallelism already reaches the width, which is every
-    * at-scale scan (many files/splits); only a small input collapsed
-    * into one or two splits pays the (equally small) round-robin
-    * exchange. The planner-side partition probe costs no job. */
-  def spreadNarrow(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val width = computeWidth(df.sparkSession)
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
-  }
+  // (r15) `spreadNarrow` deleted: its one dedup call site measured
+  // slower and was reverted in r14, leaving it dead — and its
+  // `df.rdd.getNumPartitions` probe forced plan→RDD conversion at the
+  // call site, a hidden cost any future caller would pay. Re-derive
+  // from `repartition(computeWidth(spark), key)` if a measured
+  // compute-dense stage needs it (the Fuzzy.scala pattern).
 }

@@ -346,42 +346,44 @@ object Corpus {
     // ONE training scan: the three per-feature count tables melt into
     // a single (feature, value, class-counts) aggregation — the naive
     // formulation (tot + one groupBy per feature) re-featurized the
-    // corpus four times, which at 100× dominated the operator. Class
-    // totals and each feature's value count (the smoothing V) derive
-    // from the melted model, which is ≤ ~3×30 rows.
-    val melted = Dedup.materialize(
-      feats.select(col("keep"),
-          explode(map(
-            lit("lb"), col("lb"), lit("mb"), col("mb"),
-            lit("sb"), col("sb"))).as(Seq("feat", "v")))
-        .groupBy(col("feat"), col("v"))
-        .agg(count(when(col("keep"), 1)).as("ck"),
-          count(when(not(col("keep")), 1)).as("cd")),
-      "nb_model")
-    val tot = melted.filter(col("feat") === "lb")
-      .agg(sum(col("ck")).as("nk"), sum(col("cd")).as("nd"))
-    // per-feature likelihood-ratio table: tiny (distinct bucket
-    // values × 2 class counts), smoothing denominator nK+V / nD+V
-    // with V = that feature's observed-value count
-    def featModel(c: String): DataFrame = {
-      val fm = melted.filter(col("feat") === c)
-        .select(col("v").as(c), col("ck"), col("cd"))
-      val vf = fm.agg(count(lit(1)).as("vf"))
-      fm.crossJoin(broadcast(vf)).crossJoin(broadcast(tot))
-        .select(col(c),
-          (log((col("ck") + 1).cast("double") /
-              (col("nk") + col("vf")).cast("double")) -
-            log((col("cd") + 1).cast("double") /
-              (col("nd") + col("vf")).cast("double"))).as(s"llr_$c"))
+    // corpus four times, which at 100× dominated the operator. The
+    // melted model is ≤ ~3×30 rows BY CONSTRUCTION (bucket domains:
+    // lb ≤ 21, mb ≤ ~12 under the mtl gate, sb ≤ 11) — bounded MODEL
+    // state, so it collects to the driver once (r15, the WordPiece
+    // typedLit device) instead of materializing + three broadcast
+    // joins + a tot cross-join: the likelihood-ratio tables become
+    // driver-computed map literals and the whole scoring pass is a
+    // pure projection over the feature snapshot, no joins at all.
+    // Arithmetic is IDENTICAL: scala's math.log and Catalyst's log
+    // are both java.lang.Math.log over the same doubles, and the
+    // score's addition order (prior + llr_lb + llr_mb + llr_sb) is
+    // preserved term for term.
+    val melted = feats.select(col("keep"),
+        explode(map(
+          lit("lb"), col("lb"), lit("mb"), col("mb"),
+          lit("sb"), col("sb"))).as(Seq("feat", "v")))
+      .groupBy(col("feat"), col("v"))
+      .agg(count(when(col("keep"), 1)).as("ck"),
+        count(when(not(col("keep")), 1)).as("cd"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lbRows = melted.filter(_._1 == "lb")
+    val nk = lbRows.map(_._3).sum
+    val nd = lbRows.map(_._4).sum
+    def llrMap(c: String): Map[Long, Double] = {
+      val rows = melted.filter(_._1 == c)
+      val vf = rows.length.toLong
+      rows.map { case (_, v, ck, cd) =>
+        v -> (math.log((ck + 1).toDouble / (nk + vf).toDouble) -
+          math.log((cd + 1).toDouble / (nd + vf).toDouble))
+      }.toMap
     }
-    val score = log((col("nk") + 1).cast("double")) -
-      log((col("nd") + 1).cast("double")) +
-      col("llr_lb") + col("llr_mb") + col("llr_sb")
+    val score = lit(math.log((nk + 1).toDouble) -
+        math.log((nd + 1).toDouble)) +
+      element_at(typedLit(llrMap("lb")), col("lb")) +
+      element_at(typedLit(llrMap("mb")), col("mb")) +
+      element_at(typedLit(llrMap("sb")), col("sb"))
     feats
-      .join(broadcast(featModel("lb")), Seq("lb"))
-      .join(broadcast(featModel("mb")), Seq("mb"))
-      .join(broadcast(featModel("sb")), Seq("sb"))
-      .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lb"), col("mb"), col("sb"),
         r4(score).as("nb_score"),
         (r4(score) > 0).as("nb_keep"))
@@ -400,20 +402,39 @@ object Corpus {
     * scale, the [[packSequences]] tiling). */
   def temperatureMix(df: DataFrame, classCol: Column, key: Column,
                      total: Long, alphaPct: Int = 50): DataFrame = {
-    val counts = df.groupBy(classCol.as("_cls")).agg(count(lit(1)).as("_cnt"))
-    val weights = counts.withColumn("_w",
-      round(pow(col("_cnt").cast("double"), lit(alphaPct / 100.0)) * 1e6)
-        .cast("long"))
-    val sumw = weights.agg(sum(col("_w")).as("_sumw"))
-    val quotas = weights.crossJoin(broadcast(sumw))
-      .select(col("_cls"),
-        expr(s"(${total}L * _w) DIV _sumw").as("quota"))
+    // per-source counts are MODEL-sized (one row per source) — collect
+    // once and compute the quota table driver-side (r15, the typedLit
+    // device): the sumw aggregate and the quota broadcast join both
+    // disappear; the data pass keeps only the rank window + a map
+    // lookup filter. Quota arithmetic stays EXACT integers in the
+    // same order — round(pow(cnt,α)·1e6) via BigDecimal HALF_UP (the
+    // identical rounding Catalyst's round applies to a double), an
+    // integer Σw, and integer (total·w) DIV Σw per source. A possible
+    // NULL source keeps the old null-safe-join semantics through a
+    // dedicated scalar (maps cannot hold a null key).
+    // keys ride Spark's OWN string cast on both the build and lookup
+    // sides, so the map is self-consistent for any class column type
+    val counts = df.groupBy(classCol.cast("string").as("_cls"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    def w(cnt: Long): Long = java.math.BigDecimal
+      .valueOf(math.pow(cnt.toDouble, alphaPct / 100.0) * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val sumw = counts.map { case (_, c) => w(c) }.sum
+    val quota: Map[String, Long] = counts.collect {
+      case (Some(cls), c) => cls -> (total * w(c)) / sumw
+    }.toMap
+    val nullQuota: Option[Long] = counts.collectFirst {
+      case (None, c) => (total * w(c)) / sumw
+    }
+    val quotaCol = when(classCol.isNull,
+        nullQuota.map(lit(_)).getOrElse(lit(null).cast("long")))
+      .otherwise(element_at(typedLit(quota), classCol.cast("string")))
     val rank = row_number().over(Window.partitionBy(classCol)
       .orderBy(TextAnalysis.md5Bucket16(key).asc, key.asc))
     df.withColumn("mix_rank", rank.cast("long"))
-      .join(broadcast(quotas), classCol <=> col("_cls"))
+      .withColumn("quota", quotaCol)
       .filter(col("mix_rank") <= col("quota"))
-      .drop("_cls")
   }
 
   /** Length-bucketed training-batch assembly — the padding-
@@ -663,11 +684,24 @@ object Corpus {
       val d = docs(s, dir)
       val keep = nbQualityModel(d, col("text"))
         .filter(col("nb_keep")).select(col("doc_id"))
-      val kept = d.join(keep, Seq("doc_id"), "left_semi")
+      // snapshot the kept docs ONCE as the narrow (doc_id, source,
+      // n_tokens) projection (r15): the mix + packing stages after it
+      // need exactly these three columns, and between them they scan
+      // their input four times (source counts, rank window, bucket
+      // totals, offset window) — each scan used to re-run the NB
+      // score + semi-join + tokenize over the TEXT. The snapshot is
+      // ~3 orders narrower than the text it stands for (the guide §8
+      // keys-not-payloads move; the r14 signature-snapshot argument),
+      // so one narrow write buys three corpus passes at any scale.
+      val kept = Dedup.materialize(
+        d.join(keep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).as("n_tokens")),
+        "mix_kept")
       val mixed = temperatureMix(kept, col("source"), col("doc_id"),
         total = 150L, alphaPct = 50)
       packSequences(mixed, col("doc_id"),
-          size(tokens(col("text"))), budget = 512L)
+          col("n_tokens"), budget = 512L)
         .select(col("doc_id"), col("source"), col("mix_rank"),
           col("n_tokens"), col("tok_offset"), col("seq_first"),
           col("seq_last"))

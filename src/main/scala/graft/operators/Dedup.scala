@@ -119,12 +119,24 @@ object Dedup {
 
   /** [[materialize]] that also returns the snapshot directory, for
     * call sites that re-read the snapshot through a DIFFERENT session
-    * (the connected-components small-graph plan mode below). */
-  private def materializeDir(df: DataFrame, site: String): (DataFrame, String) = {
+    * (the connected-components small-graph plan mode below, and the
+    * [[Graph]] small-graph loop sessions since r15). */
+  private[graft] def materializeDir(df: DataFrame, site: String): (DataFrame, String) = {
     val key = s"${site}_t${Thread.currentThread().getId}"
     val dir =
       s"${snapshotRoot(df.sparkSession)}/${key}_c${snapshotSeq.incrementAndGet()}"
-    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    // lighter commit for snapshot-sized intermediates (r15, VERDICT r14
+    // #4): skip the _SUCCESS marker (nothing in-repo reads it — Merge's
+    // CompleteMarker exists precisely because clusters disable it) and
+    // skip the compression codec — snapshots here are hash/id/label
+    // tables (signatures, band keys, frontiers, candidate pairs), high-
+    // entropy bytes a general codec barely shrinks, while parquet's
+    // dictionary/RLE encoding still applies. Both are per-write options:
+    // published outputs (Layout/Merge) keep their own settings.
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", "none")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(dir)
     Option(lastSnapshot.put(key, dir))
       .foreach(graft.sources.Dfs.default.delete)
     (df.sparkSession.read.schema(df.schema).parquet(dir), dir)
@@ -843,15 +855,9 @@ object Dedup {
     val pairs = materialize(
       simCand.union(mhCand).distinct(),
       "simhash_pairs")
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id")))
-      // no distinct: a left-semi probe side tolerates duplicates, and
-      // the dedup exchange cost more than the (tiny) duplicate keys
-    pairs.join(
-        ngramJaccardPairs(df.join(candDocs, Seq("doc_id"), "left_semi"),
-          minJaccard),
-        Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // once-shingled array rerank over the pairs in hand (r15) — see
+    // [[rerankPairs]]
+    rerankPairs(df, pairs, minJaccard)
   }
 
   // ------------------------------------------------------- queries //
@@ -903,16 +909,67 @@ object Dedup {
     // exact-rerank only the docs LSH surfaced — per-doc shingle sets
     // are independent, so per-pair Jaccard is unchanged, and the
     // quadratic kernel never sees the full corpus (the discovery/
-    // rerank split that holds at 100 TB)
+    // rerank split that holds at 100 TB). r15: the rerank attaches
+    // once-shingled arrays to the pairs in hand instead of routing
+    // through the postings self-join — see [[rerankPairs]].
+    rerankPairs(df, pairs, minJaccard)
+  }
+
+  /** Exact n-gram Jaccard rerank for an ALREADY-ENUMERATED candidate
+    * pair list (r15, VERDICT r14 #2 — the fused discovery+rerank):
+    * shingle each candidate doc ONCE into a distinct-shingle-ARRAY
+    * snapshot, then attach both sides' arrays to the pairs and compute
+    * |A∩B| / (|A|+|B|−|A∩B|) per pair row with `array_intersect`.
+    *
+    * Replaces routing the verify through [[ngramJaccardPairs]], whose
+    * postings shape re-enumerates pairs it already has: its plan
+    * references the shingle subtree THREE times (the sizes groupBy +
+    * both self-join sides) with no shared exchange — the candidate
+    * docs were shingled 3× — and pays a shingle-keyed self-join +
+    * pair groupBy + two size joins to rediscover exactly the pairs in
+    * hand. Here the candidate set is shingled once (the snapshot
+    * write), and the verify is two narrow doc_id joins. At 100 TB the
+    * shuffle carries each candidate's array once per side vs the
+    * exploded per-shingle postings rows — strictly fewer bytes for
+    * the same docs.
+    *
+    * Equivalence to the postings formula, pair by pair: the arrays
+    * are `array_distinct`, so `size(array_intersect)` = the postings
+    * intersection count i; na/nb = the per-doc distinct-shingle
+    * counts; the jac expression is the same double division of the
+    * same integer values, the raw-threshold filter and the 1e-4
+    * rounding are verbatim. Pairs the postings inner joins dropped
+    * (i = 0, or an empty shingle set) here carry jac = 0 — or NULL
+    * when BOTH sides are empty — and are dropped by the same
+    * `jac >= minJaccard` filter (minJaccard > 0 at every call site).
+    * The no-LSH DuckDB oracles re-prove it per query. */
+  private def rerankPairs(df: DataFrame, pairs: DataFrame,
+                          minJaccard: Double): DataFrame = {
+    graft.functions.HashExpressions.register(df.sparkSession)
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       // no distinct: a left-semi probe side tolerates duplicates, and
       // the dedup exchange cost more than the (tiny) duplicate keys
-    pairs.join(
-        ngramJaccardPairs(df.join(candDocs, Seq("doc_id"), "left_semi"),
-          minJaccard),
-        Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val candSh = materialize(
+      df.join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(shingles(col("text"))).as("sh")),
+      "rerank_sh")
+    pairs
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")),
+        "doc_a")
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("i"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") /
+          (col("n_a") + col("n_b") - col("i")).cast("double")).as("jac"))
+      .filter(col("jac") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("jac") * 1e4) / 1e4).as("jaccard"))
   }
 
   /** Distributed connected components by min-label propagation WITH
@@ -1178,11 +1235,11 @@ object Dedup {
           least(col("new_id"), col("dup_of")).as("doc_a"),
           greatest(col("new_id"), col("dup_of")).as("doc_b")),
       "incremental_cand")
-    val ids = cand.select(col("new_id").as("doc_id"))
-      .union(cand.select(col("dup_of").as("doc_id")))
-      // no distinct — see minhashVerifiedPairs
+    // once-shingled array rerank over the discovered pairs (r15) —
+    // see [[rerankPairs]]; cand is a snapshot, so referencing it here
+    // and inside the rerank costs no recompute
     cand.join(
-        ngramJaccardPairs(df.join(ids, Seq("doc_id"), "left_semi"), minJaccard),
+        rerankPairs(df, cand.select(col("doc_a"), col("doc_b")), minJaccard),
         Seq("doc_a", "doc_b"))
       .select(col("new_id"), col("dup_of"), col("jaccard"))
   }

@@ -512,14 +512,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("nb quality model: model tables broadcast — the corpus is never shuffled") {
+  test("nb quality model: scoring is a pure projection — no join, no exchange") {
+    // r15: the bounded model (≤ ~3×30 (value, class-count) rows)
+    // collects once and scores as driver-computed map LITERALS — the
+    // former shape (3 broadcast model joins + a tot cross-join) had
+    // 3 broadcast builds and their query-stage jobs where a lookup
+    // projection suffices. The scoring pass over the feature snapshot
+    // must now contain NO join and NO exchange at all.
     val p = plan(graft.SparkEntry.queries("c_quality_model")(spark, sf))
-    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(bhj >= 3, s"expected >=3 broadcast model joins:\n$p")
-    // no exchange may partition on doc_id — the corpus-side stream
-    // stays map-side; only model-sized aggregates shuffle
-    assert(!p.linesIterator.exists(l =>
-      l.contains("Exchange hashpartitioning(doc_id")), p)
+    assert(p.contains("element_at(map("), s"expected map-literal model:\n$p")
+    assert(!p.contains("Join"), s"expected join-free scoring pass:\n$p")
+    assert(!p.contains("Exchange"), s"expected exchange-free scoring pass:\n$p")
   }
 
   test("vocab top-k: partial count before the exchange, top-k without global sort") {
@@ -541,11 +544,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bnlj.forall(_.contains("Cross")), p)
   }
 
-  test("temperature mix: quota table broadcasts; one rank window per class") {
+  test("temperature mix: quota is a map literal; one rank window per class") {
+    // r15: per-source quotas (model-sized) collect once and apply as a
+    // driver-computed map literal — the data pass is the class-keyed
+    // rank window plus a lookup filter, no quota join at all
     val p = plan(graft.SparkEntry.queries("c_temperature_mix")(spark, sf))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("element_at(map("), s"expected map-literal quotas:\n$p")
+    assert(!p.contains("Join"), s"expected join-free mix pass:\n$p")
     assert(p.linesIterator.exists(l =>
       l.contains("Window") && l.contains("row_number")), p)
+    // exactly the one rank-window exchange on the class column
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
   }
 
   test("event transitions: probability window partitions on prev_type over the aggregated matrix") {
