@@ -163,32 +163,38 @@ object Dedup {
     * promised 100-TB df-guard (drop shingles shared by ~every doc
     * before the pair join) lands here once, for both operators
     * (code-review r10: the subtree was duplicated verbatim). */
-  private def shinglePairCounts(df: DataFrame): (DataFrame, DataFrame) = {
+  private def shinglePairCounts(df: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(df.sparkSession)
+    // the per-doc distinct-shingle count rides EACH POSTING ROW (one
+    // long) so the pair aggregation recovers both docs' sizes as
+    // min() — n is constant per doc (r15). The former shape ran a
+    // separate `sizes` aggregation (a corpus-wide doc_id exchange
+    // over the exploded postings) and joined it back onto the pairs
+    // TWICE, re-shingling the corpus once per join — 4 shingle
+    // kernel passes and 3 joins where 2 passes and 1 join suffice
+    // (plan evidence: plans/r15/d_ngram_jaccard_before.txt, the four
+    // word_ngrams Generate nodes).
     val sh = df
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("n"),
+        explode(col("arr")).as("sh"))
+    sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    (sizes, inter)
+      .agg(count(lit(1)).as("i"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
   }
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set —
     * the relational formulation that also serves as the LSH rerank. */
-  def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame = {
-    val (sizes, inter) = shinglePairCounts(df)
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+  def ngramJaccardPairs(df: DataFrame, minJaccard: Double): DataFrame =
+    shinglePairCounts(df)
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jac"))
+          (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
       .filter(col("jac") >= minJaccard)
       .select(col("doc_a"), col("doc_b"),
         (round(col("jac") * 1e4) / 1e4).as("jaccard"))
-  }
 
   /** Directed n-gram CONTAINMENT join: containment(A→B) =
     * |sh(A) ∩ sh(B)| / |sh(A)| over distinct word 3-gram shingle
@@ -209,10 +215,7 @@ object Dedup {
     * rare). Threshold applies to the RAW ratio; the published value
     * is 1e-4-rounded (the registry's standard double contract). */
   def containmentPairs(df: DataFrame, minContainment: Double): DataFrame = {
-    val (sizes, inter0) = shinglePairCounts(df)
-    val inter = inter0
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val inter = shinglePairCounts(df)
     val directed = inter.select(col("doc_a").as("src"), col("doc_b").as("dst"),
         (col("i").cast("double") / col("na").cast("double")).as("c"))
       .union(inter.select(col("doc_b"), col("doc_a"),

@@ -85,8 +85,28 @@ object WordPiece {
     * a 1-row argmax collect. */
   def train(docs: DataFrame, text: Column,
             nMerges: Int = NMerges): DataFrame = {
-    val wc = wordCounts(docs, text).persist()
-    try trainFromWc(wc, nMerges) finally { wc.unpersist(); () }
+    // snapshot (not persist) so the merge loop can run in its cloned
+    // session — see [[loopDict]]; also persist-hygiene-cleaner: no
+    // cached blocks at all
+    val (_, dir) = Dedup.materializeDir(wordCounts(docs, text), "wp_wc")
+    trainFromWc(loopDict(docs.sparkSession, dir), nMerges,
+      docs.sparkSession)
+  }
+
+  /** Rebind the dictionary snapshot into an AQE-off clone for the
+    * merge loop (r15): each of the loop's 2 actions per round (the
+    * bounded token-count collect, the 1-row argmax) is a tiny
+    * vocabulary-sized aggregation whose plan AQE splits into 2–3
+    * query-stage jobs — 8 rounds cost ~36 jobs where 16 suffice. The
+    * clone (same SparkContext, isolated SQLConf — the CC device)
+    * executes each action as ONE job; plans and arithmetic are
+    * unchanged (no joins anywhere in the round plans — the model
+    * rides typedLit maps), and the caller's session never sees the
+    * flipped conf. */
+  private def loopDict(caller: SparkSession, dir: String): DataFrame = {
+    val s2 = caller.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.read.schema("w STRING, cnt BIGINT").parquet(dir)
   }
 
   /** The merge loop over an already-pinned dictionary frame — shared
@@ -98,8 +118,8 @@ object WordPiece {
     * the former broadcast-join shape built two broadcast relations
     * per round, each re-running the token aggregation (r14, measured
     * 60 jobs → 36 for the composed encode gate). */
-  private def trainFromWc(wc: DataFrame, nMerges: Int): DataFrame = {
-    val spark = wc.sparkSession
+  private def trainFromWc(wc: DataFrame, nMerges: Int,
+                          out: SparkSession): DataFrame = {
     var cur = wc.select(col("w"), charDelimWp(col("w")).as("s"), col("cnt"))
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
     var exhausted = false
@@ -130,7 +150,9 @@ object WordPiece {
           replace(col("s"), lit(s"|$a||$b|"), lit(s"|$m|")))
       }
     }
-    import spark.implicits._
+    // the model is driver-held literals — hand it back bound to the
+    // CALLER's session, never the loop clone
+    import out.implicits._
     merges.result().toDF("merge_rank", "pair", "merged", "score_q", "cnt")
   }
 
@@ -190,10 +212,14 @@ object WordPiece {
     // Snapshot, not persist: the returned plan references perWord
     // lazily, and cached blocks must not outlive a returned plan
     // (persist-hygiene contract).
-    val wc = Dedup.materialize(wordCounts(docs, text), "wp_wc")
-    val model = trainFromWc(wc, nMerges).collect()
+    val (wc, wcDir) = Dedup.materializeDir(wordCounts(docs, text), "wp_wc")
+    // the merge loop and the vocabulary collect run on the AQE-off
+    // clone ([[loopDict]]); the encode fold + broadcast join stay on
+    // the caller's session over the same snapshot
+    val wcLoop = loopDict(docs.sparkSession, wcDir)
+    val model = trainFromWc(wcLoop, nMerges, docs.sparkSession).collect()
       .map(_.getString(2)).toSeq
-    val perWord = greedyTokenCount(wc, vocabulary(wc, model))
+    val perWord = greedyTokenCount(wc, vocabulary(wcLoop, model))
       .select(col("w"), col("n_tok"))
     docs.select(col("doc_id"), explode(split(text, " ")).as("w"))
       .filter(col("w") =!= "" && !col("w").contains("|") &&
