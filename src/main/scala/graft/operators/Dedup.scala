@@ -120,7 +120,9 @@ object Dedup {
   /** [[materialize]] that also returns the snapshot directory, for
     * call sites that re-read the snapshot through a DIFFERENT session
     * (the connected-components small-graph plan mode below, and the
-    * [[Graph]] small-graph loop sessions since r15). */
+    * [[WordPiece]] merge-loop session since r15; extending the device
+    * to the [[Graph]] loops was measured SLOWER at every probed size
+    * and rejected — see OPTIMIZATION_r15.md). */
   private[graft] def materializeDir(df: DataFrame, site: String): (DataFrame, String) = {
     val key = s"${site}_t${Thread.currentThread().getId}"
     val dir =
