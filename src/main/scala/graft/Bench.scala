@@ -291,10 +291,18 @@ object Bench {
       }
 
     // re-measure the calibration marker at sweep END (r15): untouched
-    // code, so start-vs-end drift is pure host speed — the one number
-    // that makes a slow-window sweep machine-detectable. One run (not
+    // code, so start-vs-end drift is host speed — the one number that
+    // makes a slow-window sweep machine-detectable. One run (not
     // best-of-2): this is a window gauge, not a throughput claim.
+    // Session hygiene first (measured r15): after 223 queries the
+    // session's cached relations/heap residue alone depressed the end
+    // marker ~15× (2.4 k e/s vs 36 k at start, reproduced twice) —
+    // the same in-process effect the start-first rule exists for.
+    // Without the sweep, start-vs-end would gauge session residue,
+    // not the host.
     if (subset.isEmpty) {
+      spark.catalog.clearCache()
+      System.gc()
       etlEpsEnd = etlOnce()
       flush()
     }
