@@ -138,21 +138,25 @@ object Graph {
     // every iteration references the edge set and sender degrees, and
     // the degree build reads the edges twice — WITHOUT snapshots each
     // plan copy re-derives the upstream edge join (orders ⋈ lineitem
-    // ran ~2× per call plus once per iteration). Three bounded
-    // write-and-readbacks: the symmetric edge list (one derivation
-    // total), the degree table (node count rides the write as an
-    // observe() — zero extra jobs, the CC move), and the
-    // degree-annotated edge list the loop scans.
+    // ran ~2× per call plus once per iteration). TWO bounded
+    // write-and-readbacks (r15, was three): the asymmetric edge list
+    // (one derivation total) and the degree-annotated edge list the
+    // loop scans; the degree table lives only as a subtree inside the
+    // latter's write, with the node count observed on it.
     val (symSnap, mEdges) = edgeSnapshotCounted(edges, "pr_sym")
     if (mEdges <= tinyGate)
       return pageRankLocal(symSnap, iters, damping, tol)
+    // the degree table is NOT materialized (r15): its only standalone
+    // consumers were the node count — which now rides the degree
+    // SUBTREE as an observe() inside the annotated-edge write below
+    // (the subtree executes exactly once, in that job) — and the
+    // initial rank vector, which is the CONSTANT 1/n on every node
+    // and so never needs to exist as a frame at all: iteration 1
+    // folds it into the edge scan (see the loop). One V-row
+    // write-and-readback pass gone at every scale.
     val degObs = org.apache.spark.sql.Observation()
-    val degSnap = Dedup.materialize(
-      symSnap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .observe(degObs, coalesce(count(lit(1)), lit(0L)).as("n")),
-      "pr_deg")
-    val n = degObs.get("n").asInstanceOf[Long]
-    require(n > 0, "pageRank: empty edge set")
+    val deg = symSnap.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .observe(degObs, coalesce(count(lit(1)), lit(0L)).as("n"))
     // the FUSED iteration shape (VERDICT r13 #7), gated on edge
     // count: above `fusedPrSymEdges` the edge table is pre-partitioned
     // on the join key ONCE and cached, so each of the k iterations
@@ -172,29 +176,59 @@ object Graph {
     // the returned plan never recomputes against the dropped cache.
     val fused = mEdges >= fusedPrSymEdges
     val symDegSnap =
-      Dedup.materialize(symSnap.join(degSnap, "src"), "pr_edges")
+      Dedup.materialize(symSnap.join(deg, "src"), "pr_edges")
+    // the write above just ran (materialize is eager), so the degree
+    // subtree has executed exactly once and the node count is in hand
+    val n = degObs.get("n").asInstanceOf[Long]
+    require(n > 0, "pageRank: empty edge set")
     val symDeg =
       if (fused) symDegSnap.repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else symDegSnap
     try {
-      var ranks = degSnap.select(col("src"), lit(1.0 / n).as("r"))
+      // degenerate 0-iteration call: the result is r⁰ itself — the
+      // constant 1/n over the node set (preserved old behavior)
+      if (iters <= 0 && tol == 0)
+        return symDeg.select(col("src")).distinct()
+          .select(col("src").as("node"),
+            (round(lit(1.0 / n) * 1e6) / 1e6).as("rank"))
+      // r⁰ = 1/n is the same CONSTANT on every node, so iteration 1
+      // needs no rank table and no join: its mass term is the literal
+      // (1/n)/deg over the annotated edge scan. Every node appears as
+      // dst (the graph is symmetrized), so the aggregation domain —
+      // and hence the output node set — is identical to the joined
+      // form's; the arithmetic is the same division of the same
+      // doubles. Iterations 2+ join the materialized rank vector
+      // exactly as before.
+      var ranks: DataFrame = null
       var converged = false
       var i = 0
       while (i < iters && !converged) {
         i += 1
-        val rhs = if (fused) ranks.hint("shuffle_hash") else ranks
-        val next = symDeg.join(rhs, "src")
-          .select(col("dst"), (col("r") / col("deg")).as("m"))
+        val masses =
+          if (i == 1)
+            symDeg.select(col("dst"), (lit(1.0 / n) / col("deg")).as("m"))
+          else {
+            val rhs = if (fused) ranks.hint("shuffle_hash") else ranks
+            symDeg.join(rhs, "src")
+              .select(col("dst"), (col("r") / col("deg")).as("m"))
+          }
+        val next = masses
           .groupBy(col("dst")).agg(sum(col("m")).as("in_mass"))
           .select(col("dst").as("src"),
             (lit((1 - damping) / n) + lit(damping) * col("in_mass")).as("r"))
         if (tol > 0) {
           // convergence mode: pin this iteration's vector (also the
-          // lineage truncation) and measure the L∞ step
+          // lineage truncation) and measure the L∞ step — against the
+          // 1/n constant at i = 1 (r⁰ never exists as a frame)
           val pinned = next.localCheckpoint()
-          val delta = pinned.as("n").join(ranks.as("p"), "src")
-            .agg(max(abs(col("n.r") - col("p.r")))).head().getDouble(0)
+          val delta =
+            if (i == 1)
+              pinned.agg(max(abs(col("r") - lit(1.0 / n))))
+                .head().getDouble(0)
+            else
+              pinned.as("n").join(ranks.as("p"), "src")
+                .agg(max(abs(col("n.r") - col("p.r")))).head().getDouble(0)
           converged = delta <= tol
           ranks = pinned
         } else {
