@@ -217,7 +217,12 @@ object Dedup {
     * rare). Threshold applies to the RAW ratio; the published value
     * is 1e-4-rounded (the registry's standard double contract). */
   def containmentPairs(df: DataFrame, minContainment: Double): DataFrame = {
-    val inter = shinglePairCounts(df)
+    // the two directed projections below each reference the pair
+    // subtree — unsnapshotted, the shingle self-join + pair
+    // aggregation ran TWICE per call (r15; measured 27.1 shuffle-MB
+    // vs the Jaccard twin's 16.7 at sf0.1). The pair table is
+    // candidate-pairs-sized, the smallest relation in the operator.
+    val inter = materialize(shinglePairCounts(df), "cont_pairs")
     val directed = inter.select(col("doc_a").as("src"), col("doc_b").as("dst"),
         (col("i").cast("double") / col("na").cast("double")).as("c"))
       .union(inter.select(col("doc_b"), col("doc_a"),

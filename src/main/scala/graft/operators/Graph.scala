@@ -480,9 +480,18 @@ object Graph {
     var i = 0
     while (i < iters) {
       i += 1
-      val votes = symSnap
-        .join(labels.select(col("node").as("src"), col("lbl")), "src")
-        .select(col("dst").as("node"), col("lbl"))
+      // round 1's labels are the IDENTITY (every node labels itself),
+      // so the neighbor-label join is the edge list relabelled: lbl =
+      // src, one E-sized join gone (r15, the pageRank constant-r⁰
+      // fold one loop over). The join domain is unchanged — every src
+      // is in labels by construction (labels = distinct src) — and
+      // the whole chain is integer-exact.
+      val neigh =
+        if (i == 1) symSnap.select(col("dst").as("node"), col("src").as("lbl"))
+        else symSnap
+          .join(labels.select(col("node").as("src"), col("lbl")), "src")
+          .select(col("dst").as("node"), col("lbl"))
+      val votes = neigh
         .unionByName(labels)
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
       labels = votes.groupBy(col("node"))
